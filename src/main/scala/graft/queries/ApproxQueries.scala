@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.7 sampling and §2.9 approximate/partial actions.
+  *
+  * Sampling is seeded inside Spark but not reproducible in DuckDB, so those
+  * queries are rows-only checks (driver contract). The approximate actions'
+  * FINAL value equals the exact answer — the reference's own tests assert the
+  * same (vega tests/test_rdd.rs:534-587) — so they do get a full oracle.
+  */
+object ApproxQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // R1: sample(withReplacement=false, fraction) (partitionwise_sampled_rdd.rs)
+    Q.rowsOnly("r1_sample") { (s, dir) =>
+      Tables(s, dir, "lineitem").sample(withReplacement = false, 0.1, seed = 42)
+        .agg(count(lit(1)).as("n_sampled"))
+    },
+
+    // R2: take_sample — exact-size sample (rdd.rs:717-783)
+    Q.rowsOnly("r2_take_sample") { (s, dir) =>
+      import s.implicits._
+      val taken = Tables(s, dir, "lineitem").select("l_orderkey")
+        .rdd.takeSample(withReplacement = false, num = 100, seed = 42)
+      s.createDataset(taken.map(_.getLong(0)).sorted.toSeq).toDF("l_orderkey")
+    },
+
+    // R3: random_split(weights, seed) (rdd.rs:623-672) — split sizes.
+    Q.rowsOnly("r3_random_split") { (s, dir) =>
+      import s.implicits._
+      val splits = Tables(s, dir, "lineitem")
+        .randomSplit(Array(0.7, 0.3), seed = 42)
+      s.createDataset(splits.zipWithIndex.map { case (df, i) => (i, df.count()) }.toSeq)
+        .toDF("split_id", "n")
+    },
+
+    // count_approx (rdd.rs:1030-1056; partial/count_evaluator.rs) — the final
+    // value of the PartialResult equals the exact count.
+    Q("x_count_approx", "SELECT count(*) AS n_rows FROM lineitem") { (s, dir) =>
+      import s.implicits._
+      val pr = Tables(s, dir, "lineitem").rdd.countApprox(60000L, 0.95)
+      Seq(pr.getFinalValue().mean.toLong).toDF("n_rows")
+    },
+
+    // count_by_value_approx (rdd.rs:466-499; grouped_count_evaluator.rs)
+    Q("x_count_by_value_approx",
+      """SELECT l_returnflag AS value, count(*) AS cnt FROM lineitem
+        |GROUP BY l_returnflag ORDER BY value""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val m = Tables(s, dir, "lineitem").select("l_returnflag")
+        .rdd.map(_.getString(0)).countByValueApprox(60000L, 0.95)
+        .getFinalValue()
+      s.createDataset(m.map { case (v, bd) => (v, bd.mean.toLong) }.toSeq)
+        .toDF("value", "cnt").orderBy("value")
+    }
+  )
+}

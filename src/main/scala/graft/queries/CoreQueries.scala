@@ -1,0 +1,205 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.1 sources, §2.2 actions, §2.3 per-row transforms — each
+  * re-expressed as a declarative DataFrame query (Catalyst plans the scan,
+  * pushdown, partial aggregation and limit strategies; see SURVEY §4).
+  *
+  * Reference semantics: rajasekarv/vega `src/rdd/rdd.rs` (operator rows cited
+  * per query). Every aggregate column is rounded and aliased identically in
+  * Spark and oracle SQL so the driver's column-sorted hash compare holds.
+  */
+object CoreQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // S1/S2: Context::parallelize / make_rdd (reference src/context.rs:433-442)
+    Q("s1_parallelize",
+      "SELECT * FROM (VALUES (1),(2),(3),(4)) AS t(x) ORDER BY x") { (s, _) =>
+      import s.implicits._
+      s.createDataset(Seq(1, 2, 3, 4)).toDF("x").orderBy("x")
+    },
+
+    // S3: Context::range — vega's end is INCLUSIVE (context.rs:427).
+    Q("s3_range_inclusive",
+      "SELECT r AS id FROM range(1, 13) t(r) ORDER BY id") { (s, _) =>
+      // vega range(1,12) => 1..12; spark.range end is exclusive, so end+1.
+      s.range(1, 13).toDF("id").orderBy("id")
+    },
+
+    // S5-S7: file source scan with projection + predicate pushdown to parquet.
+    Q("s7_parquet_scan",
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+        |FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .where(col("l_quantity") > 45 && col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 2).as("price"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // A2: count() (rdd.rs:436-447)
+    Q("a2_count", "SELECT count(*) AS n_rows FROM lineitem") { (s, dir) =>
+      Tables(s, dir, "lineitem").agg(count(lit(1)).as("n_rows"))
+    },
+
+    // A3: reduce(f) — relational form of the driver-side sum-reduce (rdd.rs:274-290)
+    Q("a3_reduce_sum",
+      "SELECT round(sum(l_quantity), 2) AS total_qty FROM lineitem") { (s, dir) =>
+      Tables(s, dir, "lineitem").agg(round(sum("l_quantity"), 2).as("total_qty"))
+    },
+
+    // A5: aggregate(init, seq, comb) with result type != item type (rdd.rs:339-350)
+    Q("a5_aggregate_avg",
+      """SELECT round(sum(l_extendedprice) / count(*), 2) AS avg_price,
+        |count(*) AS n FROM lineitem""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem").agg(
+        round(sum("l_extendedprice") / count(lit(1)), 2).as("avg_price"),
+        count(lit(1)).as("n"))
+    },
+
+    // A6: take(num) — Catalyst CollectLimitExec runs the same incremental scan
+    // vega ported (rdd.rs:559-620).
+    Q("a6_take",
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber LIMIT 5""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber").limit(5)
+    },
+
+    // A8: top(k) — TakeOrderedAndProjectExec = vega's bounded-heap top-k
+    // (rdd.rs:1106-1117, utils/bounded_priority_queue.rs).
+    Q("a8_top",
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+        |FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 2).as("price"))
+        .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(10)
+    },
+
+    // A9: take_ordered(k) — smallest k (rdd.rs:1124-1153)
+    Q("a9_take_ordered",
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+        |FROM lineitem ORDER BY price, l_orderkey, l_linenumber
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 2).as("price"))
+        .orderBy(col("price"), col("l_orderkey"), col("l_linenumber"))
+        .limit(10)
+    },
+
+    // A10: max()/min() (rdd.rs:1081-1099)
+    Q("a10_max_min",
+      """SELECT round(max(l_extendedprice), 2) AS max_price,
+        |round(min(l_extendedprice), 2) AS min_price,
+        |max(l_quantity) AS max_qty, min(l_quantity) AS min_qty
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem").agg(
+        round(max("l_extendedprice"), 2).as("max_price"),
+        round(min("l_extendedprice"), 2).as("min_price"),
+        max("l_quantity").as("max_qty"),
+        min("l_quantity").as("min_qty"))
+    },
+
+    // A14/G6: count_by_value (rdd.rs:450-459)
+    Q("a14_count_by_value",
+      """SELECT l_returnflag AS value, count(*) AS cnt FROM lineitem
+        |GROUP BY l_returnflag ORDER BY value""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem").groupBy(col("l_returnflag").as("value"))
+        .agg(count(lit(1)).as("cnt")).orderBy("value")
+    },
+
+    // P1: map(f) — per-row computed projection (mapper_rdd.rs). No rounding:
+    // the raw IEEE double is bit-identical across engines (same op order),
+    // while round-to-2 diverges on exact .005 boundaries.
+    Q("p1_map_project",
+      """SELECT l_orderkey, l_linenumber,
+        |l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax"))).as("charge"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // P2: flat_map(f) — one row per token (flatmapper_rdd.rs); word count.
+    Q("p2_flatmap_wordcount",
+      """SELECT word, count(*) AS cnt FROM
+        |(SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .where(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy("word")
+    },
+
+    // P3: filter(p) (rdd.rs:186-197)
+    Q("p3_filter",
+      """SELECT event_type, count(*) AS n FROM events
+        |WHERE value > 0 AND event_type IN ('click','purchase')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events")
+        .where(col("value") > 0 && col("event_type").isin("click", "purchase"))
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
+    // P4: map_partitions(f) — per-partition partial sums, then a final combine;
+    // equivalent to Catalyst's partial/final HashAggregate (map_partitions_rdd.rs).
+    Q("p4_map_partitions",
+      """SELECT round(sum(l_quantity), 2) AS total_qty, count(*) AS n
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val partials = Tables(s, dir, "lineitem")
+        .select(col("l_quantity")).as[Double]
+        .mapPartitions { it =>
+          var sum = 0.0; var n = 0L
+          while (it.hasNext) { sum += it.next(); n += 1 }
+          Iterator((sum, n))
+        }.toDF("part_sum", "part_n")
+      partials.agg(round(sum("part_sum"), 2).as("total_qty"),
+        sum("part_n").as("n"))
+    },
+
+    // P6: key_by(f) — vega emits (item, key), NOT (key, item) (rdd.rs:1059-1069)
+    Q("p6_key_by",
+      """SELECT n_name AS item, n_regionkey AS key FROM nation
+        |ORDER BY item""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "nation")
+        .select(col("n_name").as("item"), col("n_regionkey").as("key"))
+        .orderBy("item")
+    },
+
+    // P7: map_values(f) — value transform that keeps the key partitioning
+    // (pair_rdd.rs:82-91); relational: keyed aggregate then value expr.
+    Q("p7_map_values",
+      """SELECT c_nationkey, round(avg(c_acctbal), 2) AS avg_bal FROM customer
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "customer").groupBy("c_nationkey")
+        .agg(round(avg("c_acctbal"), 2).as("avg_bal"))
+        .orderBy("c_nationkey")
+    },
+
+    // P8: flat_map_values(f) (pair_rdd.rs:93-102) — key kept, value exploded.
+    Q("p8_flat_map_values",
+      """SELECT key, val FROM (SELECT doc_id AS key,
+        |unnest(string_split(substr(text, 1, 40), ' ')) AS val FROM documents) t
+        |WHERE val <> '' ORDER BY key, val""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id").as("key"),
+          explode(split(substring(col("text"), 1, 40), " ")).as("val"))
+        .where(col("val") =!= "")
+        .orderBy("key", "val")
+    }
+  )
+}
