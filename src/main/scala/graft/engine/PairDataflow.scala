@@ -1,0 +1,85 @@
+package graft.engine
+
+import org.apache.spark.HashPartitioner
+import org.apache.spark.sql.{Dataset, Encoder}
+
+import scala.reflect.ClassTag
+
+/** vega-parity pair operations (reference: `trait PairRdd`,
+  * src/rdd/pair_rdd.rs).
+  *
+  * Grouping/joining goes through `KeyValueGroupedDataset` / `Dataset.joinWith`
+  * so Catalyst plans the shuffle (partial aggregation, broadcast/SMJ choice,
+  * AQE). `combineByKey` with arbitrary non-encodable combiners keeps an RDD
+  * path — the one case SURVEY §7.3 flags as requiring it.
+  */
+class PairDataflow[K, V](val ds: Dataset[(K, V)]) extends Serializable {
+
+  private def spark = ds.sparkSession
+  private implicit def enc: Encoder[(K, V)] = ds.encoder
+
+  /** combine_by_key — the universal shuffle aggregate (pair_rdd.rs:20-33,
+    * dependency.rs:164-230): createCombiner/mergeValue run map-side,
+    * mergeCombiners reduce-side, exactly vega's Aggregator contract.
+    */
+  def combineByKey[C](createCombiner: V => C, mergeValue: (C, V) => C,
+      mergeCombiners: (C, C) => C, numPartitions: Int = 0)(
+      implicit kt: ClassTag[K], vt: ClassTag[V], ct: ClassTag[C],
+      e: Encoder[(K, C)]): Dataflow[(K, C)] = {
+    val rdd = ds.rdd
+    val part = new HashPartitioner(
+      if (numPartitions > 0) numPartitions else rdd.getNumPartitions)
+    new Dataflow(spark.createDataset(
+      rdd.combineByKey(createCombiner, mergeValue, mergeCombiners, part)))
+  }
+
+  /** reduce_by_key (pair_rdd.rs:54-80) — partial/final aggregation planned
+    * by Catalyst (reduceGroups lowers to a typed Aggregator with map-side
+    * combine, matching vega's identity-combiner Aggregator).
+    */
+  def reduceByKey(f: (V, V) => V)(implicit ek: Encoder[K]): Dataflow[(K, V)] =
+    new Dataflow(ds.groupByKey(_._1)
+      .reduceGroups((a: (K, V), b: (K, V)) => (a._1, f(a._2, b._2)))
+      .map(_._2))
+
+  /** group_by_key (pair_rdd.rs:35-52) */
+  def groupByKey()(implicit ek: Encoder[K], er: Encoder[(K, Seq[V])]): Dataflow[(K, Seq[V])] =
+    new Dataflow(ds.groupByKey(_._1).mapGroups((k, it) => (k, it.map(_._2).toSeq)))
+
+  /** map_values — keeps partitioning (pair_rdd.rs:82-91) */
+  def mapValues[U](f: V => U)(implicit e: Encoder[(K, U)]): PairDataflow[K, U] =
+    new PairDataflow(ds.map { case (k, v) => (k, f(v)) })
+
+  /** flat_map_values (pair_rdd.rs:93-102) */
+  def flatMapValues[U](f: V => IterableOnce[U])(implicit e: Encoder[(K, U)]): PairDataflow[K, U] =
+    new PairDataflow(ds.flatMap { case (k, v) => f(v).iterator.map(k -> _) })
+
+  /** join — inner equi-join via cogroup cross-product (pair_rdd.rs:104-121).
+    * Catalyst picks broadcast/SMJ/hash — strictly better than the reference's
+    * always-hash-shuffle.
+    */
+  def join[W](other: PairDataflow[K, W])(
+      implicit e: Encoder[(K, (V, W))]): Dataflow[(K, (V, W))] = {
+    val joined = ds.joinWith(other.ds, ds("_1") === other.ds("_1"), "inner")
+    new Dataflow(joined.map { case ((k, v), (_, w)) => (k, (v, w)) })
+  }
+
+  /** cogroup (co_grouped_rdd.rs): (K, (Seq[V], Seq[W])) for every key on
+    * either side.
+    */
+  def cogroup[W](other: PairDataflow[K, W])(
+      implicit ek: Encoder[K],
+      e: Encoder[(K, (Seq[V], Seq[W]))]): Dataflow[(K, (Seq[V], Seq[W]))] = {
+    val grouped = ds.groupByKey(_._1)
+      .cogroup(other.ds.groupByKey(_._1)) { (k, vs, ws) =>
+        Iterator.single((k, (vs.map(_._2).toSeq, ws.map(_._2).toSeq)))
+      }
+    new Dataflow(grouped)
+  }
+
+  /** partition_by_key (pair_rdd.rs:157-171) */
+  def partitionByKey(numPartitions: Int): PairDataflow[K, V] =
+    new PairDataflow(ds.repartition(numPartitions, ds("_1")))
+
+  def toDataflow: Dataflow[(K, V)] = new Dataflow(ds)
+}
