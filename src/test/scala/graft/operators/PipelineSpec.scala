@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import graft.functions.{GraftFunctions, TextFunctions}
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  lazy val docs = Tables(spark, sf0001, "documents").cache()
+  lazy val emb = Tables(spark, sf0001, "embeddings").cache()
+
+  test("exact dedup removes injected duplicates, keeps lowest id") {
+    val dup = docs.limit(5).withColumn("doc_id", col("doc_id") + 1000000)
+    val withDups = docs.unionByName(dup)
+    val deduped = Dedup.exact(withDups, "doc_id", "text")
+    assert(deduped.count() == docs.count())
+    // survivors are the original (low) ids
+    assert(deduped.where(col("doc_id") >= 1000000).count() == 0)
+  }
+
+  test("minhash LSH finds exact and near duplicates") {
+    // inject: 3 exact copies + 1 near copy (one token changed)
+    val base = docs.limit(3).select(col("doc_id") + 2000000 as "doc_id", col("text"))
+    val near = docs.limit(1).select(col("doc_id") + 3000000 as "doc_id",
+      concat(col("text"), lit(" perturbed")).as("text"))
+    val corpus = docs.select("doc_id", "text").unionByName(base).unionByName(near)
+    val pairs = Dedup.minhashPairs(corpus, "doc_id", "text", threshold = 0.5).collect()
+    val pairSet = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact copies must be found with jaccard 1.0
+    assert((0 until 3).forall(i => pairSet.contains((i.toLong, i + 2000000L))),
+      s"missing exact-dup pairs in $pairSet")
+    // the near-dup pair should also surface (high shingle overlap)
+    assert(pairSet.contains((0L, 3000000L)), s"missing near-dup pair in $pairSet")
+    assert(pairs.forall(_.getDouble(2) >= 0.5))
+  }
+
+  test("minhash signature is deterministic across runs") {
+    val sig = docs.select(TextFunctions.minhashSignature(
+      TextFunctions.shingles(TextFunctions.tokens(col("text")), 3), 16).as("sig"))
+    assert(sig.collect().map(_.getSeq[Long](0)) sameElements
+      sig.collect().map(_.getSeq[Long](0)))
+  }
+
+  test("simhash: identical docs collide, perturbed docs are close") {
+    val copy = docs.limit(2).select(col("doc_id") + 5000000 as "doc_id", col("text"))
+    val corpus = docs.select("doc_id", "text").unionByName(copy)
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3).collect()
+    val pairSet = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0 until 2).forall(i => pairSet.contains((i.toLong, i + 5000000L))))
+    assert(pairs.filter(r => r.getLong(1) >= 5000000).forall(_.getInt(2) == 0))
+  }
+
+  test("ngram jaccard of a doc with itself is 1.0") {
+    val pairs = docs.select(col("doc_id").as("id1"), col("doc_id").as("id2"))
+    val j = Dedup.jaccardOfPairs(pairs, docs, "doc_id", "text")
+    assert(j.where(col("jaccard") =!= 1.0).count() == 0)
+  }
+
+  test("brute-force cosine top-k: self is rank 1 with sim 1.0") {
+    val topk = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 3),
+      "vec_id", "embedding", k = 5)
+    val rows = topk.collect()
+    assert(rows.length == 15)
+    val top1 = rows.filter(r => r.getDouble(2) >= 0.9999)
+    assert(top1.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((0L, 0L), (1L, 1L), (2L, 2L)))
+  }
+
+  test("lsh top-k returns same-bucket candidates incl. self") {
+    val topk = Similarity.lshTopK(emb, emb.where(col("vec_id") < 3),
+      "vec_id", "embedding", k = 5, numPlanes = 4)
+    val rows = topk.collect()
+    // self always shares its own bucket => present with sim 1.0
+    assert(Set(0L, 1L, 2L).subsetOf(
+      rows.filter(_.getDouble(2) >= 0.9999).map(_.getLong(0)).toSet))
+  }
+
+  test("embedding near-dup finds injected duplicate vector") {
+    val dup = emb.limit(1).select(col("vec_id") + 900000 as "vec_id", col("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionByName(dup)
+    val pairs = Dedup.embeddingNearDup(corpus, "vec_id", "embedding",
+      threshold = 0.999, numPlanes = 6).collect()
+    assert(pairs.exists(r => r.getLong(0) == 0L && r.getLong(1) == 900000L))
+  }
+
+  test("language id picks marker-dominant language") {
+    val samples = Seq(
+      ("the cat is on the mat and it is happy", "en"),
+      ("der hund ist nicht das problem und die katze", "de"),
+      ("el perro y la casa es un lugar que", "es"),
+      ("le chien est une belle chose et les chats", "fr"),
+      ("的 是 了 在 我 有 和 不", "zh"),
+      ("zzz qqq xxx", "und")).toDF("text", "expected")
+    val pred = samples.withColumn("got", TextFunctions.langId(col("text")))
+    assert(pred.where(col("got") =!= col("expected")).count() == 0)
+  }
+
+  test("quality score in [0,1], monotone-ish in stopword presence") {
+    val scored = docs.select(TextFunctions.qualityScore(col("text")).as("q")).collect()
+    assert(scored.forall(r => r.getDouble(0) >= 0 && r.getDouble(0) <= 1))
+  }
+
+  test("rolling_hash: interpreted eval == codegen result, registered in SQL") {
+    GraftFunctions.register(spark)
+    val viaSql = docs.selectExpr("rolling_hash(text) AS h").collect().map(_.getLong(0))
+    // interpreted reference implementation
+    val expected = docs.select("text").collect().map { r =>
+      r.getString(0).getBytes("UTF-8").foldLeft(1469598103934665603L)(
+        (acc, b) => (acc ^ (b & 0xffL)) * 1099511628211L)
+    }
+    assert(viaSql.toSeq == expected.toSeq)
+  }
+
+  test("multimodal: media table schema + batched decode determinism") {
+    val media = Multimodal.asMediaTable(docs)
+    assert(media.schema.fieldNames.toSeq ==
+      Seq("doc_id", "source", "mime", "n_bytes", "payload"))
+    val feats = Multimodal.extractFeatures(media)
+    val a = feats.collect().map(f => (f.doc_id, f.width, f.height, f.features.toSeq))
+    val b = feats.collect().map(f => (f.doc_id, f.width, f.height, f.features.toSeq))
+    assert(a.toSeq == b.toSeq)
+    assert(a.forall(_._4.length == 8))
+  }
+}

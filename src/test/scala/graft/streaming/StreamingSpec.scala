@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("streaming hourly counts == batch hourly counts (memory sink)") {
+    // the file stream source requires a directory: stage the table file
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = EventStreams.readEventStream(spark, dir.toString)
+    val q = EventStreams.hourlyCounts(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("hourly_out").start()
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+    // append mode only emits windows the watermark has passed; every emitted
+    // row must match the batch computation exactly.
+    val streamed = spark.table("hourly_out")
+      .select("hour", "event_type", "n", "sum_value")
+    val batch = EventStreams.hourlyCountsBatch(Tables(spark, sf0001, "events"))
+    val missing = streamed.exceptAll(batch)
+    assert(missing.isEmpty, s"stream rows not in batch: ${missing.collect().mkString}")
+    assert(streamed.count() > 0)
+  }
+
+  test("sessionize: gap splits sessions, values aggregate") {
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000)
+    val events = Seq(
+      EventStreams.Event(1, at(0), "view", 1.0),
+      EventStreams.Event(1, at(10), "click", 2.0),
+      EventStreams.Event(1, at(60), "view", 3.0), // 50min gap -> new session
+      EventStreams.Event(2, at(5), "view", 4.0)).toDS()
+    val sessions = EventStreams.sessionize(events, gapMinutes = 30)
+      .collect().sortBy(s => (s.user_id, s.session_start.getTime))
+    assert(sessions.length == 3)
+    assert(sessions(0).n_events == 2 && sessions(0).sum_value == 3.0)
+    assert(sessions(1).n_events == 1 && sessions(1).sum_value == 3.0)
+    assert(sessions(2).user_id == 2 && sessions(2).n_events == 1)
+  }
+
+  test("sessionize over fixture events matches gaps-and-islands SQL") {
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_type"), col("value"))
+      .as[EventStreams.Event]
+    val got = EventStreams.sessionize(ev, 30)
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+    Tables(spark, sf0001, "events").createOrReplaceTempView("ev_tmp")
+    val exp = spark.sql(
+      """WITH d AS (SELECT user_id, unix_millis(ts) AS t FROM ev_tmp),
+        |m AS (SELECT user_id, t, CASE WHEN t - lag(t) OVER
+        |  (PARTITION BY user_id ORDER BY t) > 1800000
+        |  OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+        |  THEN 1 ELSE 0 END AS new_s FROM d)
+        |SELECT user_id, count(DISTINCT sid) AS n_sessions FROM
+        |(SELECT user_id, sum(new_s) OVER (PARTITION BY user_id ORDER BY t) AS sid FROM m)
+        |GROUP BY user_id""".stripMargin)
+    assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty)
+  }
+}
