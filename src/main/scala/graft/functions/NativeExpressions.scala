@@ -1,0 +1,148 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector/sketch kernels (VectorOps).
+  *
+  * Each participates in whole-stage codegen via a static call into the
+  * JIT'd kernel — one virtual call per row instead of Catalyst's interpreted
+  * per-element higher-order-function evaluation. Registered by
+  * GraftFunctions.register / GraftExtensions.
+  */
+
+private object NativeExprs {
+  val Ops = "graft.functions.VectorOps"
+
+  def isDoubleArray(t: DataType): Boolean = t match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  def isLongArray(t: DataType): Boolean = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  def isStringArray(t: DataType): Boolean = t match {
+    case ArrayType(_: StringType, _) => true
+    case _ => false
+  }
+}
+
+/** cosine(array<double>, array<double>) -> double */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import NativeExprs._
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isDoubleArray(left.dataType) && isDoubleArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<double>, array<double>), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $Ops.cosine($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** graft_minhash(array<string>, numHashes) -> array<bigint> */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  import NativeExprs._
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isStringArray(child.dataType) && numHashes > 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> and numHashes > 0")
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.minhashSig(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = $Ops.minhashSig($c, $numHashes);")
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
+/** graft_simhash(array<bigint> token hashes) -> bigint */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  import NativeExprs._
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<bigint>")
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.simhash64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $Ops.simhash64($c);")
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
+/** graft_shingles(array<string> tokens, k) -> array<string> distinct k-shingles */
+case class ShingleSet(child: Expression, k: Int) extends UnaryExpression {
+  import NativeExprs._
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isStringArray(child.dataType) && k > 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string> and k > 0")
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.shingleSet(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $Ops.shingleSet($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
+/** graft_hyperplane(array<double>, numPlanes) -> bigint bucket id */
+case class HyperplaneSignature(child: Expression, numPlanes: Int)
+    extends UnaryExpression {
+  import NativeExprs._
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hyperplane"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isDoubleArray(child.dataType) && numPlanes > 0 && numPlanes <= 63)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double> and 0 < numPlanes <= 63")
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.hyperplaneSig(input.asInstanceOf[ArrayData], numPlanes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = $Ops.hyperplaneSig($c, $numPlanes);")
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}

@@ -63,12 +63,36 @@ case class RollingHash(child: Expression)
 /** Session registration for graft's native functions. */
 object GraftFunctions {
 
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
+  private[functions] def intArg(e: Expression): Int =
+    e.eval().asInstanceOf[Number].intValue()
 
-  /** Column wrapper (requires register(spark) first in the session). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_minhash", exprs => MinHashSignature(exprs(0), intArg(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_simhash", exprs => SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_hyperplane",
+      exprs => HyperplaneSignature(exprs(0), intArg(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_shingles", exprs => ShingleSet(exprs(0), intArg(exprs(1))), "built-in")
+  }
+
+  /** Column wrappers (require register(spark) first in the session). */
   def rolling_hash(c: Column): Column = call_function("rolling_hash", c)
+  def graft_cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+  def graft_minhash(s: Column, numHashes: Int): Column =
+    call_function("graft_minhash", s, org.apache.spark.sql.functions.lit(numHashes))
+  def graft_simhash(th: Column): Column = call_function("graft_simhash", th)
+  def graft_hyperplane(v: Column, numPlanes: Int): Column =
+    call_function("graft_hyperplane", v, org.apache.spark.sql.functions.lit(numPlanes))
+  def graft_shingles(tokens: Column, k: Int): Column =
+    call_function("graft_shingles", tokens, org.apache.spark.sql.functions.lit(k))
 }
 
 /** Cluster-wide injection point: SparkSession.builder()
@@ -76,10 +100,23 @@ object GraftFunctions {
   * spark.sql.extensions=graft.functions.GraftExtensions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
-    e.injectFunction(
-      (org.apache.spark.sql.catalyst.FunctionIdentifier("rolling_hash"),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          classOf[RollingHash].getName, "rolling_hash"),
-        (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+  import GraftFunctions.{intArg => ia}
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    def inject(name: String, clazz: Class[_], builder: Seq[Expression] => Expression): Unit =
+      e.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(clazz.getName, name),
+        builder))
+    inject("rolling_hash", classOf[RollingHash], exprs => RollingHash(exprs.head))
+    inject("graft_cosine", classOf[CosineSimilarity],
+      exprs => CosineSimilarity(exprs(0), exprs(1)))
+    inject("graft_minhash", classOf[MinHashSignature],
+      exprs => MinHashSignature(exprs(0), ia(exprs(1))))
+    inject("graft_simhash", classOf[SimHash64], exprs => SimHash64(exprs.head))
+    inject("graft_hyperplane", classOf[HyperplaneSignature],
+      exprs => HyperplaneSignature(exprs(0), ia(exprs(1))))
+    inject("graft_shingles", classOf[ShingleSet],
+      exprs => ShingleSet(exprs(0), ia(exprs(1))))
+  }
 }

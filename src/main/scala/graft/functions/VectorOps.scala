@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight-loop kernels behind graft's native expressions. Catalyst's
+  * higher-order functions (transform/aggregate/zip_with) are CodegenFallback
+  * — interpreted per element — which makes them the bottleneck for
+  * vector/sketch math at scale. These run as single JIT'd loops; the
+  * expressions in NativeExpressions call them from both eval and codegen.
+  */
+object VectorOps {
+
+  /** Cosine similarity of two double arrays (sequential accumulation, so
+    * results are bit-stable and match a single-threaded oracle).
+    */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** MinHash signature: for each seed 0..numHashes-1, the minimum
+    * XXH64(shingle, seed) over the shingle set. Empty set => Long.MaxValue
+    * sentinel (matches TextFunctions.minhashSignature's coalesce).
+    */
+  def minhashSig(shingles: ArrayData, numHashes: Int): ArrayData = {
+    val m = shingles.numElements()
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    while (j < m) {
+      val s = shingles.getUTF8String(j)
+      val base = s.getBaseObject; val off = s.getBaseOffset; val len = s.numBytes
+      var i = 0
+      while (i < numHashes) {
+        val h = XXH64.hashUnsafeBytes(base, off, len, i)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 64-bit SimHash from pre-hashed tokens: majority vote per bit. */
+  def simhash64(tokenHashes: ArrayData): Long = {
+    val n = tokenHashes.numElements()
+    val votes = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      val h = tokenHashes.getLong(j)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) votes(i) += 1
+        i += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) {
+      if (votes(i) * 2 > n) out |= (1L << i)
+      i += 1
+    }
+    out
+  }
+
+  /** Deterministic hyperplane-LSH bucket: sign bits of numPlanes ±1-weight
+    * projections; weights derived from XXH64(plane*65536+dim) — stateless,
+    * identical on every executor.
+    */
+  def hyperplaneSig(vec: ArrayData, numPlanes: Int): Long = {
+    val n = vec.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < numPlanes) {
+      var proj = 0.0
+      var d = 0
+      while (d < n) {
+        val w = if ((XXH64.hashLong(p.toLong * 65536 + d, 0L) & 8L) == 8L) 1.0 else -1.0
+        proj += vec.getDouble(d) * w
+        d += 1
+      }
+      if (proj > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** XXH64 of a UTF8String with seed (shared by expressions/tests). */
+  def hashString(s: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+
+  private val ShingleSep = UTF8String.fromString(" ")
+
+  /** Distinct word k-shingles from a token array. Short docs (< k tokens)
+    * yield the whole text as one shingle — mirrors
+    * TextFunctions.shingles' guard branch.
+    */
+  def shingleSet(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { toks(i) = tokens.getUTF8String(i); i += 1 }
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    if (n < k) {
+      seen.add(UTF8String.concatWs(ShingleSep, toks: _*))
+    } else {
+      i = 0
+      val window = new Array[UTF8String](k)
+      while (i <= n - k) {
+        var j = 0
+        while (j < k) { window(j) = toks(i + j); j += 1 }
+        seen.add(UTF8String.concatWs(ShingleSep, window: _*))
+        i += 1
+      }
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+}

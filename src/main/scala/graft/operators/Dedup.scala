@@ -34,21 +34,30 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 64, numBands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val rowsPerBand = numHashes / numBands
     val sh = df.select(col(idCol).as("id"),
-      shingles(tokens(col(textCol)), shingleK).as("s"))
+      graft.functions.GraftFunctions.graft_shingles(tokens(col(textCol)), shingleK).as("s"))
+    // Band keys only — the shingle sets do NOT ride through the explode and
+    // the bucket join (numBands-fold duplication of the widest column is the
+    // thing that kills this at scale). Signature via the native kernel.
     val banded = sh
-      .withColumn("sig", minhashSignature(col("s"), numHashes))
-      .select(col("id"), col("s"),
-        explode(minhashBands(col("sig"), numBands, rowsPerBand)).as("bk"))
-      .select(col("id"), col("s"), col("bk.band"), col("bk.bhash"))
-    val a = banded.select(col("band"), col("bhash"), col("id").as("id1"), col("s").as("s1"))
-    val b = banded.select(col("band"), col("bhash"), col("id").as("id2"), col("s").as("s2"))
+      .select(col("id"),
+        explode(minhashBands(
+          graft.functions.GraftFunctions.graft_minhash(col("s"), numHashes),
+          numBands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bhash"))
+    val a = banded.select(col("band"), col("bhash"), col("id").as("id1"))
+    val b = banded.select(col("band"), col("bhash"), col("id").as("id2"))
     val candidates = a.join(b, Seq("band", "bhash"))
       .where(col("id1") < col("id2"))
-      .select("id1", "id2", "s1", "s2")
+      .select("id1", "id2")
       .dropDuplicates("id1", "id2")
+    // Verify candidates on the true shingle sets, joined back by id — the
+    // candidate list is tiny relative to the corpus.
     candidates
+      .join(sh.select(col("id").as("id1"), col("s").as("s1")), "id1")
+      .join(sh.select(col("id").as("id2"), col("s").as("s2")), "id2")
       .withColumn("jaccard",
         size(array_intersect(col("s1"), col("s2"))).cast("double") /
           size(array_union(col("s1"), col("s2"))).cast("double"))
@@ -61,9 +70,11 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val hashed = df
       .withColumn("__th", tokenHashes(col(textCol)))
-      .select(col(idCol).as("id"), simhash64FromHashes("__th").as("h"))
+      .select(col(idCol).as("id"),
+        graft.functions.GraftFunctions.graft_simhash(col("__th")).as("h"))
     val banded = hashed.select(col("id"), col("h"),
       explode(simhashBands("h")).as("bk"))
       .select(col("id"), col("h"), col("bk.band"), col("bk.bkey"))
@@ -82,8 +93,9 @@ object Dedup {
     */
   def jaccardOfPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, shingleK: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val sh = docs.select(col(idCol).as("__id"),
-      shingles(tokens(col(textCol)), shingleK).as("__s"))
+      graft.functions.GraftFunctions.graft_shingles(tokens(col(textCol)), shingleK).as("__s"))
     pairs
       .join(sh.withColumnRenamed("__id", "id1").withColumnRenamed("__s", "s1"), "id1")
       .join(sh.withColumnRenamed("__id", "id2").withColumnRenamed("__s", "s2"), "id2")
@@ -98,14 +110,16 @@ object Dedup {
     */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, numPlanes: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    import graft.functions.GraftFunctions.{graft_cosine, graft_hyperplane}
     val sig = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-      .withColumn("bucket", Similarity.hyperplaneSignature(col("v"), numPlanes))
+      .withColumn("bucket", graft_hyperplane(col("v"), numPlanes))
     val a = sig.select(col("bucket"), col("id").as("id1"), col("v").as("v1"))
     val b = sig.select(col("bucket"), col("id").as("id2"), col("v").as("v2"))
     a.join(b, "bucket")
       .where(col("id1") < col("id2"))
-      .withColumn("cosine", Similarity.cosine(col("v1"), col("v2")))
+      .withColumn("cosine", graft_cosine(col("v1"), col("v2")))
       .where(col("cosine") >= threshold)
       .select("id1", "id2", "cosine")
   }

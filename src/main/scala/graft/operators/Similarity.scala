@@ -49,10 +49,12 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("cv"))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
     val scored = c.crossJoin(broadcast(q))
-      .withColumn("sim", round(cosine(col("cv"), col("qv")), 4))
+      .withColumn("sim",
+        round(graft.functions.GraftFunctions.graft_cosine(col("cv"), col("qv")), 4))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vid"))
     scored.withColumn("rn", row_number().over(w))
       .where(col("rn") <= k)
@@ -65,12 +67,14 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, numPlanes: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    import graft.functions.GraftFunctions.{graft_cosine, graft_hyperplane}
     val c = corpus.select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("cv"))
-      .withColumn("bucket", hyperplaneSignature(col("cv"), numPlanes))
+      .withColumn("bucket", graft_hyperplane(col("cv"), numPlanes))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("bucket", hyperplaneSignature(col("qv"), numPlanes))
+      .withColumn("bucket", graft_hyperplane(col("qv"), numPlanes))
     val scored = c.join(broadcast(q), "bucket")
-      .withColumn("sim", round(cosine(col("cv"), col("qv")), 4))
+      .withColumn("sim", round(graft_cosine(col("cv"), col("qv")), 4))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vid"))
     scored.withColumn("rn", row_number().over(w))
       .where(col("rn") <= k)

@@ -13,6 +13,14 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
 
+  /** The documents/embeddings fixtures are single parquet files — one scan
+    * partition — which serializes the sketch kernels onto one core. At
+    * 100 TB the input arrives in thousands of splits; locally we restore
+    * parallelism explicitly before compute-heavy operators.
+    */
+  private def par(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   val all: Seq[Q] = Seq(
 
     // -- Deduplication --------------------------------------------------
@@ -38,7 +46,7 @@ object PipelineQueries {
 
     // MinHash+LSH near-dup: Spark-internal xxhash64 => stats-row check.
     Q.rowsOnly("x_dedup_minhash") { (s, dir) =>
-      val pairs = Dedup.minhashPairs(Tables(s, dir, "documents"), "doc_id", "text",
+      val pairs = Dedup.minhashPairs(par(Tables(s, dir, "documents")), "doc_id", "text",
         shingleK = 3, numHashes = 64, numBands = 16, threshold = 0.8)
       pairs.agg(count(lit(1)).as("n_dup_pairs"),
         coalesce(round(avg("jaccard"), 4), lit(0.0)).as("avg_jaccard"))
@@ -46,7 +54,7 @@ object PipelineQueries {
 
     // SimHash near-dup: stats row.
     Q.rowsOnly("x_dedup_simhash") { (s, dir) =>
-      val pairs = Dedup.simhashPairs(Tables(s, dir, "documents"), "doc_id", "text",
+      val pairs = Dedup.simhashPairs(par(Tables(s, dir, "documents")), "doc_id", "text",
         maxHamming = 3)
       pairs.agg(count(lit(1)).as("n_dup_pairs"),
         coalesce(round(avg("hamming"), 4), lit(0.0)).as("avg_hamming"))
@@ -65,7 +73,7 @@ object PipelineQueries {
         |  / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         |ORDER BY id1""".stripMargin) { (s, dir) =>
-      val docs = Tables(s, dir, "documents")
+      val docs = par(Tables(s, dir, "documents"))
       val pairs = docs.select(col("doc_id").as("id1"),
         (col("doc_id") + 1).as("id2"))
       Dedup.jaccardOfPairs(pairs, docs, "doc_id", "text", shingleK = 3)
@@ -75,7 +83,7 @@ object PipelineQueries {
 
     // Embedding-cosine near-dup via hyperplane LSH buckets: stats row.
     Q.rowsOnly("x_dedup_embedding") { (s, dir) =>
-      val pairs = Dedup.embeddingNearDup(Tables(s, dir, "embeddings"),
+      val pairs = Dedup.embeddingNearDup(par(Tables(s, dir, "embeddings")),
         "vec_id", "embedding", threshold = 0.95, numPlanes = 8)
       pairs.agg(count(lit(1)).as("n_dup_pairs"))
     },
@@ -92,7 +100,7 @@ object PipelineQueries {
         |QUALIFY row_number() OVER (PARTITION BY q.vec_id
         |  ORDER BY sim DESC, e.vec_id) <= 10
         |ORDER BY qid, sim DESC, vid""".stripMargin) { (s, dir) =>
-      val emb = Tables(s, dir, "embeddings")
+      val emb = par(Tables(s, dir, "embeddings"))
       Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5),
         "vec_id", "embedding", k = 10)
         .orderBy(col("qid"), col("sim").desc, col("vid"))
@@ -100,7 +108,7 @@ object PipelineQueries {
 
     // LSH-bucketed approximate variant (the at-scale path): stats row.
     Q.rowsOnly("x_ann_lsh") { (s, dir) =>
-      val emb = Tables(s, dir, "embeddings")
+      val emb = par(Tables(s, dir, "embeddings"))
       val topk = Similarity.lshTopK(emb, emb.where(col("vec_id") < 5),
         "vec_id", "embedding", k = 10, numPlanes = 8)
       topk.agg(count(lit(1)).as("n_results"),
