@@ -71,6 +71,54 @@ object CoreQueries {
         .orderBy("l_orderkey", "l_linenumber").limit(5)
     },
 
+    // A7: first() (rdd.rs:534-543)
+    Q("a7_first",
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber LIMIT 1""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem").select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber").limit(1)
+    },
+
+    // A12: save_as_text_file + re-read round trip (rdd.rs:254-272). The sink
+    // side of the contract: write one part file per partition, read back.
+    Q("a12_save_roundtrip",
+      "SELECT count(*) AS n_rows FROM lineitem") { (s, dir) =>
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft-sink").toString + "/txt"
+      Tables(s, dir, "lineitem").select(col("l_orderkey"))
+        .as[Long].map(_.toString).write.mode("overwrite").text(out)
+      s.read.textFile(out).toDF("v").agg(count(lit(1)).as("n_rows"))
+    },
+
+    // A13: is_empty (rdd.rs:1073-1078)
+    Q("a13_is_empty",
+      """SELECT (SELECT count(*) FROM lineitem WHERE l_quantity < 0) = 0 AS empty_neg,
+        |(SELECT count(*) FROM lineitem) = 0 AS empty_all""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem")
+      Seq((li.where(col("l_quantity") < 0).isEmpty, li.isEmpty))
+        .toDF("empty_neg", "empty_all")
+    },
+
+    // P5: glom — one row per partition (rdd.rs:239-252); rows-only since the
+    // partition layout is an execution detail.
+    Q.rowsOnly("p5_glom") { (s, dir) =>
+      import s.implicits._
+      val sizes = Tables(s, dir, "lineitem").select(col("l_orderkey")).as[Long]
+        .mapPartitions(it => Iterator.single(it.length.toLong)).collect().sorted
+      s.createDataset(Seq((sizes.length.toLong, sizes.sum)))
+        .toDF("n_partitions", "n_rows")
+    },
+
+    // S5: whole-file binary source (local_file_reader.rs bytes flavor);
+    // rows-only (file sizes aren't visible to the SQL oracle).
+    Q.rowsOnly("s5_binary_files") { (s, dir) =>
+      import s.implicits._
+      val files = s.read.format("binaryFile").load(s"$dir/*.parquet")
+        .select(col("path"), length(col("content")).as("n_bytes"))
+      files.agg(count(lit(1)).as("n_files"), sum("n_bytes").as("total_bytes"))
+    },
+
     // A8: top(k) — TakeOrderedAndProjectExec = vega's bounded-heap top-k
     // (rdd.rs:1106-1117, utils/bounded_priority_queue.rs).
     Q("a8_top",

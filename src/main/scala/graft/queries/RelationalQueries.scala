@@ -271,6 +271,24 @@ object RelationalQueries {
         .orderBy("hour", "event_type")
     },
 
+    // TPC-H Q6-style: pure filter-aggregate — the pushdown showcase (every
+    // predicate reaches the parquet scan).
+    Q("q6_revenue_forecast",
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+          && col("l_discount").between(0.05, 0.07)
+          && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
     // TPC-H Q3-style: broadcast dim filter + fact join + top-k revenue.
     Q("q3_top_orders",
       """SELECT l_orderkey,
