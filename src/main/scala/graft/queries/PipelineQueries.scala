@@ -185,6 +185,28 @@ object PipelineQueries {
       Multimodal.featureSummary(s, Tables(s, dir, "documents"))
     },
 
+    // Stratified sampling: deterministic n-per-group head (training-mix
+    // balancing). Fully oracle-able via window rank.
+    Q("x_stratified_sample",
+      """SELECT source, doc_id FROM (SELECT source, doc_id,
+        |row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |FROM documents) t WHERE rn <= 5 ORDER BY source, doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Sampling.stratifiedHead(
+        Tables(s, dir, "documents"), "source", "doc_id", 5)
+        .select("source", "doc_id").orderBy("source", "doc_id")
+    },
+
+    // Exact percentiles (linear interpolation in both engines).
+    Q("x_percentiles",
+      """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        |round(quantile_cont(l_extendedprice, 0.9), 2) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"))
+        .orderBy("l_returnflag")
+    },
+
     // -- Stateful sessionization (streaming twin in graft.streaming) ----
 
     // Gap-based sessions via flatMapGroupsWithState, oracled against the

@@ -30,6 +30,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() > 0)
   }
 
+  test("stream processes files incrementally across micro-batches") {
+    val src = java.nio.file.Files.createTempDirectory("graft-incr")
+    val stream = EventStreams.readEventStream(spark, src.toString)
+    val q = EventStreams.hourlyCounts(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("incr_out").start()
+    try {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+        src.resolve("batch1.parquet"))
+      q.processAllAvailable()
+      val afterOne = spark.table("incr_out").count()
+      // second batch: same events shifted far forward so the watermark
+      // closes the first batch's windows
+      graft.Tables(spark, sf0001, "events")
+        .withColumn("ts", col("ts") + expr("INTERVAL 1000 DAYS"))
+        .withColumn("ts", unix_micros(col("ts")) * 1000) // back to ns longs
+        .write.parquet(src.resolve("batch2").toString)
+      // stage dir is watched recursively? no — write into the root
+      spark.read.parquet(src.resolve("batch2").toString)
+        .write.mode("append").parquet(src.toString)
+      q.processAllAvailable()
+      val afterTwo = spark.table("incr_out").count()
+      assert(afterTwo > afterOne, s"no new rows after second batch ($afterOne -> $afterTwo)")
+    } finally q.stop()
+  }
+
   test("sessionize: gap splits sessions, values aggregate") {
     val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
     def at(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000)
