@@ -113,6 +113,14 @@ class Dataflow[T](val ds: Dataset[T]) extends Serializable {
   /** repartition — shuffle=true coalesce (src/rdd/rdd.rs:552-557) */
   def repartition(numPartitions: Int): Dataflow[T] = new Dataflow(ds.repartition(numPartitions))
 
+  /** Global sort — extension beyond parity (vega has no sort, SURVEY §2.9);
+    * Spark plans a range-partitioned sort, or TakeOrderedAndProject when
+    * followed by a limit.
+    */
+  def sortBy[K](f: T => K, ascending: Boolean = true)(
+      implicit ct: ClassTag[T], kt: ClassTag[K], ord: Ordering[K]): Dataflow[T] =
+    new Dataflow(spark.createDataset(ds.rdd.sortBy(f, ascending)))
+
   /** cache (src/rdd/rdd.rs:72-75, src/cache.rs) */
   def cache(): Dataflow[T] = { ds.cache(); this }
   def persist(level: StorageLevel): Dataflow[T] = { ds.persist(level); this }

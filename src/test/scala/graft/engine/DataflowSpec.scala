@@ -151,6 +151,12 @@ class DataflowSpec extends SparkSpec {
     assert(m.view.mapValues(_.mean.toLong).toMap == Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
   }
 
+  test("sortBy orders globally (extension, SURVEY §2.9)") {
+    val col = sc.parallelize(Seq(13, 28, 3, 4, 51, 108, 12, 113, 19), 4)
+    assert(col.sortBy(identity[Int]).collect() == Seq(3, 4, 12, 13, 19, 28, 51, 108, 113))
+    assert(col.sortBy(identity[Int], ascending = false).collect().head == 113)
+  }
+
   test("saveAsTextFile writes part files (rdd.rs:254-272)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-text").toString + "/out"
     sc.parallelize(Seq(1, 2, 3, 4), 2).saveAsTextFile(dir)
