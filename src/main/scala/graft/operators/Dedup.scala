@@ -14,13 +14,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact dedup: keep the lowest-id row per fingerprint. One shuffle on the
-    * md5 key; at 100 TB this is the standard "hash-groupBy" dedup.
+  /** Exact dedup: keep the lowest-id row per fingerprint. ONE shuffle on the
+    * md5 key (window rank), not the groupBy + semi-join double shuffle — at
+    * 100 TB that halves the dominant cost of hash-dedup.
     */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val keyed = df.withColumn("__fp", fingerprintMd5(col(textCol)))
-    val keep = keyed.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
-    keyed.join(keep, Seq("__fp", idCol), "left_semi").drop("__fp")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(fingerprintMd5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
   }
 
   /** MinHash + LSH near-dup candidate pairs with exact Jaccard verification.
