@@ -20,11 +20,12 @@ object TextFunctions {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokensWs(text))
 
-  /** BPE-ish subword count: splits on whitespace AND word/punct boundaries,
+  /** BPE-ish subword count: alphanumeric runs (word/punct boundaries split),
     * the usual cheap proxy for tokenizer load before a real BPE pass.
+    * RE2-compatible (no lookaround) so the same regex runs in any engine.
     */
   def subwordCount(text: Column): Column =
-    size(filter(split(lower(text), "(?=[^a-z0-9])|(?<=[^a-z0-9])"), t => t =!= ""))
+    size(regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0)))
 
   /** Punctuation character ratio. */
   def punctRatio(text: Column): Column =

@@ -143,17 +143,21 @@ object PipelineQueries {
         .orderBy("lang_pred")
     },
 
-    // Token counting incl. the BPE-ish subword proxy.
+    // Token counting: whitespace tokens + the BPE-ish subword proxy
+    // (alnum runs; same RE2-safe regex in both engines).
     Q("x_text_tokens",
       """SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
         |CAST(max(len(string_split(text, ' '))) AS INTEGER) AS max_tokens,
-        |round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
+        |round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+        |CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT)
+        |  AS total_subwords
         |FROM documents""".stripMargin) { (s, dir) =>
       val toks = size(split(col("text"), " "))
       Tables(s, dir, "documents").agg(
         sum(toks).cast("long").as("total_tokens"),
         max(toks).as("max_tokens"),
-        round(avg(toks), 4).as("avg_tokens"))
+        round(avg(toks), 4).as("avg_tokens"),
+        sum(TextFunctions.subwordCount(col("text"))).cast("long").as("total_subwords"))
     },
 
     // Document fingerprinting (md5 content key; rolling-hash variant is a
