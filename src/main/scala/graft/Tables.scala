@@ -12,14 +12,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark's reader only
-    // surfaces as a raw long (spark.sql.legacy.parquet.nanosAsLong=true set
-    // in Verify/Bench sessions). Convert ns -> us exactly (integer DIV, no
-    // double round-trip) and restore a proper timestamp column.
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else df
-  }
+  // Memoize the (immutable, lazy) DataFrame per (session, path): every
+  // spark.read.parquet re-lists files and re-reads footers for schema
+  // inference — measurable fixed cost when 70 queries each open 1-6 tables.
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    memo.computeIfAbsent((spark, s"$dir/$name.parquet"), { case (s, path) =>
+      val df = s.read.parquet(path)
+      // events.ts is TIMESTAMP(NANOS) parquet, which Spark's reader only
+      // surfaces as a raw long (spark.sql.legacy.parquet.nanosAsLong=true
+      // set in Verify/Bench sessions). Convert ns -> us exactly (integer
+      // DIV, no double round-trip) and restore a proper timestamp column.
+      if (name == "events" && df.schema("ts").dataType == LongType)
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      else df
+    })
 }

@@ -10,7 +10,20 @@ import org.apache.spark.sql.functions._
   */
 class BucketingSpec extends SparkSpec {
 
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRec)
+    f.delete()
+  }
+
   test("bucketed tables join without an exchange on the bucketed side") {
+    // clean any stale managed-table locations from earlier JVMs (the
+    // in-memory catalog forgets them but the directories survive)
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    Seq("orders_b", "lineitem_b").foreach { t =>
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) deleteRec(loc)
+    }
     Tables(spark, sf0001, "orders")
       .write.mode("overwrite").bucketBy(8, "o_orderkey")
       .sortBy("o_orderkey").saveAsTable("orders_b")
