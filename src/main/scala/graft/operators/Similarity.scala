@@ -61,6 +61,66 @@ object Similarity {
       .select("qid", "vid", "sim")
   }
 
+  /** IVF-style ANN: a deterministic Lloyd's k-means coarse quantizer
+    * (seeded from the nlist lowest-id vectors, fixed iteration count — no
+    * RNG, so the index is identical on every cluster), then search only the
+    * nprobe nearest inverted lists per query.
+    *
+    * Scale shape: fit touches the corpus `iterations` times (each a
+    * broadcast-join + one shuffle for the centroid update); search touches
+    * ~corpus * nprobe / nlist vectors per query. The learned counterpart to
+    * hyperplaneSignature's data-oblivious buckets.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      iterations: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    import graft.functions.GraftFunctions.graft_cosine
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("cv"))
+
+    // ---- fit: Lloyd's iterations, centroids kept as a broadcast table ----
+    var centroids: DataFrame = c.orderBy("vid").limit(nlist)
+      .select(row_number().over(Window.orderBy("vid")).as("cid"), col("cv").as("centroid"))
+    for (_ <- 1 to iterations) {
+      val assigned = c.crossJoin(broadcast(centroids))
+        .withColumn("sim", graft_cosine(col("cv"), col("centroid")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vid").orderBy(col("sim").desc, col("cid"))))
+        .where(col("rn") === 1)
+        .select("cid", "cv")
+      centroids = assigned
+        .select(col("cid"), posexplode(col("cv")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg("x").as("x"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("x")))).as("px"))
+        .select(col("cid"), transform(col("px"), e => e.getField("x")).as("centroid"))
+    }
+
+    // ---- index: final assignment of each vector to its list ----
+    val index = c.crossJoin(broadcast(centroids))
+      .withColumn("sim", graft_cosine(col("cv"), col("centroid")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vid").orderBy(col("sim").desc, col("cid"))))
+      .where(col("rn") === 1)
+      .select("cid", "vid", "cv")
+
+    // ---- search: probe the nprobe nearest lists per query ----
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("csim", graft_cosine(col("qv"), col("centroid")))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("csim").desc, col("cid"))))
+      .where(col("crn") <= nprobe)
+      .select("qid", "qv", "cid")
+    val scored = index.join(broadcast(probes), "cid")
+      .withColumn("sim", round(graft_cosine(col("cv"), col("qv")), 4))
+    scored.withColumn("rn", row_number().over(
+      Window.partitionBy("qid").orderBy(col("sim").desc, col("vid"))))
+      .where(col("rn") <= k)
+      .select("qid", "vid", "sim")
+  }
+
   /** LSH-bucketed approximate top-k: candidates restricted to the query's
     * hyperplane bucket. Trades recall for touching ~corpus/2^planes vectors
     * per query — the 100 TB path when brute force stops being viable.

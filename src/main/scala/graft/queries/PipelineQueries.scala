@@ -115,6 +115,23 @@ object PipelineQueries {
         countDistinct(col("qid")).as("n_queries"))
     },
 
+    // IVF (learned coarse quantizer) approximate top-k: stats row incl.
+    // recall against the brute-force truth — all deterministic.
+    Q.rowsOnly("x_ann_ivf") { (s, dir) =>
+      val emb = par(Tables(s, dir, "embeddings"))
+      val queries = emb.where(col("vec_id") < 5)
+      val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+        k = 10, nlist = 16, nprobe = 4, iterations = 2)
+        .select(col("qid"), col("vid"))
+      val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+        .select(col("qid"), col("vid"))
+      val hits = ivf.intersect(bf).agg(count(lit(1))).first().getLong(0)
+      val total = bf.count()
+      import s.implicits._
+      Seq((total, hits, math.round(hits.toDouble / total * 10000) / 10000.0))
+        .toDF("n_truth", "n_hits", "recall")
+    },
+
     // -- Text analysis --------------------------------------------------
 
     // Quality stats per doc: portable length/token/stopword math.

@@ -77,6 +77,28 @@ class PipelineSpec extends SparkSpec {
       rows.filter(_.getDouble(2) >= 0.9999).map(_.getLong(0)).toSet))
   }
 
+  test("ivf top-k: deterministic, self-found, reasonable recall vs brute force") {
+    val queries = emb.where(col("vec_id") < 10)
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 10, nlist = 8, nprobe = 4, iterations = 2)
+    val rows = ivf.collect()
+    // deterministic across runs
+    val rows2 = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 10, nlist = 8, nprobe = 4, iterations = 2).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      rows2.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    // each query finds itself (its own list is always probed first)
+    val self = rows.filter(r => r.getDouble(2) >= 0.9999)
+    assert((0L until 10L).forall(q => self.exists(r => r.getLong(0) == q)))
+    // recall@10 vs brute force: with nprobe/nlist = 1/2, expect > 0.4
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.intersect(got).size.toDouble / bf.size
+    info(s"ivf recall@10 = $recall")
+    assert(recall > 0.4, s"recall too low: $recall")
+  }
+
   test("embedding near-dup finds injected duplicate vector") {
     val dup = emb.limit(1).select(col("vec_id") + 900000 as "vec_id", col("embedding"))
     val corpus = emb.select("vec_id", "embedding").unionByName(dup)
