@@ -52,6 +52,14 @@ object EventStreams {
   def readEventStream(spark: SparkSession, path: String): DataFrame =
     normalize(spark.readStream.schema(eventsRawSchema).parquet(path))
 
+  /** Streaming exact dedup by event_id with watermark-bounded state — the
+    * streaming twin of Dedup.exact: duplicates arriving within the
+    * watermark horizon are dropped, state for expired ids is reclaimed.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   // ---- Stateful sessionization (flatMapGroupsWithState) ----
 
   case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)

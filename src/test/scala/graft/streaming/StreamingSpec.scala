@@ -57,6 +57,22 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicate event_ids across files") {
+    val src = java.nio.file.Files.createTempDirectory("graft-dedup")
+    // same events file twice => every event_id duplicated
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"), src.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"), src.resolve("b.parquet"))
+    val q = EventStreams.dedupStream(EventStreams.readEventStream(spark, src.toString))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val distinctIds = Tables(spark, sf0001, "events")
+      .select("event_id").distinct().count()
+    assert(spark.table("dedup_out").count() == distinctIds)
+  }
+
   test("sessionize: gap splits sessions, values aggregate") {
     val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
     def at(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000)
