@@ -79,9 +79,17 @@ object Similarity {
     val spark = corpus.sparkSession
     val c = corpus.select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("cv"))
 
-    // ---- fit: Lloyd's iterations, centroids kept as a broadcast table ----
-    var centroids: DataFrame = c.orderBy("vid").limit(nlist)
-      .select(row_number().over(Window.orderBy("vid")).as("cid"), col("cv").as("centroid"))
+    // ---- fit: Lloyd's iterations. Centroids are tiny (nlist x dim); they
+    // are materialized to the driver each iteration so every later
+    // reference is a local relation, not a re-executed k-means lineage.
+    def materialize(df: DataFrame): DataFrame = {
+      import spark.implicits._
+      spark.createDataset(df.select(col("cid"), col("centroid"))
+        .as[(Int, Seq[Double])].collect().toSeq).toDF("cid", "centroid")
+    }
+    var centroids: DataFrame = materialize(
+      c.orderBy("vid").limit(nlist)
+        .select(row_number().over(Window.orderBy("vid")).as("cid"), col("cv").as("centroid")))
     for (_ <- 1 to iterations) {
       val assigned = c.crossJoin(broadcast(centroids))
         .withColumn("sim", graft_cosine(col("cv"), col("centroid")))
@@ -89,12 +97,12 @@ object Similarity {
           Window.partitionBy("vid").orderBy(col("sim").desc, col("cid"))))
         .where(col("rn") === 1)
         .select("cid", "cv")
-      centroids = assigned
+      centroids = materialize(assigned
         .select(col("cid"), posexplode(col("cv")).as(Seq("pos", "x")))
         .groupBy("cid", "pos").agg(avg("x").as("x"))
         .groupBy("cid")
         .agg(array_sort(collect_list(struct(col("pos"), col("x")))).as("px"))
-        .select(col("cid"), transform(col("px"), e => e.getField("x")).as("centroid"))
+        .select(col("cid"), transform(col("px"), e => e.getField("x")).as("centroid")))
     }
 
     // ---- index: final assignment of each vector to its list ----

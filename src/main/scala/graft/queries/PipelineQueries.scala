@@ -122,11 +122,12 @@ object PipelineQueries {
       val queries = emb.where(col("vec_id") < 5)
       val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
         k = 10, nlist = 16, nprobe = 4, iterations = 2)
-        .select(col("qid"), col("vid"))
+        .select(col("qid"), col("vid"), lit(1).as("hit"))
       val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
         .select(col("qid"), col("vid"))
-      val hits = ivf.intersect(bf).agg(count(lit(1))).first().getLong(0)
-      val total = bf.count()
+      val r = bf.join(ivf, Seq("qid", "vid"), "left_outer")
+        .agg(count(lit(1)).as("n_truth"), sum("hit").as("n_hits")).first()
+      val (total, hits) = (r.getLong(0), r.getLong(1))
       import s.implicits._
       Seq((total, hits, math.round(hits.toDouble / total * 10000) / 10000.0))
         .toDF("n_truth", "n_hits", "recall")
