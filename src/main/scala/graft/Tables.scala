@@ -15,12 +15,16 @@ object Tables {
   // Memoize the (immutable, lazy) DataFrame per (session, path): every
   // spark.read.parquet re-lists files and re-reads footers for schema
   // inference — measurable fixed cost when 70 queries each open 1-6 tables.
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  // Weak session keys so a stopped/garbage session doesn't pin its plans.
+  private val memo: java.util.Map[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    memo.computeIfAbsent((spark, s"$dir/$name.parquet"), { case (s, path) =>
-      val df = s.read.parquet(path)
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = memo.computeIfAbsent(spark,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+    perSession.computeIfAbsent(s"$dir/$name.parquet", { path =>
+      val df = spark.read.parquet(path)
       // events.ts is TIMESTAMP(NANOS) parquet, which Spark's reader only
       // surfaces as a raw long (spark.sql.legacy.parquet.nanosAsLong=true
       // set in Verify/Bench sessions). Convert ns -> us exactly (integer
@@ -29,4 +33,5 @@ object Tables {
         df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       else df
     })
+  }
 }

@@ -135,9 +135,16 @@ class Dataflow[T](val ds: Dataset[T]) extends Serializable {
   /** count (src/rdd/rdd.rs:436-447) */
   def count(): Long = ds.count()
 
-  /** reduce — Option on empty, unlike Spark's throw (src/rdd/rdd.rs:274-290) */
-  def reduce(f: (T, T) => T): Option[T] =
-    if (ds.isEmpty) None else Some(ds.reduce(f))
+  /** reduce — Option on empty, unlike Spark's throw (src/rdd/rdd.rs:274-290).
+    * Single pass: per-partition reduce, driver-side combine — the same shape
+    * as the reference; an isEmpty pre-check would execute the lineage twice.
+    */
+  def reduce(f: (T, T) => T): Option[T] = {
+    implicit val ct: ClassTag[T] = enc.clsTag
+    val parts = ds.rdd.mapPartitions(it =>
+      if (it.hasNext) Iterator.single(it.reduce(f)) else Iterator.empty).collect()
+    if (parts.isEmpty) None else Some(parts.reduce(f))
+  }
 
   /** fold (src/rdd/rdd.rs:311-322) */
   def fold(zero: T)(f: (T, T) => T)(implicit ct: ClassTag[T]): T = ds.rdd.fold(zero)(f)

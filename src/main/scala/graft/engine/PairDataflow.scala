@@ -54,14 +54,20 @@ class PairDataflow[K, V](val ds: Dataset[(K, V)]) extends Serializable {
   def flatMapValues[U](f: V => IterableOnce[U])(implicit e: Encoder[(K, U)]): PairDataflow[K, U] =
     new PairDataflow(ds.flatMap { case (k, v) => f(v).iterator.map(k -> _) })
 
-  /** join — inner equi-join via cogroup cross-product (pair_rdd.rs:104-121).
-    * Catalyst picks broadcast/SMJ/hash — strictly better than the reference's
-    * always-hash-shuffle.
+  /** join — inner equi-join built exactly as the reference builds it:
+    * cogroup then cross-product of the value groups (pair_rdd.rs:104-121).
+    * The cogroup form is also self-join-safe — `p.join(p)` with shared
+    * lineage would trip Spark's ambiguous-self-join check under a raw
+    * column-equality joinWith.
     */
   def join[W](other: PairDataflow[K, W])(
-      implicit e: Encoder[(K, (V, W))]): Dataflow[(K, (V, W))] = {
-    val joined = ds.joinWith(other.ds, ds("_1") === other.ds("_1"), "inner")
-    new Dataflow(joined.map { case ((k, v), (_, w)) => (k, (v, w)) })
+      implicit ek: Encoder[K], e: Encoder[(K, (V, W))]): Dataflow[(K, (V, W))] = {
+    val joined = ds.groupByKey(_._1)
+      .cogroup(other.ds.groupByKey(_._1)) { (k, vs, ws) =>
+        val wsSeq = ws.map(_._2).toSeq
+        vs.flatMap(v => wsSeq.iterator.map(w => (k, (v._2, w))))
+      }
+    new Dataflow(joined)
   }
 
   /** cogroup (co_grouped_rdd.rs): (K, (Seq[V], Seq[W])) for every key on

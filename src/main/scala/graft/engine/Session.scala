@@ -28,6 +28,9 @@ final class Session(val spark: SparkSession) {
     * asserted by reference tests/test_rdd.rs:524-531).
     */
   def range(start: Long, end: Long, step: Long = 1, numSlices: Int = 0): Dataflow[Long] = {
+    // the reference's step is unsigned (context.rs:419-431); the end+1
+    // inclusivity shim below is only correct for forward ranges
+    require(step > 0, s"range step must be positive, got $step")
     import spark.implicits._
     val ds =
       if (numSlices > 0) spark.range(start, end + 1, step, numSlices).as[Long]

@@ -20,8 +20,12 @@ object VectorOps {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = a.getDouble(i); val y = b.getDouble(i)
-      dot += x * y; na += x * x; nb += y * y
+      // null elements are treated as absent dimensions (the return type must
+      // stay primitive so the codegen call site assigns into a double)
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        val x = a.getDouble(i); val y = b.getDouble(i)
+        dot += x * y; na += x * x; nb += y * y
+      }
       i += 1
     }
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
@@ -36,7 +40,8 @@ object VectorOps {
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var j = 0
     while (j < m) {
-      val s = shingles.getUTF8String(j)
+      val s = if (shingles.isNullAt(j)) null else shingles.getUTF8String(j)
+      if (s == null) { j += 1 } else {
       val base = s.getBaseObject; val off = s.getBaseOffset; val len = s.numBytes
       var i = 0
       while (i < numHashes) {
@@ -45,6 +50,7 @@ object VectorOps {
         i += 1
       }
       j += 1
+      }
     }
     new GenericArrayData(sig)
   }
@@ -54,7 +60,11 @@ object VectorOps {
     val n = tokenHashes.numElements()
     val votes = new Array[Int](64)
     var j = 0
+    var nonNull = 0
     while (j < n) {
+      if (tokenHashes.isNullAt(j)) { j += 1 }
+      else {
+      nonNull += 1
       val h = tokenHashes.getLong(j)
       var i = 0
       while (i < 64) {
@@ -62,11 +72,12 @@ object VectorOps {
         i += 1
       }
       j += 1
+      }
     }
     var out = 0L
     var i = 0
     while (i < 64) {
-      if (votes(i) * 2 > n) out |= (1L << i)
+      if (votes(i) * 2 > nonNull) out |= (1L << i)
       i += 1
     }
     out
@@ -84,8 +95,10 @@ object VectorOps {
       var proj = 0.0
       var d = 0
       while (d < n) {
-        val w = if ((XXH64.hashLong(p.toLong * 65536 + d, 0L) & 8L) == 8L) 1.0 else -1.0
-        proj += vec.getDouble(d) * w
+        if (!vec.isNullAt(d)) {
+          val w = if ((XXH64.hashLong(p.toLong * 65536 + d, 0L) & 8L) == 8L) 1.0 else -1.0
+          proj += vec.getDouble(d) * w
+        }
         d += 1
       }
       if (proj > 0) sig |= (1L << p)
@@ -108,7 +121,10 @@ object VectorOps {
     val n = tokens.numElements()
     val toks = new Array[UTF8String](n)
     var i = 0
-    while (i < n) { toks(i) = tokens.getUTF8String(i); i += 1 }
+    while (i < n) {
+      toks(i) = if (tokens.isNullAt(i)) UTF8String.EMPTY_UTF8 else tokens.getUTF8String(i)
+      i += 1
+    }
     val seen = new java.util.LinkedHashSet[UTF8String]()
     if (n < k) {
       seen.add(UTF8String.concatWs(ShingleSep, toks: _*))

@@ -37,10 +37,17 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 64, numBands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
+    require(numBands > 0 && numHashes % numBands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of numBands ($numBands)" +
+        " - rowsPerBand 0 would put the whole corpus in one bucket (O(n^2) join)")
     graft.functions.GraftFunctions.register(df.sparkSession)
     val rowsPerBand = numHashes / numBands
+    // Persist the shingle table: it feeds the banding pass AND both sides of
+    // the verification join — without it the corpus is tokenized+shingled
+    // three times. MEMORY_AND_DISK so huge corpora spill instead of OOM.
     val sh = df.select(col(idCol).as("id"),
       graft.functions.GraftFunctions.graft_shingles(tokens(col(textCol)), shingleK).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Band keys only — the shingle sets do NOT ride through the explode and
     // the bucket join (numBands-fold duplication of the widest column is the
     // thing that kills this at scale). Signature via the native kernel.

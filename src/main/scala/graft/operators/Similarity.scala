@@ -25,24 +25,6 @@ object Similarity {
     dot(a, b) / (norm(a) * norm(b))
   }
 
-  /** Deterministic hyperplane-LSH signature: numPlanes pseudo-random ±1
-    * hyperplanes derived from xxhash64(plane, dim) — no RNG state, so the
-    * same vector always lands in the same bucket on any cluster.
-    */
-  def hyperplaneSignature(vec: Column, numPlanes: Int): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(numPlanes - 1)), p => {
-        val proj = aggregate(
-          zip_with(vec,
-            transform(sequence(lit(0), size(vec) - 1),
-              d => when(xxhash64(p, d).bitwiseAND(lit(8L)) === 8L, lit(1.0d))
-                .otherwise(lit(-1.0d))),
-            (x, w) => x * w),
-          lit(0.0d), (acc, v) => acc + v)
-        when(proj > 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
-      }),
-      lit(0L), (a, b) => a.bitwiseOR(b))
-
   /** Brute-force cosine top-k: every query vector against the whole corpus.
     * Queries are broadcast (they're small); corpus is scanned once.
     * Returns (qid, vid, sim) with sim rounded to 4 for stable ordering.

@@ -126,10 +126,10 @@ object PipelineQueries {
       val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
         .select(col("qid"), col("vid"))
       val r = bf.join(ivf, Seq("qid", "vid"), "left_outer")
-        .agg(count(lit(1)).as("n_truth"), sum("hit").as("n_hits")).first()
+        .agg(count(lit(1)).as("n_truth"), coalesce(sum("hit"), lit(0L)).as("n_hits")).first()
       val (total, hits) = (r.getLong(0), r.getLong(1))
       import s.implicits._
-      Seq((total, hits, math.round(hits.toDouble / total * 10000) / 10000.0))
+      Seq((total, hits, if (total == 0) 0.0 else math.round(hits.toDouble / total * 10000) / 10000.0))
         .toDF("n_truth", "n_hits", "recall")
     },
 

@@ -68,11 +68,16 @@ object EventStreams {
       session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
 
   /** Gap-based sessionization: events of one user within `gapMinutes` of
-    * each other belong to one session. Works identically on a batch Dataset
-    * (single "batch epoch", used by tests/oracle) and a stream (state kept
-    * per user between micro-batches, closed by timeout).
+    * each other belong to one session.
+    *
+    * `emitOpen = true` (batch mode — tests/oracle): no more data will ever
+    * arrive, so the trailing open session is emitted and state dropped.
+    * `emitOpen = false` (streaming): the open session stays in state across
+    * micro-batches and is emitted when the processing-time timeout fires
+    * with no new events — sessions spanning micro-batches stay whole.
     */
-  def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[UserSession] = {
+  def sessionize(events: Dataset[Event], gapMinutes: Int,
+      emitOpen: Boolean = true): Dataset[UserSession] = {
     val spark = events.sparkSession
     import spark.implicits._
     val gapMs = gapMinutes * 60L * 1000L
@@ -81,32 +86,46 @@ object EventStreams {
       UserSession(userId, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
         s.n, math.round(s.sumValue * 100) / 100.0)
 
+    val timeout =
+      if (emitOpen) GroupStateTimeout.NoTimeout
+      else GroupStateTimeout.ProcessingTimeTimeout
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, UserSession](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[SessionState, UserSession](OutputMode.Append, timeout) {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = it.toSeq.sortBy(_.ts.getTime)
-          var sessions = List.empty[UserSession]
-          var cur = state.getOption
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            cur match {
-              case Some(s) if t - s.end <= gapMs =>
-                cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1,
-                  sumValue = s.sumValue + e.value))
-              case Some(s) =>
-                sessions ::= finish(userId, s)
-                cur = Some(SessionState(t, t, 1, e.value))
-              case None =>
-                cur = Some(SessionState(t, t, 1, e.value))
+          if (!emitOpen && state.hasTimedOut) {
+            // gap elapsed with no new events: close the stored session
+            val out = state.getOption.map(finish(userId, _))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            var sessions = List.empty[UserSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1,
+                    sumValue = s.sumValue + e.value))
+                case Some(s) =>
+                  sessions ::= finish(userId, s)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
             }
+            if (emitOpen) {
+              // batch: emit the trailing session, nothing ever arrives later
+              cur.foreach(s => sessions ::= finish(userId, s))
+              state.remove()
+            } else {
+              cur.foreach { s =>
+                state.update(s)
+                state.setTimeoutDuration(gapMs)
+              }
+            }
+            sessions.reverseIterator
           }
-          // batch mode: no more data will ever arrive — emit the open session
-          cur match {
-            case Some(s) => sessions ::= finish(userId, s); state.remove()
-            case None => state.remove()
-          }
-          sessions.reverseIterator
       }
   }
 }

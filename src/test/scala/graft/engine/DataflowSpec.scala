@@ -101,6 +101,7 @@ class DataflowSpec extends SparkSpec {
   test("range is end-inclusive (test_rdd.rs:524-531)") {
     assert(sc.range(1, 12, 1, 3).collect().sorted == (1L to 12L))
     assert(sc.range(5, 5).collect() == Seq(5L))
+    intercept[IllegalArgumentException](sc.range(10, 0, -1))
   }
 
   test("approx count final == exact (test_rdd.rs:534-587)") {

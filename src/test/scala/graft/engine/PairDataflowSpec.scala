@@ -28,6 +28,14 @@ class PairDataflowSpec extends SparkSpec {
       (3, (("E", "F"), "C1")), (3, (("E", "F"), "C2"))))
   }
 
+  test("self-join works (shared lineage)") {
+    val p = sc.parallelize(Seq((1, "a"), (1, "b"), (2, "c")), 2).pairs
+    val joined = p.join(p).collect().sorted
+    assert(joined == Seq(
+      (1, ("a", "a")), (1, ("a", "b")), (1, ("b", "a")), (1, ("b", "b")),
+      (2, ("c", "c"))))
+  }
+
   test("count_by_value over pairs (test_pair_rdd.rs:85-109)") {
     val col = sc.parallelize(Seq(("a", 1), ("a", 1), ("b", 2)), 2)
     assert(col.countByValue().collect().toMap ==
