@@ -73,27 +73,34 @@ object EventStreams {
     * `emitOpen = true` (batch mode — tests/oracle): no more data will ever
     * arrive, so the trailing open session is emitted and state dropped.
     * `emitOpen = false` (streaming): the open session stays in state across
-    * micro-batches and is emitted when the processing-time timeout fires
-    * with no new events — sessions spanning micro-batches stay whole.
+    * micro-batches; an EVENT-TIME timeout fires once the watermark passes
+    * session end + gap, closing the session deterministically. (A
+    * processing-time timeout would schedule continuous no-data batches,
+    * which livelocks processAllAvailable-style draining and ties session
+    * semantics to wall clock instead of the event timeline.)
     */
   def sessionize(events: Dataset[Event], gapMinutes: Int,
-      emitOpen: Boolean = true): Dataset[UserSession] = {
+      emitOpen: Boolean = true): Dataset[UserSession] =
+    sessionizeMs(events, gapMinutes * 60L * 1000L, emitOpen)
+
+  def sessionizeMs(events: Dataset[Event], gapMs: Long,
+      emitOpen: Boolean): Dataset[UserSession] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val gapMs = gapMinutes * 60L * 1000L
 
     def finish(userId: Long, s: SessionState): UserSession =
       UserSession(userId, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
         s.n, math.round(s.sumValue * 100) / 100.0)
 
-    val timeout =
-      if (emitOpen) GroupStateTimeout.NoTimeout
-      else GroupStateTimeout.ProcessingTimeTimeout
-    events.groupByKey(_.user_id)
+    val (input, timeout) =
+      if (emitOpen) (events, GroupStateTimeout.NoTimeout)
+      else (events.withWatermark("ts", s"$gapMs milliseconds"),
+        GroupStateTimeout.EventTimeTimeout)
+    input.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, UserSession](OutputMode.Append, timeout) {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
           if (!emitOpen && state.hasTimedOut) {
-            // gap elapsed with no new events: close the stored session
+            // watermark passed session end + gap: close the stored session
             val out = state.getOption.map(finish(userId, _))
             state.remove()
             out.iterator
@@ -121,7 +128,7 @@ object EventStreams {
             } else {
               cur.foreach { s =>
                 state.update(s)
-                state.setTimeoutDuration(gapMs)
+                state.setTimeoutTimestamp(s.end + gapMs)
               }
             }
             sessions.reverseIterator

@@ -89,6 +89,54 @@ class StreamingSpec extends SparkSpec {
     assert(sessions(2).user_id == 2 && sessions(2).n_events == 1)
   }
 
+  test("streaming sessionize keeps sessions whole across micro-batches") {
+    import org.apache.spark.sql.functions._
+    val src = java.nio.file.Files.createTempDirectory("graft-sess")
+    def writeBatch(n: Int, offsetsMs: Seq[(Long, Long)]): Unit = {
+      // (user_id, ts-offset-ms) rows, ts anchored at a fixed epoch
+      val base = 1767225600000L // 2026-01-01T00:00:00Z in ms
+      offsetsMs.map { case (u, off) =>
+        (u + n * 0L, base + off) // keep user ids stable
+      }.toDF("user_id", "ms")
+        .select(col("user_id"), timestamp_millis(col("ms")).as("ts"),
+          lit("view").as("event_type"), lit(1.0).as("value"))
+        .write.mode("append").parquet(src.toString)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    val stream = spark.readStream.schema(schema).parquet(src.toString)
+      .as[EventStreams.Event]
+    // 2-second event-time gap; the watermark (not wall clock) closes sessions
+    val q = EventStreams.sessionizeMs(stream, gapMs = 2000, emitOpen = false)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_out").start()
+    try {
+      writeBatch(1, Seq((1L, 0L), (1L, 500L)))
+      q.processAllAvailable()
+      // same user, event within the event-time gap -> must extend the session
+      writeBatch(2, Seq((1L, 1000L)))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").isEmpty,
+        s"session emitted before the watermark passed end+gap: " +
+          spark.table("sess_out").collect().mkString("; "))
+      // advance the watermark far past user 1's session end + gap via
+      // another user's much-later events (two batches: the first raises the
+      // watermark, the second processes the resulting timeout)
+      writeBatch(3, Seq((9L, 100000L)))
+      q.processAllAvailable()
+      writeBatch(4, Seq((9L, 100500L)))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .where(col("user_id") === 1L).collect()
+      assert(rows.length == 1, s"expected one whole session, got ${rows.toSeq}")
+      assert(rows(0).getAs[Long]("n_events") == 3,
+        s"session split across micro-batches: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("sessionize over fixture events matches gaps-and-islands SQL") {
     val ev = Tables(spark, sf0001, "events")
       .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
