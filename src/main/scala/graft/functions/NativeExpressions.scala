@@ -122,6 +122,65 @@ case class ShingleSet(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** graft_nearest_centroid(array<double>, array<array<double>>) -> int
+  * 0-based index of the max-cosine centroid (ties -> lowest index). The
+  * centroid matrix is normally a foldable literal (nlist x dim), so codegen
+  * reads it from the references array — the assignment stays a narrow,
+  * whole-stage-codegen'd projection.
+  */
+case class NearestCentroid(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import NativeExprs._
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_nearest_centroid"
+
+  override def checkInputDataTypes(): TypeCheckResult = right.dataType match {
+    case ArrayType(inner, _) if isDoubleArray(left.dataType) && isDoubleArray(inner) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<double>, array<array<double>>), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.nearestCentroid(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $Ops.nearestCentroid($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** graft_hyperplanes(array<double>, numPlanes, numTables) -> array<bigint>
+  * of numTables independent LSH signatures (OR-amplification; element 0
+  * equals graft_hyperplane's single signature).
+  */
+case class HyperplaneSignatures(child: Expression, numPlanes: Int, numTables: Int)
+    extends UnaryExpression {
+  import NativeExprs._
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_hyperplanes"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isDoubleArray(child.dataType) && numPlanes > 0 && numPlanes <= 63 && numTables > 0)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, 0 < numPlanes <= 63, numTables > 0")
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.hyperplaneSigs(input.asInstanceOf[ArrayData], numPlanes, numTables)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = $Ops.hyperplaneSigs($c, $numPlanes, $numTables);")
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
 /** graft_hyperplane(array<double>, numPlanes) -> bigint bucket id */
 case class HyperplaneSignature(child: Expression, numPlanes: Int)
     extends UnaryExpression {

@@ -81,6 +81,15 @@ object GraftFunctions {
       exprs => HyperplaneSignature(exprs(0), intArg(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_shingles", exprs => ShingleSet(exprs(0), intArg(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_nearest_centroid",
+      exprs => NearestCentroid(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_hyperplanes",
+      exprs => HyperplaneSignatures(exprs(0), intArg(exprs(1)), intArg(exprs(2))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_topk",
+      exprs => TopKByScore(exprs(0), exprs(1), intArg(exprs(2))), "built-in")
   }
 
   /** Column wrappers (require register(spark) first in the session). */
@@ -93,6 +102,14 @@ object GraftFunctions {
     call_function("graft_hyperplane", v, org.apache.spark.sql.functions.lit(numPlanes))
   def graft_shingles(tokens: Column, k: Int): Column =
     call_function("graft_shingles", tokens, org.apache.spark.sql.functions.lit(k))
+  def graft_nearest_centroid(v: Column, centroids: Column): Column =
+    call_function("graft_nearest_centroid", v, centroids)
+  def graft_hyperplanes(v: Column, numPlanes: Int, numTables: Int): Column =
+    call_function("graft_hyperplanes", v,
+      org.apache.spark.sql.functions.lit(numPlanes),
+      org.apache.spark.sql.functions.lit(numTables))
+  def graft_topk(id: Column, score: Column, k: Int): Column =
+    call_function("graft_topk", id, score, org.apache.spark.sql.functions.lit(k))
 }
 
 /** Cluster-wide injection point: SparkSession.builder()
@@ -118,5 +135,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => HyperplaneSignature(exprs(0), ia(exprs(1))))
     inject("graft_shingles", classOf[ShingleSet],
       exprs => ShingleSet(exprs(0), ia(exprs(1))))
+    inject("graft_nearest_centroid", classOf[NearestCentroid],
+      exprs => NearestCentroid(exprs(0), exprs(1)))
+    inject("graft_hyperplanes", classOf[HyperplaneSignatures],
+      exprs => HyperplaneSignatures(exprs(0), ia(exprs(1)), ia(exprs(2))))
+    inject("graft_topk", classOf[TopKByScore],
+      exprs => TopKByScore(exprs(0), exprs(1), ia(exprs(2))))
   }
 }

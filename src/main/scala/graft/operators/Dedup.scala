@@ -65,7 +65,7 @@ object Dedup {
       .dropDuplicates("id1", "id2")
     // Verify candidates on the true shingle sets, joined back by id — the
     // candidate list is tiny relative to the corpus.
-    candidates
+    val result = candidates
       .join(sh.select(col("id").as("id1"), col("s").as("s1")), "id1")
       .join(sh.select(col("id").as("id2"), col("s").as("s2")), "id2")
       .withColumn("jaccard",
@@ -73,6 +73,12 @@ object Dedup {
           size(array_union(col("s1"), col("s2"))).cast("double"))
       .where(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
+    // Materialize the (small) pair list eagerly so the corpus-sized shingle
+    // cache can be released NOW instead of squatting on executor memory for
+    // the rest of the session (round-1 review: cache hygiene).
+    val out = result.localCheckpoint(true)
+    sh.unpersist()
+    out
   }
 
   /** SimHash near-dup candidate pairs: 64-bit signature, 4x16-bit band
@@ -115,22 +121,42 @@ object Dedup {
       .drop("s1", "s2")
   }
 
-  /** Embedding-cosine near-dup pairs via hyperplane-LSH bucketing: only
-    * vectors sharing a signature bucket are compared. See Similarity.cosine.
+  /** Embedding-cosine near-dup pairs via hyperplane-LSH bucketing,
+    * OR-amplified over numTables independent signatures: a candidate pair is
+    * any two vectors sharing ANY table's bucket (same banding idea as
+    * minhashPairs). A single 8-plane signature collides at cosine 0.95 with
+    * probability ~(1-theta/pi)^8 ~ 0.4 — eight OR'd tables push pair recall
+    * past 0.98 while the join stays bucket-confined and shuffle-linear.
+    * Candidates are verified with exact cosine before thresholding.
     */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, numPlanes: Int = 8): DataFrame = {
+      threshold: Double = 0.95, numPlanes: Int = 8, numTables: Int = 8): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    import graft.functions.GraftFunctions.{graft_cosine, graft_hyperplane}
-    val sig = df.select(col(idCol).as("id"),
+    import graft.functions.GraftFunctions.{graft_cosine, graft_hyperplanes}
+    // Vectors feed the signature pass AND both sides of the verify join —
+    // persist so the source isn't scanned three times, release at the end.
+    val vecs = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-      .withColumn("bucket", graft_hyperplane(col("v"), numPlanes))
-    val a = sig.select(col("bucket"), col("id").as("id1"), col("v").as("v1"))
-    val b = sig.select(col("bucket"), col("id").as("id2"), col("v").as("v2"))
-    a.join(b, "bucket")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Band keys only ride through the explode + bucket join: duplicating the
+    // vector column numTables-fold is what would kill this at scale.
+    val banded = vecs.select(col("id"),
+      posexplode(graft_hyperplanes(col("v"), numPlanes, numTables))
+        .as(Seq("t", "bucket")))
+    val a = banded.select(col("t"), col("bucket"), col("id").as("id1"))
+    val b = banded.select(col("t"), col("bucket"), col("id").as("id2"))
+    val candidates = a.join(b, Seq("t", "bucket"))
       .where(col("id1") < col("id2"))
+      .select("id1", "id2")
+      .dropDuplicates("id1", "id2")
+    val result = candidates
+      .join(vecs.select(col("id").as("id1"), col("v").as("v1")), "id1")
+      .join(vecs.select(col("id").as("id2"), col("v").as("v2")), "id2")
       .withColumn("cosine", graft_cosine(col("v1"), col("v2")))
       .where(col("cosine") >= threshold)
       .select("id1", "id2", "cosine")
+    val out = result.localCheckpoint(true)
+    vecs.unpersist()
+    out
   }
 }

@@ -55,6 +55,60 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(sigs.toSeq == sigs2.toSeq)
   }
 
+  test("graft_nearest_centroid picks the max-cosine centroid, ties -> lowest index") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val cents = typedlit(Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(1.0, 0.0)))
+    val vecs = Seq(
+      (Seq(0.9, 0.1), 0),  // nearest e1
+      (Seq(0.1, 0.9), 1),  // nearest e2
+      (Seq(1.0, 0.0), 0))  // exact tie between centroids 0 and 2 -> 0
+      .toDF("v", "expected")
+    val got = vecs.select(
+      GraftFunctions.graft_nearest_centroid(col("v"), cents).as("cid"),
+      col("expected")).collect()
+    assert(got.forall(r => r.getInt(0) == r.getInt(1)))
+    // interpreted eval matches codegen
+    val e = NearestCentroid(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Seq(0.9, 0.1),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
+    assert(e.eval(null) == 0)
+  }
+
+  test("graft_hyperplanes: table 0 equals graft_hyperplane; tables independent") {
+    GraftFunctions.register(spark)
+    val rows = emb.select(
+      GraftFunctions.graft_hyperplane(col("v"), 8).as("single"),
+      GraftFunctions.graft_hyperplanes(col("v"), 8, 4).as("multi"))
+      .collect()
+    assert(rows.forall(r => r.getSeq[Long](1).head == r.getLong(0)))
+    assert(rows.forall(r => r.getSeq[Long](1).length == 4))
+    // the 4 tables must not be copies of each other across the corpus
+    val allSame = (1 until 4).forall(t =>
+      rows.forall(r => r.getSeq[Long](1)(t) == r.getSeq[Long](1).head))
+    assert(!allSame)
+  }
+
+  test("graft_topk keeps the k best (score desc, id asc ties), merges partials") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val scored = Seq(
+      (1L, 10L, 0.9), (1L, 11L, 0.7), (1L, 12L, 0.9), (1L, 13L, 0.1),
+      (2L, 20L, 0.5), (2L, 21L, 0.6))
+      .toDF("qid", "vid", "sim")
+      .repartition(8) // force partial heaps + merge across partitions
+    val got = scored.groupBy("qid")
+      .agg(GraftFunctions.graft_topk(col("vid"), col("sim"), 2).as("tk"))
+      .select(col("qid"), explode(col("tk")).as("e"))
+      .select(col("qid"), col("e.vid"), col("e.sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 10L, 0.9), (1L, 12L, 0.9), (2L, 21L, 0.6), (2L, 20L, 0.5)))
+  }
+
   test("type checking rejects wrong input types") {
     GraftFunctions.register(spark)
     val err = intercept[org.apache.spark.sql.AnalysisException] {
