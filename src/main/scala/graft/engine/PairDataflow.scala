@@ -83,9 +83,12 @@ class PairDataflow[K, V](val ds: Dataset[(K, V)]) extends Serializable {
     new Dataflow(grouped)
   }
 
-  /** partition_by_key (pair_rdd.rs:157-171) */
+  /** partition_by_key (pair_rdd.rs:157-171). The key is the FIRST column of
+    * the pair encoding whatever its name (`_1` for mapped tuples, the source
+    * column name for `select(...).as[(K, V)]` datasets).
+    */
   def partitionByKey(numPartitions: Int): PairDataflow[K, V] =
-    new PairDataflow(ds.repartition(numPartitions, ds("_1")))
+    new PairDataflow(ds.repartition(numPartitions, ds(ds.columns.head)))
 
   def toDataflow: Dataflow[(K, V)] = new Dataflow(ds)
 }

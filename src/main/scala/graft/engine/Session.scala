@@ -58,6 +58,13 @@ final class Session(val spark: SparkSession) {
       .select("path", "content").as[(String, Array[Byte])]
   }
 
+  /** Context::read_source(config, decoder) composition (src/io/mod.rs:11-16):
+    * a raw reader plus a user decoder closure per record. The text flavor —
+    * the one the reference's examples exercise (examples/file_read.rs:8-31).
+    */
+  def readSource[T: Encoder](path: String, decoder: String => T): Dataflow[T] =
+    textFile(path).map(decoder)
+
   /** Parquet read (reference delegates to user code via the path reader,
     * examples/parquet_column_read.rs — Spark's vectorized reader instead).
     */

@@ -219,6 +219,116 @@ object CoreQueries {
         sum("part_n").as("n"))
     },
 
+    // A4: fold(zero)(f) — per-partition fold then driver combine, through the
+    // typed Dataflow path (rdd.rs:311-322).
+    Q("a4_fold",
+      "SELECT round(sum(l_quantity), 2) AS total_qty FROM lineitem") { (s, dir) =>
+      import s.implicits._
+      val qty = Tables(s, dir, "lineitem").select(col("l_quantity")).as[Double]
+      val total = new graft.engine.Dataflow(qty).fold(0.0)(_ + _)
+      Seq(total).toDF("x").select(round(col("x"), 2).as("total_qty"))
+    },
+
+    // A11: for_each(f) — side-effecting action (rdd.rs:786-803); attested by
+    // accumulating a row count on the executors (the distributed side effect
+    // the SQL oracle can see).
+    Q("a11_foreach",
+      "SELECT count(*) AS n_rows FROM lineitem") { (s, dir) =>
+      import s.implicits._
+      val acc = s.sparkContext.longAccumulator("graft_foreach_rows")
+      val keys = Tables(s, dir, "lineitem").select(col("l_orderkey")).as[Long]
+      new graft.engine.Dataflow(keys).foreach(_ => acc.add(1))
+      Seq(acc.value.toLong).toDF("n_rows")
+    },
+
+    // L3: partition_by_key (pair_rdd.rs:157-171) — attested via the hash
+    // partitioner's invariant: after partitionByKey, every key lives in
+    // exactly ONE partition, so summing per-partition DISTINCT-key counts
+    // equals the global distinct-key count (both columns below must agree).
+    Q("l3_partition_by_key",
+      """SELECT count(DISTINCT l_suppkey) AS n_keys,
+        |count(DISTINCT l_suppkey) AS n_key_slots FROM lineitem""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val pairs = Tables(s, dir, "lineitem")
+        .select(col("l_suppkey").cast("long"), col("l_quantity")).as[(Long, Double)]
+      val pd = new graft.engine.PairDataflow(pairs).partitionByKey(8)
+      val slots = pd.ds.mapPartitions(it => Iterator.single(it.map(_._1).toSet.size.toLong))
+        .collect().sum
+      val keys = Tables(s, dir, "lineitem")
+        .select(countDistinct(col("l_suppkey"))).first().getLong(0)
+      Seq((keys, slots)).toDF("n_keys", "n_key_slots")
+    },
+
+    // S8: CSV parse (reference decodes CSV in user closures,
+    // examples/file_read.rs:8-31; Spark's csv source replaces the hand
+    // parser). Write the fixture out as CSV, read it back, aggregate.
+    Q("s8_csv_roundtrip",
+      """SELECT count(*) AS n_rows, CAST(sum(n_regionkey) AS BIGINT) AS sum_region
+        |FROM nation""".stripMargin) { (s, dir) =>
+      val out = java.nio.file.Files.createTempDirectory("graft-csv").toString + "/nation"
+      Tables(s, dir, "nation").write.mode("overwrite").option("header", "true").csv(out)
+      graft.engine.Session(s).readCsv(out, header = true)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("n_regionkey").cast("long")).as("sum_region"))
+    },
+
+    // S4: read_source(config, decoder) composition (src/io/mod.rs:11-16) —
+    // raw text reader + user decoder closure, then a keyed count.
+    Q("s4_read_source",
+      """SELECT l_returnflag, count(*) AS n FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft-src").toString + "/li"
+      Tables(s, dir, "lineitem")
+        .select(concat_ws("|", col("l_orderkey"), col("l_returnflag")))
+        .as[String].write.mode("overwrite").text(out)
+      val decoded = graft.engine.Session(s)
+        .readSource(out, (line: String) => line.split('|')(1))
+      decoded.ds.toDF("l_returnflag")
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // G1 (typed path): combine_by_key with a genuinely non-trivial combiner —
+    // per-key streaming mean/variance (Welford), merged across partitions
+    // with the parallel-variance formula. This is vega's Aggregator contract
+    // verbatim: createCombiner/mergeValue map-side, mergeCombiners
+    // reduce-side (pair_rdd.rs:20-33, aggregator.rs:7-31).
+    Q("g1_combine_stats",
+      """SELECT l_returnflag, count(*) AS n_items,
+        |round(avg(l_quantity), 4) AS mean_qty,
+        |round(var_pop(l_quantity), 4) AS var_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val pairs = Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity")).as[(String, Double)]
+      val stats = new graft.engine.PairDataflow(pairs)
+        .combineByKey[(Long, Double, Double)](
+          v => (1L, v, 0.0),
+          { case ((n, mean, m2), v) =>
+            val n1 = n + 1
+            val d = v - mean
+            val mean1 = mean + d / n1
+            (n1, mean1, m2 + d * (v - mean1))
+          },
+          { case ((na, ma, m2a), (nb, mb, m2b)) =>
+            if (na == 0L) (nb, mb, m2b)
+            else if (nb == 0L) (na, ma, m2a)
+            else {
+              val n = na + nb
+              val d = mb - ma
+              (n, ma + d * nb / n, m2a + m2b + d * d * na * nb / n)
+            }
+          })
+      stats.ds
+        .map { case (k, (n, mean, m2)) => (k, n, mean, m2 / n) }
+        .toDF("l_returnflag", "n_items", "mean_raw", "var_raw")
+        .select(col("l_returnflag"), col("n_items"),
+          round(col("mean_raw"), 4).as("mean_qty"),
+          round(col("var_raw"), 4).as("var_qty"))
+        .orderBy("l_returnflag")
+    },
+
     // P6: key_by(f) — vega emits (item, key), NOT (key, item) (rdd.rs:1059-1069)
     Q("p6_key_by",
       """SELECT n_name AS item, n_regionkey AS key FROM nation

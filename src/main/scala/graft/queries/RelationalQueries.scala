@@ -210,7 +210,12 @@ object RelationalQueries {
         .select(lit("n_rows").as("metric"), col("v"))
       val b = li.agg(round(sum("l_quantity"), 2).as("v"))
         .select(lit("sum_qty").as("metric"), col("v"))
-      a.union(b).orderBy("metric")
+      // Materialize both branches (they share the cached scan), then release
+      // the cache — it must not squat on executor memory for the rest of a
+      // 70+-query session (round-1 review: cache hygiene).
+      val out = a.union(b).orderBy("metric").localCheckpoint(true)
+      li.unpersist()
+      out
     },
 
     // Extension (SURVEY §2.9): global sort — absent in vega, free in Spark.
@@ -368,6 +373,73 @@ object RelationalQueries {
           .as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
+    },
+
+    // TPC-H Q14-style: promo revenue share — conditional aggregation over a
+    // fact-dim join. part is broadcast here; at true TPC-H scale part grows
+    // with SF, so the fallback is the shuffle hash join AQE would pick — the
+    // query shape (single agg, no distinct) is unchanged either way.
+    Q("q14_promo_share",
+      """SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+        |  THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        |  / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin) { (s, dir) =>
+      val l = Tables(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      l.join(broadcast(Tables(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0)
+          * sum(when(col("p_type").like("PROMO%"), disc).otherwise(lit(0.0)))
+          / sum(disc), 4).as("promo_revenue"))
+    },
+
+    // TPC-H Q17-style: small-quantity orders vs the per-part average — the
+    // correlated scalar subquery pattern, decorrelated by hand into a
+    // broadcast of the (tiny) per-part aggregate. Catalyst plans the same
+    // decorrelation for the SQL form; the DataFrame form makes it explicit.
+    Q("q17_small_qty",
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#1'
+        |AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |  FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin) { (s, dir) =>
+      val l = Tables(s, dir, "lineitem")
+      val avgByPart = l.groupBy(col("l_partkey").as("ap_partkey"))
+        .agg((lit(0.2) * avg("l_quantity")).as("qty_limit"))
+      val brand = Tables(s, dir, "part").where(col("p_brand") === "Brand#1")
+      l.join(broadcast(brand), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(avgByPart), col("l_partkey") === col("ap_partkey"))
+        .where(col("l_quantity") < col("qty_limit"))
+        .agg(round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"))
+    },
+
+    // TPC-H Q18-style: large-order customers — semi-join against a grouped
+    // HAVING. The filter side is an aggregate of the fact table itself;
+    // left_semi keeps the probe side unduplicated (no row explosion).
+    Q("q18_large_orders",
+      """SELECT c_custkey, c_name, o_orderkey,
+        |round(o_totalprice, 2) AS totalprice, sum_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING sum(l_quantity) > 250) big ON o_orderkey = big.l_orderkey
+        |ORDER BY totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (s, dir) =>
+      val big = Tables(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("raw_qty"))
+        .where(col("raw_qty") > 250) // filter on the RAW sum like the oracle's HAVING
+        .select(col("l_orderkey"), round(col("raw_qty"), 2).as("sum_qty"))
+      Tables(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("totalprice"), col("sum_qty"))
+        .orderBy(col("totalprice").desc, col("o_orderkey"))
+        .limit(100)
     },
 
     // TPC-H Q5-style: five-way join, revenue per nation.
