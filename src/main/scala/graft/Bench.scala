@@ -20,7 +20,10 @@ object Bench {
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // collect(), not count(): count() lets Catalyst drop a final ORDER BY
+      // (EliminateSorts), undercounting exactly the queries with big sorts
+      // relative to what Verify's materialization pays.
+      try { fn(spark, sfDir).collect() } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

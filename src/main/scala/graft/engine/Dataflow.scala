@@ -113,13 +113,18 @@ class Dataflow[T](val ds: Dataset[T]) extends Serializable {
   /** repartition — shuffle=true coalesce (src/rdd/rdd.rs:552-557) */
   def repartition(numPartitions: Int): Dataflow[T] = new Dataflow(ds.repartition(numPartitions))
 
-  /** Global sort — extension beyond parity (vega has no sort, SURVEY §2.9);
-    * Spark plans a range-partitioned sort, or TakeOrderedAndProject when
-    * followed by a limit.
+  /** Global sort — extension beyond parity (vega has no sort, SURVEY §2.9).
+    * Routed through Catalyst `orderBy` (not `rdd.sortBy`) so the range-
+    * partitioned sort stays visible to the optimizer: a following limit
+    * fuses to TakeOrderedAndProject, and AQE can re-plan the exchange.
     */
   def sortBy[K](f: T => K, ascending: Boolean = true)(
-      implicit ct: ClassTag[T], kt: ClassTag[K], ord: Ordering[K]): Dataflow[T] =
-    new Dataflow(spark.createDataset(ds.rdd.sortBy(f, ascending)))
+      implicit kte: Encoder[(K, T)]): Dataflow[T] = {
+    import org.apache.spark.sql.functions.col
+    val keyed = ds.map(t => (f(t), t))
+    val sorted = keyed.orderBy(if (ascending) col("_1") else col("_1").desc)
+    new Dataflow(sorted.map(_._2))
+  }
 
   /** cache (src/rdd/rdd.rs:72-75, src/cache.rs) */
   def cache(): Dataflow[T] = { ds.cache(); this }

@@ -280,6 +280,25 @@ object PipelineQueries {
 
     // -- Stateful sessionization (streaming twin in graft.streaming) ----
 
+    // Stream-stream join, batch twin: purchases joined to the same user's
+    // clicks within the preceding 30 minutes (watermarks are no-ops in
+    // batch; the streaming side with state eviction is covered in
+    // StreamingSpec).
+    Q("x_stream_join",
+      """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id AS user_id, count(*) AS n_pairs,
+        |count(DISTINCT p.ts) AS n_purchases
+        |FROM p JOIN c ON c.user_id = p.user_id
+        |AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+        |GROUP BY p.user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      graft.streaming.EventStreams.clickPurchaseJoin(Tables(s, dir, "events"), 30)
+        .groupBy(col("p_user").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("purchase_ts")).as("n_purchases"))
+        .orderBy("user_id")
+    },
+
     // Gap-based sessions via flatMapGroupsWithState, oracled against the
     // classic gaps-and-islands SQL (ms-truncated epochs on both sides).
     Q("x_sessionize",

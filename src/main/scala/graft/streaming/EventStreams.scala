@@ -60,6 +60,30 @@ object EventStreams {
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream inner join: each purchase paired with the same user's
+    * clicks in the preceding `windowMinutes`. Both sides carry watermarks
+    * AND the join carries a time-range predicate, which is exactly what lets
+    * Spark bound the join state: click state is evicted once the watermark
+    * passes click_ts + window, purchase state once it passes purchase_ts —
+    * without the range condition the state store would grow forever.
+    * withWatermark is a no-op on batch frames, so the same function is the
+    * batch twin (oracled as x_stream_join).
+    */
+  def clickPurchaseJoin(events: DataFrame, windowMinutes: Int = 30): DataFrame = {
+    val wm = s"$windowMinutes minutes"
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", wm)
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", wm)
+    purchases.join(clicks,
+      col("c_user") === col("p_user")
+        && col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowMinutes MINUTES")
+        && col("click_ts") <= col("purchase_ts"))
+  }
+
   // ---- Stateful sessionization (flatMapGroupsWithState) ----
 
   case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)

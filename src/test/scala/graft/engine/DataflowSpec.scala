@@ -110,6 +110,26 @@ class DataflowSpec extends SparkSpec {
     assert(pr.getFinalValue().mean.toLong == 10000L)
   }
 
+  test("approx count PARTIAL path: initial value on a slow job is not final " +
+      "(approximate_action_listener.rs:56-80)") {
+    // 8 partitions that each sleep well past the approx timeout: the
+    // initial value must be the non-final partial estimate, and only
+    // getFinalValue blocks for the exact count.
+    val slow = sc.parallelize(1 to 400, 8).mapPartitions { it =>
+      Thread.sleep(500); it
+    }
+    val pr = slow.countApprox(timeoutMs = 60, confidence = 0.9)
+    val init = pr.initialValue
+    assert(!pr.isInitialValueFinal,
+      "a job sleeping 500ms/partition cannot be final after a 60ms timeout")
+    // the partial estimate may be degenerate (no partition finished) but its
+    // interval must always be well-formed
+    assert(init.low <= init.high)
+    val fin = pr.getFinalValue()
+    assert(fin.mean == 400.0)
+    assert(fin.low <= 400.0 && 400.0 <= fin.high)
+  }
+
   test("is_empty / max / min / key_by (test_rdd.rs:590-620)") {
     val col = sc.parallelize(Seq(13, 28, 3, 4, 51, 108, 12, 113, 19), 4)
     assert(!col.isEmpty)

@@ -137,6 +137,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join pairs within the window and evicts state") {
+    val src = java.nio.file.Files.createTempDirectory("graft-ssj")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    val base = 1767225600000L // 2026-01-01T00:00:00Z
+    def write(rows: Seq[(Long, Long, String, Double)]): Unit =
+      rows.toDF("user_id", "ms", "event_type", "value")
+        .select(col("user_id"), timestamp_millis(col("ms")).as("ts"),
+          col("event_type"), col("value"))
+        .write.mode("append").parquet(src.toString)
+    val stream = spark.readStream.schema(schema).parquet(src.toString)
+    val q = EventStreams.clickPurchaseJoin(stream, windowMinutes = 1)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssj_out").start()
+    try {
+      write(Seq(
+        (1L, base, "click", 1.0),
+        (1L, base + 30000, "purchase", 5.0), // 30s after the click -> pairs
+        (1L, base - 120000, "click", 1.0),   // 2.5min before -> outside window
+        (2L, base, "click", 1.0)))           // no purchase -> no pair
+      q.processAllAvailable()
+      val pairs = spark.table("ssj_out").collect()
+      assert(pairs.length == 1, s"expected one in-window pair, got ${pairs.toSeq}")
+      assert(pairs(0).getAs[Long]("p_user") == 1L)
+      val stateBefore = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateBefore > 0, "join state should hold buffered rows")
+      // advance the watermark far past every buffered row. BOTH sides must
+      // see later events — the join's global watermark is the MIN of the
+      // click and purchase watermarks, so a quiet purchase side would pin
+      // eviction forever. Two batches: one raises the watermark, the next
+      // runs eviction against it.
+      write(Seq((9L, base + 600000, "click", 0.0), (8L, base + 600000, "purchase", 0.0)))
+      q.processAllAvailable()
+      write(Seq((9L, base + 1200000, "click", 0.0), (8L, base + 1200000, "purchase", 0.0)))
+      q.processAllAvailable()
+      val stateAfter = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateAfter < stateBefore,
+        s"watermark did not evict join state ($stateBefore -> $stateAfter)")
+    } finally q.stop()
+  }
+
   test("sessionize over fixture events matches gaps-and-islands SQL") {
     val ev = Tables(spark, sf0001, "events")
       .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
