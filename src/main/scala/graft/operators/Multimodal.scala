@@ -1,16 +1,27 @@
 package graft.operators
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing: image/audio/video as opaque binary columns
-  * with typed metadata, processed per-partition in batches.
+/** Multimodal-column operators: image/audio as opaque binary columns with
+  * typed metadata, processed per-partition in batches.
   *
-  * The actual codec step is STUBBED (this container has no image/audio
-  * libraries): `fakeDecode` derives deterministic pseudo-features from the
-  * bytes. Everything around it — schema, binary column handling, batched
-  * per-partition execution, partition sizing — is the real Spark plumbing a
-  * production decode (JNI/FFI to a codec, or a Python worker) would use.
+  * The decode step is REAL: the JDK ships lossless codecs (javax.imageio
+  * PNG/BMP, javax.sound.sampled WAV/PCM), so images and audio are decoded
+  * by an actual format parser — no external libraries, no stub. Payloads
+  * are rendered deterministically from the fixture tables (this container
+  * has no binary media corpus), so every feature below is reproducible and
+  * self-attesting: a decode failure or a dimension mismatch is visible in
+  * the emitted counts. Video stays out of scope (the JDK has no video
+  * codec; a production path would FFI to one inside the same mapPartitions
+  * shape used here).
+  *
+  * Scale notes: decode runs inside mapPartitions — one codec warm-up per
+  * partition, rows in a tight loop, the Scala analogue of a mapInPandas
+  * batch; payload bytes never pass through a shuffle (features are extracted
+  * before any aggregation).
   */
 object Multimodal {
 
@@ -20,12 +31,146 @@ object Multimodal {
   case class MediaRow(doc_id: Long, source: String, mime: String,
       n_bytes: Long, payload: Array[Byte])
 
-  /** Extracted features: fixed-width vector + dimensions, one per media row. */
-  case class MediaFeatures(doc_id: Long, source: String, width: Int,
-      height: Int, features: Array[Float])
+  /** Extracted image features: dimensions + channel means + 4-bin luminance
+    * histogram (normalized), one row per decodable payload.
+    */
+  case class ImageFeatures(doc_id: Long, source: String, ok: Boolean,
+      width: Int, height: Int, features: Array[Float])
 
-  /** Wrap the documents table's text as a binary payload column — the
-    * stand-in for reading real image bytes (binaryFile source at scale).
+  /** Extracted audio features: format + duration + RMS amplitude. */
+  case class AudioFeatures(doc_id: Long, source: String, ok: Boolean,
+      sample_rate: Int, n_frames: Long, duration_ms: Double, rms: Double)
+
+  // ---- deterministic payload rendering (fixture -> real format bytes) ----
+
+  /** Render a doc as a real PNG: 24x16 RGB, pixels derived from the text
+    * bytes (cycled) so content differences are visible in channel stats.
+    */
+  def renderPng(docId: Long, text: String): Array[Byte] = {
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val w = 24; val h = 16
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = y * w + x
+        def b(k: Int): Int =
+          if (bytes.isEmpty) ((docId + k * 31 + i) % 256).toInt
+          else bytes(math.floorMod(i * 3 + k, bytes.length)) & 0xff
+        img.setRGB(x, y, (b(0) << 16) | (b(1) << 8) | b(2))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Render a doc as a real WAV: 16-bit mono PCM at 8 kHz, a sine tone whose
+    * frequency and duration derive from the doc (freq 200..600 Hz,
+    * 400 + (n_chars mod 400) frames).
+    */
+  def renderWav(docId: Long, nChars: Long): Array[Byte] = {
+    val sampleRate = 8000
+    val nFrames = 400 + (math.floorMod(nChars, 400L)).toInt
+    val freq = 200.0 + math.floorMod(docId, 400L)
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val s = (math.sin(2 * math.Pi * freq * i / sampleRate) * 12000).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val out = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  // ---- REAL decoders (JDK codecs) ----
+
+  /** Decode any ImageIO-supported payload (PNG/BMP/GIF/JPEG): dimensions,
+    * per-channel means, 4-bin luminance histogram. None for undecodable
+    * bytes (corrupt rows must not kill a 100 TB job — callers count them).
+    */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    try {
+      Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))).map { img =>
+        val w = img.getWidth; val h = img.getHeight
+        var r = 0L; var g = 0L; var b = 0L
+        val hist = new Array[Long](4)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            val pr = (p >> 16) & 0xff; val pg = (p >> 8) & 0xff; val pb = p & 0xff
+            r += pr; g += pg; b += pb
+            val luma = (pr * 299 + pg * 587 + pb * 114) / 1000
+            hist(math.min(3, luma / 64)) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w * h).toFloat
+        (w, h, Array(r / n / 255f, g / n / 255f, b / n / 255f,
+          hist(0) / n, hist(1) / n, hist(2) / n, hist(3) / n))
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** Decode a WAV payload: format, frame count, duration, RMS of the 16-bit
+    * samples. None for undecodable bytes.
+    */
+  def decodeWav(payload: Array[Byte]): Option[(Int, Long, Double, Double)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      val nFrames = ais.getFrameLength
+      val data = ais.readAllBytes()
+      var sumSq = 0.0
+      var i = 0
+      while (i + 1 < data.length) {
+        val s = ((data(i + 1) << 8) | (data(i) & 0xff)).toShort.toDouble
+        sumSq += s * s
+        i += 2
+      }
+      val n = data.length / 2
+      val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+      Some((fmt.getSampleRate.toInt, nFrames,
+        nFrames * 1000.0 / fmt.getSampleRate, rms))
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** REAL resize: decode, nearest-neighbor-free Graphics2D scale, re-encode.
+    * Returns None if the payload doesn't decode.
+    */
+  def resizePng(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    try {
+      Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))).map { img =>
+        val scaled = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g2 = scaled.createGraphics()
+        try g2.drawImage(img, 0, 0, w, h, null) finally g2.dispose()
+        val out = new ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(scaled, "png", out)
+        out.toByteArray
+      }
+    } catch { case _: java.io.IOException => None }
+
+  // ---- table builders ----
+
+  /** Wrap the documents table's text as a raw binary payload column (the
+    * stand-in for reading real bytes via the binaryFile source at scale).
     */
   def asMediaTable(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
@@ -38,43 +183,75 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("payload")).as[MediaRow]
   }
 
-  /** STUB decode: deterministic pseudo-features from payload bytes.
-    * A real implementation calls the codec here — per partition, batched,
-    * reusing one decoder instance per partition (the expensive init is
-    * amortized exactly like a real JNI/ONNX session would be).
-    */
-  def fakeDecode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
-    val h = payload.foldLeft(1469598103934665603L)((acc, b) => (acc ^ b) * 1099511628211L)
-    val width = 16 + math.floorMod(h, 16).toInt
-    val height = 16 + math.floorMod(h >> 8, 16).toInt
-    val features = Array.tabulate(8)(i =>
-      math.floorMod(h >> (i * 4), 1000).toFloat / 1000f)
-    (width, height, features)
+  /** documents -> real PNG payload table (rendered per partition). */
+  def asImageTable(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, src, text) =>
+        val png = renderPng(id, text)
+        MediaRow(id, src, "image/png", png.length.toLong, png)
+      })
   }
 
-  /** Batched per-partition feature extraction. mapPartitions (not per-row
-    * map) so a real decoder is initialized once per partition and rows are
-    * processed in a tight loop — the Scala analogue of mapInPandas batches.
+  /** documents -> real WAV payload table. */
+  def asAudioTable(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source"), octet_length(col("text")).cast("long"))
+      .as[(Long, String, Long)]
+      .mapPartitions(_.map { case (id, src, nChars) =>
+        val wav = renderWav(id, nChars)
+        MediaRow(id, src, "audio/wav", wav.length.toLong, wav)
+      })
+  }
+
+  // ---- batched per-partition extraction ----
+
+  /** Batched image decode: mapPartitions (not per-row map) so codec warm-up
+    * happens once per partition and rows run in a tight loop.
     */
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  def extractImageFeatures(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions { rows =>
-      // real impl: val decoder = Codec.open(); rows.map{..decoder.decode..}
-      rows.map { r =>
-        val (w, h, f) = fakeDecode(r.payload)
-        MediaFeatures(r.doc_id, r.source, w, h, f)
+    media.mapPartitions(_.map { r =>
+      decodeImage(r.payload) match {
+        case Some((w, h, f)) => ImageFeatures(r.doc_id, r.source, ok = true, w, h, f)
+        case None => ImageFeatures(r.doc_id, r.source, ok = false, 0, 0, Array.empty)
       }
-    }
+    })
   }
 
-  /** End-to-end media pipeline: wrap -> batched decode -> per-source rollup. */
+  /** Batched WAV decode. */
+  def extractAudioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      decodeWav(r.payload) match {
+        case Some((sr, nf, ms, rms)) =>
+          AudioFeatures(r.doc_id, r.source, ok = true, sr, nf, ms, rms)
+        case None => AudioFeatures(r.doc_id, r.source, ok = false, 0, 0L, 0.0, 0.0)
+      }
+    })
+  }
+
+  /** End-to-end image pipeline: render -> REAL decode -> per-source rollup.
+    * Self-attesting: n_failed must be 0 and the decoded dimensions must
+    * round-trip the renderer's 24x16.
+    */
   def featureSummary(spark: SparkSession, docs: DataFrame): DataFrame = {
-    extractFeatures(asMediaTable(docs))
+    extractImageFeatures(asImageTable(docs))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
-        round(avg(col("width")), 4).as("avg_width"),
-        round(avg(element_at(col("features"), 1)), 4).as("avg_f0"))
+        sum(when(!col("ok"), 1L).otherwise(0L)).as("n_failed"),
+        sum(when(col("width") === 24 && col("height") === 16, 1L).otherwise(0L))
+          .as("n_dims_ok"),
+        round(avg(element_at(col("features"), 1)), 4).as("avg_r"),
+        round(avg(element_at(col("features"), 4)
+          + element_at(col("features"), 5)
+          + element_at(col("features"), 6)
+          + element_at(col("features"), 7)), 4).as("avg_hist_mass"))
       .orderBy("source")
   }
 }

@@ -251,9 +251,42 @@ object PipelineQueries {
         .orderBy("source")
     },
 
-    // Batched per-partition fake-decode + rollup: deterministic stats rows.
+    // REAL image decode (JDK ImageIO PNG codec) over rendered payloads,
+    // batched per partition; self-attesting: n_failed must be 0 and
+    // n_dims_ok must equal n_docs (decoded dims round-trip the renderer).
     Q.rowsOnly("x_media_features") { (s, dir) =>
-      Multimodal.featureSummary(s, Tables(s, dir, "documents"))
+      Multimodal.featureSummary(s, par(Tables(s, dir, "documents")))
+    },
+
+    // REAL WAV decode (javax.sound PCM parser): per-source audio stats.
+    // Self-attesting: n_failed 0; duration follows the renderer's
+    // 400 + (n_chars mod 400) frame contract, checked in aggregate.
+    Q.rowsOnly("x_media_audio") { (s, dir) =>
+      val audio = Multimodal.asAudioTable(par(Tables(s, dir, "documents")))
+      Multimodal.extractAudioFeatures(audio)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(!col("ok"), 1L).otherwise(0L)).as("n_failed"),
+          round(avg("duration_ms"), 2).as("avg_duration_ms"),
+          round(avg("rms"), 1).as("avg_rms"))
+        .orderBy("source")
+    },
+
+    // REAL resize: decode -> Graphics2D scale to 8x8 -> re-encode -> decode
+    // again; every row must come back at the target dimensions.
+    Q.rowsOnly("x_media_resize") { (s, dir) =>
+      val imgs = Multimodal.asImageTable(
+        par(Tables(s, dir, "documents")).where(col("doc_id") < 100))
+      val spark2 = s
+      import spark2.implicits._
+      val roundTrip = imgs.mapPartitions(_.map { r =>
+        val dims = Multimodal.resizePng(r.payload, 8, 8)
+          .flatMap(Multimodal.decodeImage)
+          .map { case (w, h, _) => (w, h) }
+        (r.doc_id, dims.exists { case (w, h) => w == 8 && h == 8 })
+      }).toDF("doc_id", "dims_ok")
+      roundTrip.agg(count(lit(1)).as("n_expected"),
+        coalesce(sum(when(col("dims_ok"), 1L)), lit(0L)).as("n_found"))
     },
 
     // Stratified sampling: deterministic n-per-group head (training-mix

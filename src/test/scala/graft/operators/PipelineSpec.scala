@@ -135,14 +135,44 @@ class PipelineSpec extends SparkSpec {
     assert(viaSql.toSeq == expected.toSeq)
   }
 
-  test("multimodal: media table schema + batched decode determinism") {
+  test("multimodal: media table schema + REAL png decode determinism") {
     val media = Multimodal.asMediaTable(docs)
     assert(media.schema.fieldNames.toSeq ==
       Seq("doc_id", "source", "mime", "n_bytes", "payload"))
-    val feats = Multimodal.extractFeatures(media)
-    val a = feats.collect().map(f => (f.doc_id, f.width, f.height, f.features.toSeq))
-    val b = feats.collect().map(f => (f.doc_id, f.width, f.height, f.features.toSeq))
+    val imgs = Multimodal.asImageTable(docs.limit(50))
+    val feats = Multimodal.extractImageFeatures(imgs)
+    val a = feats.collect().map(f => (f.doc_id, f.ok, f.width, f.height, f.features.toSeq))
+    val b = feats.collect().map(f => (f.doc_id, f.ok, f.width, f.height, f.features.toSeq))
     assert(a.toSeq == b.toSeq)
-    assert(a.forall(_._4.length == 8))
+    // every rendered PNG must decode through the real ImageIO codec at the
+    // renderer's dimensions, with a well-formed normalized feature vector
+    assert(a.forall(_._2), "some PNG payloads failed to decode")
+    assert(a.forall(f => f._3 == 24 && f._4 == 16))
+    assert(a.forall(f => f._5.length == 7 && f._5.forall(v => v >= 0f && v <= 1f)))
+    // histogram mass sums to ~1
+    assert(a.forall(f => math.abs(f._5.drop(3).sum - 1f) < 1e-3))
+  }
+
+  test("multimodal: png decode rejects corrupt bytes instead of throwing") {
+    assert(Multimodal.decodeImage("not a png".getBytes).isEmpty)
+    assert(Multimodal.decodeWav("not a wav".getBytes).isEmpty)
+  }
+
+  test("multimodal: REAL resize round-trips through the codec at target dims") {
+    val png = Multimodal.renderPng(7L, "the quick brown fox")
+    val resized = Multimodal.resizePng(png, 8, 8)
+    assert(resized.isDefined)
+    val back = Multimodal.decodeImage(resized.get)
+    assert(back.isDefined && back.get._1 == 8 && back.get._2 == 8)
+  }
+
+  test("multimodal: REAL wav decode recovers format, duration and amplitude") {
+    val wav = Multimodal.renderWav(docId = 3L, nChars = 250L)
+    val Some((sr, frames, ms, rms)) = Multimodal.decodeWav(wav)
+    assert(sr == 8000)
+    assert(frames == 400 + 250) // renderer contract: 400 + nChars mod 400
+    assert(math.abs(ms - frames * 1000.0 / 8000) < 1e-9)
+    // a 12000-amplitude sine has RMS ~ 12000/sqrt(2) ~ 8485
+    assert(rms > 7000 && rms < 10000, s"rms=$rms")
   }
 }
