@@ -59,6 +59,12 @@ class PairDataflow[K, V](val ds: Dataset[(K, V)]) extends Serializable {
     * The cogroup form is also self-join-safe — `p.join(p)` with shared
     * lineage would trip Spark's ambiguous-self-join check under a raw
     * column-equality joinWith.
+    *
+    * CAUTION (parity-faithful limitation): like the reference's cogroup
+    * join, the right side's per-key group is buffered in memory (`wsSeq`
+    * below) — a hot key with millions of right-side rows risks executor
+    * OOM. For relational workloads prefer DataFrame `join` (SMJ streams
+    * both sides) or `operators.Skew.saltedJoin` for known-skewed keys.
     */
   def join[W](other: PairDataflow[K, W])(
       implicit ek: Encoder[K], e: Encoder[(K, (V, W))]): Dataflow[(K, (V, W))] = {
