@@ -55,6 +55,23 @@ object ApproxQueries {
         .getFinalValue()
       s.createDataset(m.map { case (v, bd) => (v, bd.mean.toLong) }.toSeq)
         .toDF("value", "cnt").orderBy("value")
+    },
+
+    // HLL++ approximate distinct count (the 100 TB path for cardinality —
+    // exact countDistinct is a full shuffle of the distinct keys; the sketch
+    // is a fixed-size mergeable buffer). Self-attesting: the row carries the
+    // exact count AND the sketch estimate plus their relative error, which
+    // must be inside the configured rsd.
+    Q.rowsOnly("x_approx_distinct") { (s, dir) =>
+      import s.implicits._
+      val r = Tables(s, dir, "lineitem").agg(
+        countDistinct(col("l_orderkey")).as("exact"),
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx")).first()
+      val (exact, approx) = (r.getLong(0), r.getLong(1))
+      val relErr = math.abs(approx - exact).toDouble / exact
+      Seq((exact, approx, math.round(relErr * 10000) / 10000.0,
+        relErr <= 0.06)) // 3x rsd — generous, deterministic sketch
+        .toDF("exact", "approx", "rel_err", "within_bound")
     }
   )
 }

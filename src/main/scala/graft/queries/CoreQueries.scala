@@ -272,6 +272,22 @@ object CoreQueries {
           sum(col("n_regionkey").cast("long")).as("sum_region"))
     },
 
+    // S6 variant: JSON-lines source roundtrip (the reference's path reader
+    // hands raw bytes to user decoders — examples/file_read.rs; Spark's json
+    // source is the schema-aware replacement). Write the fixture out as
+    // JSON, read it back with an explicit schema (no inference pass at
+    // scale), aggregate.
+    Q("s6_json_roundtrip",
+      """SELECT n_regionkey, count(*) AS n FROM nation
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { (s, dir) =>
+      val out = java.nio.file.Files.createTempDirectory("graft-json").toString + "/nation"
+      val nation = Tables(s, dir, "nation")
+      nation.write.mode("overwrite").json(out)
+      s.read.schema(nation.schema).json(out)
+        .groupBy("n_regionkey").agg(count(lit(1)).as("n"))
+        .orderBy("n_regionkey")
+    },
+
     // S4: read_source(config, decoder) composition (src/io/mod.rs:11-16) —
     // raw text reader + user decoder closure, then a keyed count.
     Q("s4_read_source",

@@ -181,6 +181,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch sink: every micro-batch lands exactly once in parquet") {
+    val src = java.nio.file.Files.createTempDirectory("graft-feb-src")
+    val dst = java.nio.file.Files.createTempDirectory("graft-feb-dst").toString + "/out"
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"), src.resolve("a.parquet"))
+    val stream = EventStreams.readEventStream(spark, src.toString)
+    // foreachBatch is the escape hatch for sinks Spark lacks (JDBC upsert,
+    // index refresh, ...): each micro-batch arrives as a plain DataFrame with
+    // a monotonically increasing id for idempotent writes.
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        seen.incrementAndGet()
+        batch.select("event_id", "user_id")
+          .write.mode("append").parquet(dst)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      // second file -> second micro-batch appends, doesn't clobber
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf0001/events.parquet"), src.resolve("b.parquet"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(seen.get() >= 2, s"expected at least 2 micro-batches, saw ${seen.get()}")
+    val landed = spark.read.parquet(dst).count()
+    val perFile = Tables(spark, sf0001, "events").count()
+    assert(landed == 2 * perFile, s"expected ${2 * perFile} rows, landed $landed")
+  }
+
   test("sessionize over fixture events matches gaps-and-islands SQL") {
     val ev = Tables(spark, sf0001, "events")
       .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
