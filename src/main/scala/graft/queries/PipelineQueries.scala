@@ -300,14 +300,36 @@ object PipelineQueries {
         .select("source", "doc_id").orderBy("source", "doc_id")
     },
 
-    // Exact percentiles (linear interpolation in both engines).
+    // Exact percentiles (linear interpolation in both engines) — sort+window
+    // plan (operators.Percentiles), not the builtin `percentile` aggregate
+    // whose per-group value buffer is the dataset itself at 100 TB.
     Q("x_percentiles",
       """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
         |round(quantile_cont(l_extendedprice, 0.9), 2) AS p90
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
-      Tables(s, dir, "lineitem").groupBy("l_returnflag")
-        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"))
+      graft.operators.Percentiles.exact(
+        Tables(s, dir, "lineitem"), "l_returnflag", "l_extendedprice", Seq(0.5, 0.9))
+        .select(col("l_returnflag"),
+          round(col("p50"), 2).as("p50"), round(col("p90"), 2).as("p90"))
+        .orderBy("l_returnflag")
+    },
+
+    // Approximate percentile sketch (GK): the fixed-size mergeable path when
+    // exactness isn't required. Self-attesting: compared in-row against the
+    // exact sort-based values; relative error must be inside the accuracy
+    // bound.
+    Q.rowsOnly("x_approx_percentiles") { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val exact = graft.operators.Percentiles.exact(
+        li, "l_returnflag", "l_extendedprice", Seq(0.5))
+        .select(col("l_returnflag"), col("p50").as("exact_p50"))
+      val approx = li.groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"))
+      exact.join(approx, "l_returnflag")
+        .select(col("l_returnflag"), round(col("exact_p50"), 2).as("exact_p50"),
+          round(col("approx_p50"), 2).as("approx_p50"),
+          (abs(col("approx_p50") - col("exact_p50")) / col("exact_p50") <= 0.01)
+            .as("within_bound"))
         .orderBy("l_returnflag")
     },
 
