@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join — for each left row, the LATEST right row with
+  * the same key and right.ts <= left.ts. The feature-correctness primitive
+  * of training-data pipelines: "the value of X as the model would have seen
+  * it at event time", with no future leakage.
+  *
+  * Spark has no asof join; the naive formulations are both scale-broken:
+  * a range-condition join explodes to all pairs before filtering, and a
+  * per-key subquery recomputes the right side per left row. This is the
+  * union-window method (preference (a) of the builder brief — compose
+  * existing ops): tag the sides, union them, and carry the right side's
+  * values forward with `last(ignoreNulls) OVER (PARTITION BY key ORDER BY
+  * ts, side ROWS UNBOUNDED PRECEDING)`. ONE shuffle on the key, memory per
+  * task O(1) (running value, not a buffered group), skew bounded by rows
+  * per key — the same cost as a groupBy over the union.
+  *
+  * Inclusive semantics (right.ts == left.ts matches) — sides are ordered
+  * (ts, side) with right=0 before left=1, matching DuckDB's
+  * `ASOF JOIN ... ON l.ts >= r.ts` (the oracle for x_asof_join). If the
+  * right side has several rows at one (key, ts), the last in window order
+  * wins — dedupe the right side first for deterministic output.
+  */
+object AsofJoin {
+
+  /** Left as-of join. `valueCols` are the right-side columns to carry; they
+    * must not collide with left column names. Returns all left columns plus
+    * the carried values (null when no right row precedes the left row).
+    */
+  def asofBackward(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(valueCols.intersect(leftCols).isEmpty,
+      s"right value columns ${valueCols.intersect(leftCols)} collide with left side")
+    val l = left.withColumn("__side", lit(1))
+      .select((leftCols.map(col) :+ col("__side")) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val r = right.select(
+      (Seq(col(keyCol), col(tsCol), lit(0).as("__side")) ++
+        leftCols.filterNot(Seq(keyCol, tsCol).contains)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        valueCols.map(col)): _*)
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = valueCols.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.where(col("__side") === 1).drop("__side")
+  }
+}

@@ -335,6 +335,33 @@ object PipelineQueries {
 
     // -- Stateful sessionization (streaming twin in graft.streaming) ----
 
+    // As-of (point-in-time) join: each purchase gets the same user's most
+    // recent click value at-or-before purchase time — no future leakage.
+    // Oracled against DuckDB's native ASOF LEFT JOIN.
+    Q("x_asof_join",
+      """WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, max(value) AS click_value FROM events
+        |      WHERE event_type = 'click' GROUP BY user_id, ts)
+        |SELECT p.user_id AS user_id, count(*) AS n_purchases,
+        |count(c.click_value) AS n_matched,
+        |round(coalesce(sum(c.click_value), 0), 2) AS sum_click_value
+        |FROM p ASOF LEFT JOIN c
+        |ON p.user_id = c.user_id AND p.ts >= c.ts
+        |GROUP BY p.user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("value").as("click_value"))
+      graft.operators.AsofJoin
+        .asofBackward(purchases, clicks, "user_id", "ts", Seq("click_value"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_purchases"),
+          count(col("click_value")).as("n_matched"),
+          round(coalesce(sum("click_value"), lit(0.0)), 2).as("sum_click_value"))
+        .orderBy("user_id")
+    },
+
     // Stream-stream join, batch twin: purchases joined to the same user's
     // clicks within the preceding 30 minutes (watermarks are no-ops in
     // batch; the streaming side with state eviction is covered in

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AsofJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(min: Int) =
+    new java.sql.Timestamp(1767225600000L + min * 60000L)
+
+  test("asof backward: latest right row at-or-before, inclusive ties, null when none") {
+    val left = Seq(
+      (1L, ts(10)),  // after right@5 -> 5's value
+      (1L, ts(5)),   // EXACTLY at right@5 -> inclusive match
+      (1L, ts(1)),   // before any right row -> null
+      (2L, ts(10)))  // key with no right rows at all -> null
+      .toDF("k", "ts")
+    val right = Seq(
+      (1L, ts(5), 50.0),
+      (1L, ts(8), 80.0),
+      (1L, ts(12), 120.0)) // in the future of every left row -> never matches
+      .toDF("k", "ts", "v")
+    val got = AsofJoin.asofBackward(left, right, "k", "ts", Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), Option(r.get(2)))).toSet
+    assert(got == Set(
+      (1L, ts(10), Some(80.0)), // 8 is the latest <= 10 (not 12)
+      (1L, ts(5), Some(50.0)),  // inclusive
+      (1L, ts(1), None),
+      (2L, ts(10), None)))
+  }
+
+  test("asof backward rejects colliding value column names") {
+    val df = Seq((1L, ts(0), 1.0)).toDF("k", "ts", "v")
+    val err = intercept[IllegalArgumentException] {
+      AsofJoin.asofBackward(df, df, "k", "ts", Seq("v"))
+    }
+    assert(err.getMessage.contains("collide"))
+  }
+
+  test("asof backward keeps every left row exactly once") {
+    val left = Seq((1L, ts(3)), (1L, ts(3)), (1L, ts(7))).toDF("k", "ts") // dup left rows kept
+    val right = Seq((1L, ts(2), 2.0)).toDF("k", "ts", "v")
+    val got = AsofJoin.asofBackward(left, right, "k", "ts", Seq("v"))
+    assert(got.count() == 3)
+    assert(got.where(col("v") === 2.0).count() == 3)
+  }
+}
