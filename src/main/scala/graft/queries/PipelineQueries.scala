@@ -335,6 +335,31 @@ object PipelineQueries {
 
     // -- Stateful sessionization (streaming twin in graft.streaming) ----
 
+    // Range (interval) join via bucket decomposition: clicks inside each
+    // purchase's 30-minute attribution window. Same truth as x_stream_join's
+    // inequality join, but planned as an EQUI-join on (user, time-bucket) —
+    // the shape that survives when neither side broadcasts (a bare range
+    // predicate would plan a nested-loop join).
+    Q("x_range_join",
+      """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id AS user_id, count(*) AS n_pairs
+        |FROM p JOIN c ON c.user_id = p.user_id
+        |AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+        |GROUP BY p.user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), unix_millis(col("ts")).as("pt"))
+      val windows = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"),
+          (unix_millis(col("ts")) - 1800000L).as("w_start"),
+          unix_millis(col("ts")).as("w_end"))
+      graft.operators.RangeJoin.pointInInterval(clicks, windows, "user_id",
+          "pt", "w_start", "w_end", Seq.empty, bucketWidth = 1800000L)
+        .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    },
+
     // As-of (point-in-time) join: each purchase gets the same user's most
     // recent click value at-or-before purchase time — no future leakage.
     // Oracled against DuckDB's native ASOF LEFT JOIN.

@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RangeJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("point-in-interval: inclusive bounds, multi-bucket intervals, no dup pairs") {
+    val points = Seq(
+      (1L, 100L),  // inside [50, 250]
+      (1L, 50L),   // exactly at start -> inclusive
+      (1L, 250L),  // exactly at end -> inclusive
+      (1L, 251L),  // just outside
+      (2L, 100L))  // key with no intervals
+      .toDF("k", "pt")
+    // interval spans buckets [0..2] at width 100 — a matching point must
+    // still produce exactly ONE output row (its own bucket matches once)
+    val intervals = Seq((1L, 50L, 250L, "w1")).toDF("k", "s", "e", "tag")
+    val got = RangeJoin.pointInInterval(points, intervals,
+      "k", "pt", "s", "e", Seq("tag"), bucketWidth = 100L)
+      .select("k", "pt", "tag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.length == got.distinct.length, "duplicate pairs emitted")
+    assert(got.toSet == Set((1L, 100L, "w1"), (1L, 50L, "w1"), (1L, 250L, "w1")))
+  }
+
+  test("overlapping intervals each match; disjoint ones don't") {
+    val points = Seq((1L, 120L)).toDF("k", "pt")
+    val intervals = Seq(
+      (1L, 100L, 200L, "a"),
+      (1L, 110L, 130L, "b"),
+      (1L, 200L, 300L, "c")).toDF("k", "s", "e", "tag")
+    val got = RangeJoin.pointInInterval(points, intervals,
+      "k", "pt", "s", "e", Seq("tag"), bucketWidth = 50L)
+      .select("tag").collect().map(_.getString(0)).sorted.toSeq
+    assert(got == Seq("a", "b"))
+  }
+
+  test("negative timestamps bucket correctly (floor, not truncate-toward-zero)") {
+    val points = Seq((1L, -150L)).toDF("k", "pt")
+    val intervals = Seq((1L, -200L, -100L, "neg")).toDF("k", "s", "e", "tag")
+    val got = RangeJoin.pointInInterval(points, intervals,
+      "k", "pt", "s", "e", Seq("tag"), bucketWidth = 100L)
+    assert(got.count() == 1)
+  }
+}
