@@ -85,7 +85,8 @@ case class TopKByScore(
   }
 
   override def eval(buf: mutable.PriorityQueue[(Double, Long)]): Any = {
-    val sorted = buf.toArray.sorted(worstFirst.reverse) // best-first
+    // ascending under worstFirst = best (highest sim, lowest vid) first
+    val sorted = buf.toArray.sorted(worstFirst)
     new GenericArrayData(sorted.map { case (sim, vid) =>
       new GenericInternalRow(Array[Any](vid, sim)): AnyRef
     })

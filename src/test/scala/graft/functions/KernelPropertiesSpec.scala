@@ -1,0 +1,85 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Generator-based properties for the round-2 kernels: the bounded-heap
+  * top-k aggregate against a naive sort-take reference, and the
+  * nearest-centroid kernel against a scala argmax. Gen with fixed seeds
+  * (scalatestplus bridge isn't in the offline dep cache).
+  */
+class KernelPropertiesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int = 5): Seq[A] =
+    (0 until n).flatMap(i =>
+      gen.apply(Gen.Parameters.default.withSize(60), Seed(1042L + i)))
+
+  // (qid, vid, sim) with deliberate collisions in qid/sim to stress ties
+  private val scoredRows: Gen[List[(Long, Long, Double)]] =
+    Gen.listOf(Gen.zip(
+      Gen.chooseNum(0L, 3L),
+      Gen.chooseNum(0L, 40L),
+      Gen.chooseNum(0, 10).map(_ / 10.0)))
+
+  test("graft_topk == sort-take reference for every (qid, k)") {
+    GraftFunctions.register(spark)
+    for (rowsRaw <- samples(scoredRows); k <- Seq(1, 3, 7)) {
+      // the aggregate sees each (vid) once per qid at a given sim; dedupe
+      // (qid, vid) keeping max sim to make the reference well-defined
+      val rows = rowsRaw.groupBy(r => (r._1, r._2))
+        .map { case ((q, v), g) => (q, v, g.map(_._3).max) }.toList
+      val got = rows.toDF("qid", "vid", "sim").repartition(5)
+        .groupBy("qid")
+        .agg(GraftFunctions.graft_topk(col("vid"), col("sim"), k).as("tk"))
+        .select(col("qid"), explode(col("tk")).as("e"))
+        .select(col("qid"), col("e.vid"), col("e.sim"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+      val expected = rows.groupBy(_._1).view.mapValues(g =>
+        g.map(t => (t._2, t._3))
+          .sortBy { case (vid, sim) => (-sim, vid) }.take(k).toSeq).toMap
+      assert(got.keySet == expected.keySet)
+      for (q <- expected.keySet)
+        assert(got(q).toSeq == expected(q).toSeq,
+          s"qid=$q k=$k got=${got(q)} expected=${expected(q)}")
+    }
+  }
+
+  test("graft_nearest_centroid == scala argmax over random vectors") {
+    GraftFunctions.register(spark)
+    val vecs: Gen[List[List[Double]]] =
+      Gen.nonEmptyListOf(Gen.listOfN(6, Gen.chooseNum(-50, 50).map(_ / 10.0)))
+    for (vs <- samples(vecs, 4)) {
+      val cents = vs.take(4).padTo(2, List(1.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+      val centLit = typedlit(cents.map(_.toSeq))
+      val got = vs.map(Tuple1(_)).toDF("v")
+        .select(GraftFunctions.graft_nearest_centroid(col("v"), centLit))
+        .collect().map(_.getInt(0)).toSeq
+      val expected = vs.map { v =>
+        val sims = cents.map(c => VectorOps.cosineArr(v.toArray, c.toArray))
+        sims.zipWithIndex.reduceLeft((a, b) => if (b._1 > a._1) b else a)._2
+      }
+      assert(got == expected)
+    }
+  }
+
+  test("hyperplaneSigs: deterministic, table count respected, tables differ on big corpora") {
+    GraftFunctions.register(spark)
+    val vecs = (0 until 200).map(i =>
+      Tuple1(Seq.tabulate(8)(d => math.sin(i * 13 + d * 7).toDouble)))
+    val df = vecs.toDF("v")
+    val sigs = df.select(GraftFunctions.graft_hyperplanes(col("v"), 12, 6).as("s"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sigs.forall(_.length == 6))
+    assert(sigs.forall(_.forall(s => s >= 0 && s < (1L << 12))))
+    val again = df.select(GraftFunctions.graft_hyperplanes(col("v"), 12, 6).as("s"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sigs.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // across 200 vectors the 6 tables cannot all agree unless planes collide
+    assert((1 until 6).exists(t => sigs.exists(r => r(t) != r(0))))
+  }
+}
