@@ -60,6 +60,48 @@ object Stress {
       println("TOPK=" + operators.Similarity.bruteForceTopK(
         vecs, vecs.where(col("vec_id") < 10), "vec_id", "embedding", 10).count())
     }
+    time(s"lshTopK (8 tables) 10 queries x $nVecs corpus") {
+      println("LSH_TOPK=" + operators.Similarity.lshTopK(
+        vecs, vecs.where(col("vec_id") < 10), "vec_id", "embedding", 10,
+        numPlanes = 12, numTables = 8).count())
+    }
+    time(s"ivfTopK (nlist=64, nprobe=8) 10 queries x $nVecs corpus") {
+      println("IVF_TOPK=" + operators.Similarity.ivfTopK(
+        vecs, vecs.where(col("vec_id") < 10), "vec_id", "embedding", 10,
+        nlist = 64, nprobe = 8, iterations = 2).count())
+    }
+
+    // synthetic events for the temporal joins: ~4x nDocs events across
+    // nDocs/100 users over a simulated week
+    val nEvents = nDocs * 4
+    val events = spark.range(nEvents).select(
+      pmod(xxhash64(col("id")), lit(nDocs / 100)).as("user_id"),
+      (lit(1767225600000L) + pmod(xxhash64(col("id"), lit(1)), lit(604800000L)))
+        .as("ms"),
+      when(pmod(xxhash64(col("id"), lit(2)), lit(10)) < 7, "click")
+        .otherwise("purchase").as("event_type"))
+      .select(col("user_id"), col("ms"), col("event_type"),
+        timestamp_millis(col("ms")).as("ts"))
+      .repartition(64).cache()
+    println(s"EVENTS=${events.count()}")
+
+    time(s"asofBackward over $nEvents events") {
+      val p = events.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"))
+      val c = events.where(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max(col("ms")).cast("double").as("v"))
+      println("ASOF=" + operators.AsofJoin
+        .asofBackward(p, c, "user_id", "ts", Seq("v")).count())
+    }
+    time(s"rangeJoin over $nEvents events (30min windows)") {
+      val c = events.where(col("event_type") === "click")
+        .select(col("user_id"), col("ms").as("pt"))
+      val w = events.where(col("event_type") === "purchase")
+        .select(col("user_id"), (col("ms") - 1800000L).as("w_start"),
+          col("ms").as("w_end"))
+      println("RANGE=" + operators.RangeJoin.pointInInterval(
+        c, w, "user_id", "pt", "w_start", "w_end", Seq.empty, 1800000L).count())
+    }
     spark.stop()
   }
 }
