@@ -205,6 +205,14 @@ class Dataflow[T](val ds: Dataset[T]) extends Serializable {
     ds.rdd.countByValueApprox(timeoutMs, confidence).getFinalValue()
       .map { case (k, v) => k -> BoundedDouble.fromSpark(v) }
 
+  /** count_by_value_approx, PARTIAL-result form — exposes the grouped
+    * initialValue/isInitialValueFinal contract the reference's
+    * approximate_action_listener carries (partial/grouped_count_evaluator.rs).
+    */
+  def countByValueApproxPartial(timeoutMs: Long, confidence: Double = 0.95)(
+      implicit ct: ClassTag[T]): approx.GroupedPartialResult[T] =
+    new approx.GroupedPartialResult(ds.rdd.countByValueApprox(timeoutMs, confidence))
+
   // ---- pair-op entry ----
 
   /** View a Dataflow of pairs as a PairDataflow (blanket impl in the

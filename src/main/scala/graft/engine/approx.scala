@@ -15,6 +15,20 @@ object approx {
       BoundedDouble(bd.mean, bd.confidence, bd.low, bd.high)
   }
 
+  /** Grouped partial result (reference src/partial/grouped_count_evaluator.rs):
+    * per-key bounded estimates with the same initial/final contract.
+    */
+  final class GroupedPartialResult[T](
+      underlying: org.apache.spark.partial.PartialResult[
+        scala.collection.Map[T, org.apache.spark.partial.BoundedDouble]]) {
+    private def conv(m: scala.collection.Map[T, org.apache.spark.partial.BoundedDouble]) =
+      m.map { case (k, v) => k -> BoundedDouble.fromSpark(v) }
+    def initialValue: scala.collection.Map[T, BoundedDouble] = conv(underlying.initialValue)
+    def isInitialValueFinal: Boolean = underlying.isInitialValueFinal
+    def getFinalValue(): scala.collection.Map[T, BoundedDouble] =
+      conv(underlying.getFinalValue())
+  }
+
   /** reference src/partial/partial_result.rs:17-100 */
   final class PartialResult[R](
       underlying: org.apache.spark.partial.PartialResult[org.apache.spark.partial.BoundedDouble],

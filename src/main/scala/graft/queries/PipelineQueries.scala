@@ -202,12 +202,30 @@ object PipelineQueries {
     },
 
     // Language ID heuristic — marker-profile scoring; deterministic but
-    // Spark-expressed, so stats-rows check (accuracy asserted in ScalaTest).
+    // Spark-expressed, so no SQL oracle. Self-attesting: labeled marker
+    // sentences ride along with the fixture corpus and the row reports how
+    // many classified correctly (must be n_labeled_correct == n_labeled).
     Q.rowsOnly("x_text_langid") { (s, dir) =>
-      Tables(s, dir, "documents")
+      import s.implicits._
+      val labeled = Seq(
+        ("en", "the cat is on a mat and that is fine"),
+        ("en", "a day in the life of the band"),
+        ("de", "der hund ist nicht ein freund und das ist gut"),
+        ("es", "el perro y la casa es un lugar que"),
+        ("fr", "le chien est une bete et les chats des amis"),
+        ("zh", "我 的 猫 是 在 家 和 我 有 不")).toDF("lang_true", "text")
+      val fixturePreds = Tables(s, dir, "documents")
         .select(TextFunctions.langId(col("text")).as("lang_pred"))
-        .groupBy("lang_pred").agg(count(lit(1)).as("n"))
-        .orderBy("lang_pred")
+        .groupBy("lang_pred").agg(count(lit(1)).as("n")).orderBy("lang_pred")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val correct = labeled
+        .withColumn("lang_pred", TextFunctions.langId(col("text")))
+        .agg(count(lit(1)).as("n_labeled"),
+          sum(when(col("lang_pred") === col("lang_true"), 1L).otherwise(0L))
+            .as("n_labeled_correct")).first()
+      Seq((correct.getLong(0), correct.getLong(1),
+        fixturePreds.map(p => s"${p._1}:${p._2}").mkString(",")))
+        .toDF("n_labeled", "n_labeled_correct", "fixture_pred_counts")
     },
 
     // Token counting: whitespace tokens + the BPE-ish subword proxy

@@ -130,6 +130,19 @@ class DataflowSpec extends SparkSpec {
     assert(fin.low <= 400.0 && 400.0 <= fin.high)
   }
 
+  test("grouped approx PARTIAL path: non-final on a slow job, final exact per key " +
+      "(grouped_count_evaluator.rs)") {
+    val slow = sc.parallelize((1 to 300).map(i => i % 3), 8).mapPartitions { it =>
+      Thread.sleep(500); it
+    }
+    val pr = slow.countByValueApproxPartial(timeoutMs = 60, confidence = 0.9)
+    pr.initialValue // force the timeout-bounded estimate
+    assert(!pr.isInitialValueFinal)
+    val fin = pr.getFinalValue()
+    assert(fin.keySet == Set(0, 1, 2))
+    assert(fin.values.forall(_.mean.round == 100L))
+  }
+
   test("is_empty / max / min / key_by (test_rdd.rs:590-620)") {
     val col = sc.parallelize(Seq(13, 28, 3, 4, 51, 108, 12, 113, 19), 4)
     assert(!col.isEmpty)
