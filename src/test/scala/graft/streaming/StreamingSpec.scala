@@ -211,6 +211,46 @@ class StreamingSpec extends SparkSpec {
     assert(landed == 2 * perFile, s"expected ${2 * perFile} rows, landed $landed")
   }
 
+  test("streaming LSH index refresh: batches append, probe prunes partitions and finds near-dup") {
+    val src = java.nio.file.Files.createTempDirectory("graft-vidx-src")
+    val idx = java.nio.file.Files.createTempDirectory("graft-vidx").toString + "/index"
+    // hash-mixed pseudo-random dims: sin-based generators produce heavily
+    // correlated "twin" vectors that tie with the true near-dup
+    def vec(i: Int): Seq[Double] = Seq.tabulate(16) { d =>
+      val h = java.lang.Long.rotateLeft(i * 2654435761L + d * 1099511628211L, d % 31)
+      math.floorMod(h, 2000L) / 1000.0 - 1.0
+    }
+    def writeBatch(ids: Range): Unit =
+      ids.map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+        .write.mode("append").parquet(src.toString)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
+    val stream = spark.readStream.schema(schema).parquet(src.toString)
+    val q = VectorIndexStream.indexSink(stream, idx).start()
+    try {
+      writeBatch(0 until 50)
+      q.processAllAvailable()
+      writeBatch(50 until 100) // the index must keep growing incrementally
+      q.processAllAvailable()
+    } finally q.stop()
+    // probe with a perturbed copy (cosine ~0.97) of a SECOND-batch vector
+    val probeQ = Seq((1000060L,
+      vec(60).zipWithIndex.map { case (x, d) => x * (1 + (if (d % 2 == 0) 0.25 else -0.25)) }))
+      .toDF("vec_id", "embedding")
+    val res = VectorIndexStream.probe(spark, idx, probeQ, k = 5)
+    val top = res.orderBy(col("sim").desc).collect()
+    assert(top.nonEmpty, "probe returned no candidates")
+    assert(top.head.getAs[Long]("vid") == 60L,
+      s"expected source vector 60 as best match, got ${top.toSeq}")
+    // the index scan must carry partition filters (pruned directories)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan)
+    assert(!plan.matches("(?s).*PartitionFilters: \\[\\].*"),
+      "index scan did not prune partitions:\n" + plan)
+  }
+
   test("sessionize over fixture events matches gaps-and-islands SQL") {
     val ev = Tables(spark, sf0001, "events")
       .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
