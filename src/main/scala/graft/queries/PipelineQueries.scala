@@ -307,6 +307,43 @@ object PipelineQueries {
         coalesce(sum(when(col("dims_ok"), 1L)), lit(0L)).as("n_found"))
     },
 
+    // Deterministic hash-based train/test split — THE reproducible-pipeline
+    // split (same row always lands in the same side, no RNG state to carry,
+    // new data doesn't reshuffle old assignments). Spark-internal xxhash64
+    // => no SQL oracle; self-attesting: sides must partition the corpus
+    // (n_train + n_test == n_docs, overlap provably 0 by construction)
+    // and hold ~90/10.
+    Q.rowsOnly("x_hash_split") { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val tagged = docs.withColumn("__bucket", pmod(xxhash64(col("doc_id")), lit(10)))
+      val r = tagged.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__bucket") < 9, 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("__bucket") >= 9, 1L).otherwise(0L)).as("n_test")).first()
+      val (n, tr, te) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      import s.implicits._
+      Seq((n, tr, te, tr + te == n,
+        math.round(tr.toDouble / n * 1000) / 1000.0))
+        .toDF("n_docs", "n_train", "n_test", "partitions_corpus", "train_frac")
+    },
+
+    // Text scrubbing (PII-shaped redaction): digit runs masked — pure
+    // regexp_replace, oracled (same RE semantics for this pattern in both
+    // engines).
+    Q("x_text_scrub",
+      """SELECT doc_id, length(regexp_replace(text, '[0-9]+', '#', 'g')) AS n_scrubbed,
+        |CAST(length(text) - length(regexp_replace(text, '[0-9]+', '', 'g')) AS INTEGER)
+        |  AS n_digit_chars
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        length(regexp_replace(col("text"), "[0-9]+", "#")).as("n_scrubbed"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[0-9]+", ""))).cast("int")
+          .as("n_digit_chars"))
+        .orderBy("doc_id")
+    },
+
     // Stratified sampling: deterministic n-per-group head (training-mix
     // balancing). Fully oracle-able via window rank.
     Q("x_stratified_sample",
