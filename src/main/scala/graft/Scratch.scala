@@ -34,7 +34,10 @@ object Scratch {
       val rows = df.collect()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"===== RUN $name rows=${rows.length} time=$sec%.2fs =====")
-      df.show(20, truncate = false)
+      // preview from the already-collected rows — df.show would re-run the
+      // full uncached plan a second time
+      println(df.columns.mkString("|", "|", "|"))
+      rows.take(20).foreach(r => println(r.toSeq.mkString("|", "|", "|")))
     }
     spark.stop()
   }

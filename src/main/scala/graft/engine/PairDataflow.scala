@@ -89,12 +89,15 @@ class PairDataflow[K, V](val ds: Dataset[(K, V)]) extends Serializable {
     new Dataflow(grouped)
   }
 
-  /** partition_by_key (pair_rdd.rs:157-171). The key is the FIRST column of
-    * the pair encoding whatever its name (`_1` for mapped tuples, the source
-    * column name for `select(...).as[(K, V)]` datasets).
+  /** partition_by_key (pair_rdd.rs:157-171). The key column is `_1` when
+    * the schema carries tuple names (the encoder binds tuple fields BY NAME
+    * when `_1`/`_2` are present, even if their physical order is reversed);
+    * otherwise binding is positional and the first column is the key.
     */
-  def partitionByKey(numPartitions: Int): PairDataflow[K, V] =
-    new PairDataflow(ds.repartition(numPartitions, ds(ds.columns.head)))
+  def partitionByKey(numPartitions: Int): PairDataflow[K, V] = {
+    val keyColumn = if (ds.columns.contains("_1")) "_1" else ds.columns.head
+    new PairDataflow(ds.repartition(numPartitions, ds(keyColumn)))
+  }
 
   def toDataflow: Dataflow[(K, V)] = new Dataflow(ds)
 }

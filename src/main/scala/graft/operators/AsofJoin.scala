@@ -36,20 +36,27 @@ object AsofJoin {
     val leftCols = left.columns.toSeq
     require(valueCols.intersect(leftCols).isEmpty,
       s"right value columns ${valueCols.intersect(leftCols)} collide with left side")
+    // The carried payload is ONE struct per right row, never-null on right
+    // rows even when every value inside is null — so a matched right row
+    // with a NULL value yields NULL (DuckDB ASOF semantics), not a stale
+    // older value, and multiple valueCols always come from the SAME row.
     val l = left.withColumn("__side", lit(1))
-      .select((leftCols.map(col) :+ col("__side")) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
-    val r = right.select(
-      (Seq(col(keyCol), col(tsCol), lit(0).as("__side")) ++
-        leftCols.filterNot(Seq(keyCol, tsCol).contains)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        valueCols.map(col)): _*)
+      .withColumn("__rv", lit(null).cast(
+        org.apache.spark.sql.types.StructType(valueCols.map(c => right.schema(c)))))
+      .select((leftCols.map(col) :+ col("__side")) :+ col("__rv"): _*)
+    val r = right
+      .withColumn("__rv", struct(valueCols.map(col): _*))
+      .select(
+        (Seq(col(keyCol), col(tsCol), lit(0).as("__side"), col("__rv")) ++
+          leftCols.filterNot(Seq(keyCol, tsCol).contains)
+            .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     val w = Window.partitionBy(keyCol)
       .orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.where(col("__side") === 1).drop("__side")
+    val carried = l.unionByName(r)
+      .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
+    valueCols.foldLeft(carried) { (df, c) =>
+      df.withColumn(c, col("__rv").getField(c))
+    }.where(col("__side") === 1).drop("__side", "__rv")
   }
 }

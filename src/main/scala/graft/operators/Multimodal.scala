@@ -99,6 +99,8 @@ object Multimodal {
   /** Decode any ImageIO-supported payload (PNG/BMP/GIF/JPEG): dimensions,
     * per-channel means, 4-bin luminance histogram. None for undecodable
     * bytes (corrupt rows must not kill a 100 TB job — callers count them).
+    * NonFatal, not just IOException: the JDK codecs throw RuntimeExceptions
+    * (IllegalArgument, NegativeArraySize, index OOB) on malformed headers.
     */
   def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Float])] =
     try {
@@ -123,7 +125,7 @@ object Multimodal {
         (w, h, Array(r / n / 255f, g / n / 255f, b / n / 255f,
           hist(0) / n, hist(1) / n, hist(2) / n, hist(3) / n))
       }
-    } catch { case _: java.io.IOException => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Decode a WAV payload: format, frame count, duration, RMS of the 16-bit
     * samples. None for undecodable bytes.
@@ -146,10 +148,7 @@ object Multimodal {
       val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
       Some((fmt.getSampleRate.toInt, nFrames,
         nFrames * 1000.0 / fmt.getSampleRate, rms))
-    } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => None
-      case _: java.io.IOException => None
-    }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** REAL resize: decode, nearest-neighbor-free Graphics2D scale, re-encode.
     * Returns None if the payload doesn't decode.
@@ -165,7 +164,7 @@ object Multimodal {
         javax.imageio.ImageIO.write(scaled, "png", out)
         out.toByteArray
       }
-    } catch { case _: java.io.IOException => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   // ---- table builders ----
 

@@ -41,19 +41,28 @@ object Percentiles {
     val spark = df.sparkSession
     import spark.implicits._
     def name(p: Double) = s"p${math.round(p * 100)}"
+    require(ps.map(name).distinct.size == ps.size,
+      s"percentiles ${ps.mkString(",")} collide after rounding to column names " +
+        s"${ps.map(name).mkString(",")} — request values that differ at 1% granularity")
 
+    // vals feeds the extent pass, the histogram pass and the candidate pass —
+    // persist so the source isn't scanned three times; released at the end.
     val vals = df.select(col(keyCol).cast("string").as("__k"),
       col(valCol).cast("double").as("__v"))
       .where(col("__v").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ---- pass 0: per-group extent ----
-    val stats = vals.groupBy("__k")
+    val statRows = vals.groupBy("__k")
       .agg(count(lit(1)).as("__n"), min("__v").as("__min"), max("__v").as("__max"))
-    val statRows = stats.collect()
+      .collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
 
-    // Deterministic bucket id, identical expression in pass 1 and pass 2.
-    val statsDf = broadcast(stats)
+    // Rebuild the (tiny) stats frame from the collected rows so later uses
+    // are a local relation, not a re-executed full-input aggregation.
+    val statsDf = broadcast(
+      statRows.toSeq.map { case (k, (n, mn, mx)) => (k, n, mn, mx) }
+        .toDF("__k", "__n", "__min", "__max"))
     def withBucket(v: DataFrame): DataFrame = v.join(statsDf, "__k")
       .withColumn("__b",
         when(col("__max") === col("__min"), lit(0L))
@@ -111,6 +120,9 @@ object Percentiles {
       val hi = col(s"${name(p)}_hi")
       (lo + (hi - lo) * frac).as(name(p))
     }
-    pivoted.select(outCols: _*)
+    // Result is one row per group — materialize it and release the cache.
+    val out = pivoted.select(outCols: _*).localCheckpoint(true)
+    vals.unpersist()
+    out
   }
 }

@@ -22,12 +22,19 @@ object RangeJoin {
 
   /** Join point rows to interval rows sharing `keyCol` with
     * pointTs in [startCol, endCol] (inclusive). Long/epoch columns.
-    * Returns all point columns plus `payloadCols` from the interval side.
+    * Returns all point columns plus `payloadCols` from the interval side
+    * (the interval bounds themselves are dropped). Interval-side column
+    * names must not collide with point columns — checked up front so the
+    * failure is a clear message, not an ambiguous-reference analysis error.
     */
   def pointInInterval(points: DataFrame, intervals: DataFrame, keyCol: String,
       pointTsCol: String, startCol: String, endCol: String,
       payloadCols: Seq[String], bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    val collisions = (Seq(startCol, endCol) ++ payloadCols)
+      .intersect(points.columns.toSeq)
+    require(collisions.isEmpty,
+      s"interval columns $collisions collide with point columns — rename one side")
     val iv = intervals.select(
       (Seq(col(keyCol), col(startCol), col(endCol)) ++ payloadCols.map(col)): _*)
       .withColumn("__b", explode(sequence(
@@ -37,6 +44,6 @@ object RangeJoin {
       .withColumn("__b", floor(col(pointTsCol) / bucketWidth).cast("long"))
     pt.join(iv, Seq(keyCol, "__b"))
       .where(col(pointTsCol) >= col(startCol) && col(pointTsCol) <= col(endCol))
-      .drop("__b")
+      .drop("__b", startCol, endCol)
   }
 }

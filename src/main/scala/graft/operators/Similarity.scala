@@ -28,6 +28,19 @@ object Similarity {
     dot(a, b) / (norm(a) * norm(b))
   }
 
+  /** The heap aggregate keys ids as longs; a non-integral id column would
+    * cast to NULL and silently drop every row — fail loudly instead.
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String): Unit = {
+    import org.apache.spark.sql.types._
+    df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"id column '$idCol' must be integral for graft_topk, got " +
+          s"${other.catalogString}; derive a long id first (hash or zipWithIndex)")
+    }
+  }
+
   /** Bounded-heap top-k per query over pre-scored candidates
     * (qid, vid:long, sim:double) -> (qid, vid, sim) best-first.
     */
@@ -48,6 +61,7 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
+    requireIntegralId(corpus, idCol)
     val c = corpus.select(col(idCol).cast("long").as("vid"),
       col(vecCol).cast("array<double>").as("cv"))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
@@ -75,6 +89,7 @@ object Similarity {
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
       iterations: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
+    requireIntegralId(corpus, idCol)
     import graft.functions.GraftFunctions.{graft_cosine, graft_nearest_centroid}
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -165,6 +180,7 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, numPlanes: Int = 8, numTables: Int = 8): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
+    requireIntegralId(corpus, idCol)
     import graft.functions.GraftFunctions.{graft_cosine, graft_hyperplanes}
     val c = corpus.select(col(idCol).cast("long").as("vid"),
       col(vecCol).cast("array<double>").as("cv"))

@@ -31,6 +31,29 @@ class AsofJoinSpec extends SparkSpec {
       (2L, ts(10), None)))
   }
 
+  test("asof backward: matched right row with NULL value yields NULL, not an older value") {
+    val left = Seq((1L, ts(3))).toDF("k", "ts")
+    val right = Seq(
+      (1L, ts(1), Some(10.0)),
+      (1L, ts(2), None)) // the true as-of match, value genuinely NULL
+      .toDF("k", "ts", "v")
+    val got = AsofJoin.asofBackward(left, right, "k", "ts", Seq("v")).collect()
+    assert(got.length == 1)
+    assert(got(0).isNullAt(2),
+      s"expected NULL from the ts=2 match (DuckDB ASOF semantics), got ${got(0)}")
+  }
+
+  test("asof backward: multiple value columns come from the SAME right row") {
+    val left = Seq((1L, ts(10))).toDF("k", "ts")
+    val right = Seq(
+      (1L, ts(1), Some(1.0), Option.empty[String]),
+      (1L, ts(2), Option.empty[Double], Some("b")))
+      .toDF("k", "ts", "v1", "v2")
+    val got = AsofJoin.asofBackward(left, right, "k", "ts", Seq("v1", "v2")).collect()(0)
+    // the ts=2 row wins for BOTH columns: v1 null, v2 "b" — never a blend
+    assert(got.isNullAt(2) && got.getString(3) == "b", got.toString)
+  }
+
   test("asof backward rejects colliding value column names") {
     val df = Seq((1L, ts(0), 1.0)).toDF("k", "ts", "v")
     val err = intercept[IllegalArgumentException] {

@@ -38,6 +38,16 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == Seq("a", "b"))
   }
 
+  test("rejects interval columns that collide with point columns") {
+    val points = Seq((1L, 1L, "x")).toDF("k", "pt", "tag")
+    val intervals = Seq((1L, 0L, 2L, "y")).toDF("k", "s", "e", "tag")
+    val err = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(points, intervals, "k", "pt", "s", "e",
+        Seq("tag"), 10L)
+    }
+    assert(err.getMessage.contains("collide"))
+  }
+
   test("negative timestamps bucket correctly (floor, not truncate-toward-zero)") {
     val points = Seq((1L, -150L)).toDF("k", "pt")
     val intervals = Seq((1L, -200L, -100L, "neg")).toDF("k", "s", "e", "tag")
