@@ -181,6 +181,31 @@ case class HyperplaneSignatures(child: Expression, numPlanes: Int, numTables: In
     copy(child = newChild)
 }
 
+/** graft_project(array<double>, outDim) -> array<double> — deterministic
+  * JL random projection (see VectorOps.project).
+  */
+case class RandomProjection(child: Expression, outDim: Int)
+    extends UnaryExpression {
+  import NativeExprs._
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_project"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isDoubleArray(child.dataType) && outDim > 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double> and outDim > 0")
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.project(input.asInstanceOf[ArrayData], outDim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $Ops.project($c, $outDim);")
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
 /** graft_hyperplane(array<double>, numPlanes) -> bigint bucket id */
 case class HyperplaneSignature(child: Expression, numPlanes: Int)
     extends UnaryExpression {

@@ -90,6 +90,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_topk",
       exprs => TopKByScore(exprs(0), exprs(1), intArg(exprs(2))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_project",
+      exprs => RandomProjection(exprs(0), intArg(exprs(1))), "built-in")
   }
 
   /** Column wrappers (require register(spark) first in the session). */
@@ -110,6 +113,8 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(numTables))
   def graft_topk(id: Column, score: Column, k: Int): Column =
     call_function("graft_topk", id, score, org.apache.spark.sql.functions.lit(k))
+  def graft_project(v: Column, outDim: Int): Column =
+    call_function("graft_project", v, org.apache.spark.sql.functions.lit(outDim))
 }
 
 /** Cluster-wide injection point: SparkSession.builder()
@@ -141,5 +146,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => HyperplaneSignatures(exprs(0), ia(exprs(1)), ia(exprs(2))))
     inject("graft_topk", classOf[TopKByScore],
       exprs => TopKByScore(exprs(0), exprs(1), ia(exprs(2))))
+    inject("graft_project", classOf[RandomProjection],
+      exprs => RandomProjection(exprs(0), ia(exprs(1))))
   }
 }

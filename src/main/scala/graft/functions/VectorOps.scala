@@ -191,6 +191,33 @@ object VectorOps {
     best
   }
 
+  /** Deterministic Johnson-Lindenstrauss random projection to outDim
+    * dimensions: +-1/sqrt(outDim) weights drawn from XXH64(j*65536+d, 7777)
+    * — stateless, identical on every executor, no fitted model to ship.
+    * Pairwise cosines/distances are preserved within the JL distortion
+    * bound, which the x_dim_reduce query measures in-row.
+    */
+  def project(vec: ArrayData, outDim: Int): ArrayData = {
+    val n = vec.numElements()
+    val out = new Array[Double](outDim)
+    val scale = 1.0 / math.sqrt(outDim)
+    var j = 0
+    while (j < outDim) {
+      var acc = 0.0
+      var d = 0
+      while (d < n) {
+        if (!vec.isNullAt(d)) {
+          val w = if ((XXH64.hashLong(j.toLong * 65536 + d, 7777L) & 8L) == 8L) 1.0 else -1.0
+          acc += vec.getDouble(d) * w
+        }
+        d += 1
+      }
+      out(j) = acc * scale
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** XXH64 of a UTF8String with seed (shared by expressions/tests). */
   def hashString(s: UTF8String, seed: Long): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)

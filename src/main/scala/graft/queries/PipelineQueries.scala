@@ -307,6 +307,30 @@ object PipelineQueries {
         coalesce(sum(when(col("dims_ok"), 1L)), lit(0L)).as("n_found"))
     },
 
+    // Dimensionality reduction (deterministic JL random projection) — the
+    // pre-ANN shrink for wide embeddings. Self-attesting: cosine of
+    // consecutive-id pairs before vs after projecting 64 -> 16 dims; the
+    // mean absolute distortion must stay inside the (loose) JL bound.
+    Q.rowsOnly("x_dim_reduce") { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions.{graft_cosine, graft_project}
+      val emb = par(Tables(s, dir, "embeddings"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("p", graft_project(col("v"), 16))
+      val a = emb.select(col("vec_id").as("id"), col("v").as("v1"), col("p").as("p1"))
+      val b = emb.select((col("vec_id") - 1).as("id"), col("v").as("v2"), col("p").as("p2"))
+      val r = a.join(b, "id")
+        .select(graft_cosine(col("v1"), col("v2")).as("c_full"),
+          graft_cosine(col("p1"), col("p2")).as("c_proj"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(abs(col("c_full") - col("c_proj"))), 4).as("mean_abs_distortion"),
+          round(max(abs(col("c_full") - col("c_proj"))), 4).as("max_abs_distortion"))
+        .first()
+      import s.implicits._
+      Seq((r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(1) <= 0.25))
+        .toDF("n_pairs", "mean_abs_distortion", "max_abs_distortion", "within_bound")
+    },
+
     // Deterministic hash-based train/test split — THE reproducible-pipeline
     // split (same row always lands in the same side, no RNG state to carry,
     // new data doesn't reshuffle old assignments). Spark-internal xxhash64

@@ -67,6 +67,28 @@ class KernelPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("graft_project: deterministic, right width, roughly norm-preserving") {
+    GraftFunctions.register(spark)
+    val vecs = (0 until 100).map(i =>
+      Tuple1(Seq.tabulate(64) { d =>
+        math.floorMod(java.lang.Long.rotateLeft(i * 2654435761L + d * 40503L, d % 29), 2000L) / 1000.0 - 1.0
+      }))
+    val df = vecs.toDF("v")
+    val out = df.select(GraftFunctions.graft_project(col("v"), 16).as("p"),
+      graft.operators.Similarity.cosine(col("v"), col("v")).as("self"))
+      .collect()
+    assert(out.forall(_.getSeq[Double](0).length == 16))
+    val again = df.select(GraftFunctions.graft_project(col("v"), 16).as("p"))
+      .collect().map(_.getSeq[Double](0))
+    assert(out.map(_.getSeq[Double](0).toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // JL norm preservation in expectation: projected norm within 2x of original
+    val norms = vecs.zip(again).map { case (Tuple1(v), p) =>
+      (math.sqrt(v.map(x => x * x).sum), math.sqrt(p.map(x => x * x).sum))
+    }
+    assert(norms.forall { case (n0, n1) => n1 > n0 * 0.5 && n1 < n0 * 2.0 },
+      norms.take(5).toString)
+  }
+
   test("hyperplaneSigs: deterministic, table count respected, tables differ on big corpora") {
     GraftFunctions.register(spark)
     val vecs = (0 until 200).map(i =>
