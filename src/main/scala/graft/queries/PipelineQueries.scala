@@ -245,6 +245,65 @@ object PipelineQueries {
         sum(TextFunctions.subwordCount(col("text"))).cast("long").as("total_subwords"))
     },
 
+    // Repetition-based quality filter (Gopher-style): fraction of duplicate
+    // 3-grams inside each doc — high repetition flags boilerplate/spam.
+    // Fully portable list math, real oracle.
+    Q("x_text_repetition",
+      """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+        |  list_transform(generate_series(1, len(t)-2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |  ELSE [array_to_string(t, ' ')] END AS s FROM tok)
+        |SELECT doc_id, round(1.0 - CAST(len(list_distinct(s)) AS DOUBLE) / len(s), 4)
+        |  AS dup_ngram_frac
+        |FROM sh ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = split(lower(col("text")), " ")
+      // all 3-gram occurrences (not the distinct set): transform over the
+      // sliding index range, matching the oracle's generate_series
+      val grams = when(size(toks) >= 3,
+        transform(sequence(lit(0), size(toks) - 3),
+          i => concat_ws(" ", element_at(toks, i + 1),
+            element_at(toks, i + 2), element_at(toks, i + 3))))
+        .otherwise(array(concat_ws(" ", toks)))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          round(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams), 4)
+            .as("dup_ngram_frac"))
+        .orderBy("doc_id")
+    },
+
+    // Benchmark decontamination: flag corpus docs sharing any 4-gram with a
+    // "benchmark" set (here: doc_id < 5). The shape that matters at 100 TB:
+    // benchmark shingles are a distinct broadcast set, the corpus explodes
+    // ONLY to (doc_id, shingle) pairs, and the flag is a semi-join — no
+    // all-pairs document comparison anywhere.
+    Q("x_decontaminate",
+      """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 4 THEN
+        |  list_transform(generate_series(1, len(t)-3),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+        |  ELSE [array_to_string(t, ' ')] END) AS g FROM tok),
+        |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id < 5),
+        |flagged AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bench b ON s.g = b.g
+        |  WHERE s.doc_id >= 5)
+        |SELECT (SELECT count(*) FROM flagged) AS n_contaminated,
+        |(SELECT count(*) FROM documents WHERE doc_id >= 5) AS n_checked""".stripMargin) { (s, dir) =>
+      val toks = split(lower(col("text")), " ")
+      val grams = when(size(toks) >= 4,
+        transform(sequence(lit(0), size(toks) - 4),
+          i => concat_ws(" ", (1 to 4).map(o => element_at(toks, i + o)): _*)))
+        .otherwise(array(concat_ws(" ", toks)))
+      val sh = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(grams).as("g"))
+      val bench = sh.where(col("doc_id") < 5).select("g").distinct()
+      val flagged = sh.where(col("doc_id") >= 5)
+        .join(broadcast(bench), "g")
+        .select("doc_id").distinct()
+      val nChecked = Tables(s, dir, "documents").where(col("doc_id") >= 5).count()
+      import s.implicits._
+      Seq((flagged.count(), nChecked)).toDF("n_contaminated", "n_checked")
+    },
+
     // Document fingerprinting (md5 content key; rolling-hash variant is a
     // custom Catalyst expression exercised in tests).
     Q("x_text_fingerprint",
