@@ -166,6 +166,82 @@ object Multimodal {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Render a doc as a real multi-frame GIF (the JDK's stand-in for a video
+    * container — same frame-sequence shape, real codec both directions).
+    * Frame f shifts the pixel pattern so frames are distinguishable.
+    */
+  def renderGif(docId: Long, text: String, nFrames: Int): Array[Byte] = {
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val w = 16; val h = 12
+    val out = new ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nFrames) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val i = y * w + x + f * 7 // frame-dependent shift
+          def b(k: Int): Int =
+            if (bytes.isEmpty) ((docId + k * 31 + i) % 256).toInt
+            else bytes(math.floorMod(i * 3 + k, bytes.length)) & 0xff
+          img.setRGB(x, y, (b(0) << 16) | (b(1) << 8) | b(2))
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    out.toByteArray
+  }
+
+  /** REAL frame sampling: open the multi-frame payload with the JDK GIF
+    * reader and decode every `everyK`-th frame only (the reader seeks by
+    * frame index — unsampled frames are not decoded). Returns
+    * (frameIndex, width, height, meanLuma) per sampled frame; Nil for
+    * undecodable payloads.
+    */
+  def sampleFrames(payload: Array[Byte], everyK: Int): Seq[(Int, Int, Int, Double)] =
+    try {
+      require(everyK > 0)
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) Nil
+      else {
+        val reader = readers.next()
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        val sampled = (0 until n by everyK).map { f =>
+          val img = reader.read(f)
+          var luma = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val p = img.getRGB(x, y)
+              luma += (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 + (p & 0xff) * 114) / 1000
+              x += 1
+            }
+            y += 1
+          }
+          (f, img.getWidth, img.getHeight,
+            luma.toDouble / (img.getWidth * img.getHeight))
+        }
+        reader.dispose()
+        sampled
+      }
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+
   // ---- table builders ----
 
   /** Wrap the documents table's text as a raw binary payload column (the

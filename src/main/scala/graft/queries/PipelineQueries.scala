@@ -349,6 +349,27 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    // REAL frame sampling over a multi-frame container (JDK GIF codec as
+    // the video stand-in): render 8-frame GIFs, decode every 3rd frame
+    // only. Self-attesting: 3 sampled frames per doc at the rendered dims.
+    Q.rowsOnly("x_media_frames") { (s, dir) =>
+      val docs = par(Tables(s, dir, "documents")).where(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"))
+      val spark2 = s
+      import spark2.implicits._
+      val sampled = docs.as[(Long, String)].mapPartitions(_.map { case (id, text) =>
+        val gif = Multimodal.renderGif(id, text, nFrames = 8)
+        val frames = Multimodal.sampleFrames(gif, everyK = 3)
+        (id, frames.length,
+          frames.forall { case (_, w, h, _) => w == 16 && h == 12 },
+          frames.map(_._4).sum / math.max(frames.length, 1))
+      }).toDF("doc_id", "n_sampled", "dims_ok", "mean_luma")
+      sampled.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(when(col("n_sampled") === 3 && col("dims_ok"), 1L)), lit(0L))
+          .as("n_ok"),
+        round(avg("mean_luma"), 2).as("avg_luma"))
+    },
+
     // REAL resize: decode -> Graphics2D scale to 8x8 -> re-encode -> decode
     // again; every row must come back at the target dimensions.
     Q.rowsOnly("x_media_resize") { (s, dir) =>

@@ -166,6 +166,21 @@ class PipelineSpec extends SparkSpec {
     assert(back.isDefined && back.get._1 == 8 && back.get._2 == 8)
   }
 
+  test("multimodal: REAL gif frame sampling decodes only every k-th frame") {
+    val gif = Multimodal.renderGif(11L, "some document text for frames", nFrames = 8)
+    val all = Multimodal.sampleFrames(gif, everyK = 1)
+    assert(all.length == 8)
+    assert(all.forall { case (_, w, h, _) => w == 16 && h == 12 })
+    val sampled = Multimodal.sampleFrames(gif, everyK = 3)
+    assert(sampled.map(_._1) == Seq(0, 3, 6))
+    // frames differ (the renderer shifts the pattern per frame)
+    assert(all.map(_._4).distinct.length > 1, "frames are identical")
+    // sampled luma values match the corresponding full-decode frames
+    val byIdx = all.map(f => f._1 -> f._4).toMap
+    assert(sampled.forall { case (i, _, _, l) => math.abs(byIdx(i) - l) < 1e-9 })
+    assert(Multimodal.sampleFrames("junk".getBytes, 2).isEmpty)
+  }
+
   test("multimodal: REAL wav decode recovers format, duration and amplitude") {
     val wav = Multimodal.renderWav(docId = 3L, nChars = 250L)
     val Some((sr, frames, ms, rms)) = Multimodal.decodeWav(wav)
