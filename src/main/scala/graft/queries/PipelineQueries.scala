@@ -257,18 +257,21 @@ object PipelineQueries {
         |SELECT doc_id, round(1.0 - CAST(len(list_distinct(s)) AS DOUBLE) / len(s), 4)
         |  AS dup_ngram_frac
         |FROM sh ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val toks = split(lower(col("text")), " ")
-      // all 3-gram occurrences (not the distinct set): transform over the
-      // sliding index range, matching the oracle's generate_series
+      // materialize the token array as a bound column FIRST: transform() is
+      // an interpreted HOF, and referencing the split(...) expression inside
+      // its lambda would re-tokenize the doc per element (O(tokens^2))
+      val toks = col("__t")
       val grams = when(size(toks) >= 3,
         transform(sequence(lit(0), size(toks) - 3),
           i => concat_ws(" ", element_at(toks, i + 1),
             element_at(toks, i + 2), element_at(toks, i + 3))))
         .otherwise(array(concat_ws(" ", toks)))
       Tables(s, dir, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("__t"))
+        .select(col("doc_id"), grams.as("__g"))
         .select(col("doc_id"),
-          round(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams), 4)
-            .as("dup_ngram_frac"))
+          round(lit(1.0) - size(array_distinct(col("__g"))).cast("double")
+            / size(col("__g")), 4).as("dup_ngram_frac"))
         .orderBy("doc_id")
     },
 
@@ -288,12 +291,14 @@ object PipelineQueries {
         |  WHERE s.doc_id >= 5)
         |SELECT (SELECT count(*) FROM flagged) AS n_contaminated,
         |(SELECT count(*) FROM documents WHERE doc_id >= 5) AS n_checked""".stripMargin) { (s, dir) =>
-      val toks = split(lower(col("text")), " ")
+      // tokens bound as a column first — see x_text_repetition
+      val toks = col("__t")
       val grams = when(size(toks) >= 4,
         transform(sequence(lit(0), size(toks) - 4),
           i => concat_ws(" ", (1 to 4).map(o => element_at(toks, i + o)): _*)))
         .otherwise(array(concat_ws(" ", toks)))
       val sh = Tables(s, dir, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("__t"))
         .select(col("doc_id"), explode(grams).as("g"))
       val bench = sh.where(col("doc_id") < 5).select("g").distinct()
       val flagged = sh.where(col("doc_id") >= 5)
