@@ -87,7 +87,14 @@ object VectorOps {
     * projections; weights derived from XXH64(plane*65536+dim) — stateless,
     * identical on every executor.
     */
-  def hyperplaneSig(vec: ArrayData, numPlanes: Int): Long = {
+  def hyperplaneSig(vec: ArrayData, numPlanes: Int): Long =
+    sigForTable(vec, numPlanes, 0L)
+
+  /** One table's signature: sign bits of numPlanes projections whose
+    * +-1 weights come from XXH64(plane*65536+dim, table). Shared by the
+    * single-signature and OR-amplified variants.
+    */
+  private def sigForTable(vec: ArrayData, numPlanes: Int, table: Long): Long = {
     val n = vec.numElements()
     var sig = 0L
     var p = 0
@@ -96,7 +103,7 @@ object VectorOps {
       var d = 0
       while (d < n) {
         if (!vec.isNullAt(d)) {
-          val w = if ((XXH64.hashLong(p.toLong * 65536 + d, 0L) & 8L) == 8L) 1.0 else -1.0
+          val w = if ((XXH64.hashLong(p.toLong * 65536 + d, table) & 8L) == 8L) 1.0 else -1.0
           proj += vec.getDouble(d) * w
         }
         d += 1
@@ -137,26 +144,10 @@ object VectorOps {
     * recall past 0.98 while each bucket join stays shuffle-linear.
     */
   def hyperplaneSigs(vec: ArrayData, numPlanes: Int, numTables: Int): ArrayData = {
-    val n = vec.numElements()
     val sigs = new Array[Long](numTables)
     var t = 0
     while (t < numTables) {
-      var sig = 0L
-      var p = 0
-      while (p < numPlanes) {
-        var proj = 0.0
-        var d = 0
-        while (d < n) {
-          if (!vec.isNullAt(d)) {
-            val w = if ((XXH64.hashLong(p.toLong * 65536 + d, t.toLong) & 8L) == 8L) 1.0 else -1.0
-            proj += vec.getDouble(d) * w
-          }
-          d += 1
-        }
-        if (proj > 0) sig |= (1L << p)
-        p += 1
-      }
-      sigs(t) = sig
+      sigs(t) = sigForTable(vec, numPlanes, t.toLong)
       t += 1
     }
     new GenericArrayData(sigs)

@@ -43,6 +43,14 @@ object Multimodal {
 
   // ---- deterministic payload rendering (fixture -> real format bytes) ----
 
+  /** Deterministic pixel byte for channel k at linear index i — text bytes
+    * cycled, hash fallback for empty docs. Shared by the PNG and GIF
+    * renderers so their pixel content stays consistent.
+    */
+  private def pixelByte(docId: Long, bytes: Array[Byte], i: Int, k: Int): Int =
+    if (bytes.isEmpty) ((docId + k * 31 + i) % 256).toInt
+    else bytes(math.floorMod(i * 3 + k, bytes.length)) & 0xff
+
   /** Render a doc as a real PNG: 24x16 RGB, pixels derived from the text
     * bytes (cycled) so content differences are visible in channel stats.
     */
@@ -56,10 +64,8 @@ object Multimodal {
       var x = 0
       while (x < w) {
         val i = y * w + x
-        def b(k: Int): Int =
-          if (bytes.isEmpty) ((docId + k * 31 + i) % 256).toInt
-          else bytes(math.floorMod(i * 3 + k, bytes.length)) & 0xff
-        img.setRGB(x, y, (b(0) << 16) | (b(1) << 8) | b(2))
+        img.setRGB(x, y, (pixelByte(docId, bytes, i, 0) << 16)
+          | (pixelByte(docId, bytes, i, 1) << 8) | pixelByte(docId, bytes, i, 2))
         x += 1
       }
       y += 1
@@ -187,10 +193,8 @@ object Multimodal {
         var x = 0
         while (x < w) {
           val i = y * w + x + f * 7 // frame-dependent shift
-          def b(k: Int): Int =
-            if (bytes.isEmpty) ((docId + k * 31 + i) % 256).toInt
-            else bytes(math.floorMod(i * 3 + k, bytes.length)) & 0xff
-          img.setRGB(x, y, (b(0) << 16) | (b(1) << 8) | b(2))
+          img.setRGB(x, y, (pixelByte(docId, bytes, i, 0) << 16)
+            | (pixelByte(docId, bytes, i, 1) << 8) | pixelByte(docId, bytes, i, 2))
           x += 1
         }
         y += 1

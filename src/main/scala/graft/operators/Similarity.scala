@@ -42,9 +42,10 @@ object Similarity {
   }
 
   /** Bounded-heap top-k per query over pre-scored candidates
-    * (qid, vid:long, sim:double) -> (qid, vid, sim) best-first.
+    * (qid, vid:long, sim:double) -> (qid, vid, sim) best-first. Shared by
+    * every ANN path here and by streaming.VectorIndexStream.probe.
     */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+  private[graft] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     import graft.functions.GraftFunctions.graft_topk
     scored
       .groupBy("qid")

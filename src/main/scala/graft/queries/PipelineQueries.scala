@@ -21,6 +21,16 @@ object PipelineQueries {
   private def par(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Deterministic near-duplicate perturbation for self-attestation:
+    * alternating +/-25% per-dim scale => cosine ~0.97 to the source —
+    * above the 0.95 dedup threshold but far enough from 1.0 that LSH
+    * buckets genuinely differ per table.
+    */
+  private def perturb(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(vec, (x, i) =>
+      x * (lit(1.0) + lit(0.25) * when(pmod(i, lit(2)) === 0, lit(1.0))
+        .otherwise(lit(-1.0))))
+
   val all: Seq[Q] = Seq(
 
     // -- Deduplication --------------------------------------------------
@@ -112,9 +122,7 @@ object PipelineQueries {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       val injected = emb.where(col("vec_id") < 20)
         .select((col("vec_id") + 1000000L).as("vec_id"),
-          transform(col("embedding"), (x, i) =>
-            x * (lit(1.0) + lit(0.25) * when(pmod(i, lit(2)) === 0, lit(1.0))
-              .otherwise(lit(-1.0)))).as("embedding"))
+          perturb(col("embedding")).as("embedding"))
       val pairs = Dedup.embeddingNearDup(emb.unionByName(injected),
         "vec_id", "embedding", threshold = 0.95, numPlanes = 8, numTables = 8)
       pairs.agg(count(lit(1)).as("n_dup_pairs"),
@@ -153,9 +161,7 @@ object PipelineQueries {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       val queries = emb.where(col("vec_id") < 20)
         .select((col("vec_id") + 1000000L).as("vec_id"),
-          transform(col("embedding"), (x, i) =>
-            x * (lit(1.0) + lit(0.25) * when(pmod(i, lit(2)) === 0, lit(1.0))
-              .otherwise(lit(-1.0)))).as("embedding"))
+          perturb(col("embedding")).as("embedding"))
       val topk = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
         k = 10, numPlanes = 8, numTables = 8)
       val nFound = topk.where(col("vid") === col("qid") - 1000000L).count()
@@ -360,8 +366,7 @@ object PipelineQueries {
     Q.rowsOnly("x_media_frames") { (s, dir) =>
       val docs = par(Tables(s, dir, "documents")).where(col("doc_id") < 100)
         .select(col("doc_id"), col("text"))
-      val spark2 = s
-      import spark2.implicits._
+      import s.implicits._
       val sampled = docs.as[(Long, String)].mapPartitions(_.map { case (id, text) =>
         val gif = Multimodal.renderGif(id, text, nFrames = 8)
         val frames = Multimodal.sampleFrames(gif, everyK = 3)
@@ -380,8 +385,7 @@ object PipelineQueries {
     Q.rowsOnly("x_media_resize") { (s, dir) =>
       val imgs = Multimodal.asImageTable(
         par(Tables(s, dir, "documents")).where(col("doc_id") < 100))
-      val spark2 = s
-      import spark2.implicits._
+      import s.implicits._
       val roundTrip = imgs.mapPartitions(_.map { r =>
         val dims = Multimodal.resizePng(r.payload, 8, 8)
           .flatMap(Multimodal.decodeImage)

@@ -48,7 +48,7 @@ object VectorIndexStream {
   def probe(spark: SparkSession, indexPath: String, queries: DataFrame,
       k: Int, numPlanes: Int = 8, numTables: Int = 8): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    import graft.functions.GraftFunctions.{graft_cosine, graft_hyperplanes, graft_topk}
+    import graft.functions.GraftFunctions.{graft_cosine, graft_hyperplanes}
     val q = queries.select(col("vec_id").as("qid"),
       col("embedding").cast("array<double>").as("qv"))
       .select(col("qid"), col("qv"),
@@ -65,10 +65,6 @@ object VectorIndexStream {
     val scored = index.join(broadcast(q), Seq("t", "bucket"))
       .withColumn("sim", round(graft_cosine(col("v"), col("qv")), 4))
       .groupBy("qid", "vid").agg(max("sim").as("sim"))
-    scored
-      .groupBy("qid")
-      .agg(graft_topk(col("vid").cast("long"), col("sim"), k).as("tk"))
-      .select(col("qid"), explode(col("tk")).as("e"))
-      .select(col("qid"), col("e.vid").as("vid"), col("e.sim").as("sim"))
+    graft.operators.Similarity.topKPerQuery(scored, k)
   }
 }

@@ -7,6 +7,10 @@ class StreamingSpec extends SparkSpec {
 
   import spark.implicits._
 
+  private def simpleSchema(fields: (String, org.apache.spark.sql.types.DataType)*) =
+    org.apache.spark.sql.types.StructType(fields.map { case (n, t) =>
+      org.apache.spark.sql.types.StructField(n, t) })
+
   test("streaming hourly counts == batch hourly counts (memory sink)") {
     // the file stream source requires a directory: stage the table file
     val dir = java.nio.file.Files.createTempDirectory("graft-stream")
@@ -102,11 +106,11 @@ class StreamingSpec extends SparkSpec {
           lit("view").as("event_type"), lit(1.0).as("value"))
         .write.mode("append").parquet(src.toString)
     }
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
-      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    val schema = simpleSchema(
+      "user_id" -> org.apache.spark.sql.types.LongType,
+      "ts" -> org.apache.spark.sql.types.TimestampType,
+      "event_type" -> org.apache.spark.sql.types.StringType,
+      "value" -> org.apache.spark.sql.types.DoubleType)
     val stream = spark.readStream.schema(schema).parquet(src.toString)
       .as[EventStreams.Event]
     // 2-second event-time gap; the watermark (not wall clock) closes sessions
@@ -139,11 +143,11 @@ class StreamingSpec extends SparkSpec {
 
   test("stream-stream join pairs within the window and evicts state") {
     val src = java.nio.file.Files.createTempDirectory("graft-ssj")
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
-      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    val schema = simpleSchema(
+      "user_id" -> org.apache.spark.sql.types.LongType,
+      "ts" -> org.apache.spark.sql.types.TimestampType,
+      "event_type" -> org.apache.spark.sql.types.StringType,
+      "value" -> org.apache.spark.sql.types.DoubleType)
     val base = 1767225600000L // 2026-01-01T00:00:00Z
     def write(rows: Seq[(Long, Long, String, Double)]): Unit =
       rows.toDF("user_id", "ms", "event_type", "value")
@@ -223,10 +227,9 @@ class StreamingSpec extends SparkSpec {
     def writeBatch(ids: Range): Unit =
       ids.map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
         .write.mode("append").parquet(src.toString)
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("embedding",
-        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
+    val schema = simpleSchema(
+      "vec_id" -> org.apache.spark.sql.types.LongType,
+      "embedding" -> org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
     val stream = spark.readStream.schema(schema).parquet(src.toString)
     val q = VectorIndexStream.indexSink(stream, idx).start()
     try {
