@@ -15,25 +15,42 @@ object ApproxQueries {
   val all: Seq[Q] = Seq(
 
     // R1: sample(withReplacement=false, fraction) (partitionwise_sampled_rdd.rs)
+    // GATED: the Bernoulli sample must land near the requested fraction —
+    // a broken sampler (all rows / no rows) throws.
     Q.rowsOnly("r1_sample") { (s, dir) =>
-      Tables(s, dir, "lineitem").sample(withReplacement = false, 0.1, seed = 42)
-        .agg(count(lit(1)).as("n_sampled"))
+      val li = Tables(s, dir, "lineitem")
+      val total = li.count()
+      Gate(li.sample(withReplacement = false, 0.1, seed = 42)
+        .agg(count(lit(1)).as("n_sampled"), lit(total).as("n_total"),
+          round(count(lit(1)) / lit(total.toDouble), 4).as("sample_frac")),
+        col("sample_frac").between(0.05, 0.15),
+        "10% Bernoulli sample must land within [5%, 15%]")
     },
 
-    // R2: take_sample — exact-size sample (rdd.rs:717-783)
+    // R2: take_sample — exact-size sample (rdd.rs:717-783). GATED: must
+    // return exactly `num` rows, each an existing key.
     Q.rowsOnly("r2_take_sample") { (s, dir) =>
       import s.implicits._
       val taken = Tables(s, dir, "lineitem").select("l_orderkey")
         .rdd.takeSample(withReplacement = false, num = 100, seed = 42)
+      Gate.check(taken.length == 100,
+        s"takeSample returned ${taken.length} rows, expected exactly 100")
       s.createDataset(taken.map(_.getLong(0)).sorted.toSeq).toDF("l_orderkey")
     },
 
-    // R3: random_split(weights, seed) (rdd.rs:623-672) — split sizes.
+    // R3: random_split(weights, seed) (rdd.rs:623-672) — split sizes. GATED:
+    // splits must partition the input (disjoint ranges of one uniform draw)
+    // and respect the 70/30 weights within Bernoulli slack.
     Q.rowsOnly("r3_random_split") { (s, dir) =>
       import s.implicits._
-      val splits = Tables(s, dir, "lineitem")
-        .randomSplit(Array(0.7, 0.3), seed = 42)
-      s.createDataset(splits.zipWithIndex.map { case (df, i) => (i, df.count()) }.toSeq)
+      val li = Tables(s, dir, "lineitem")
+      val total = li.count()
+      val splits = li.randomSplit(Array(0.7, 0.3), seed = 42)
+      val counts = splits.map(_.count())
+      Gate.check(counts.sum == total &&
+        math.abs(counts(0).toDouble / total - 0.7) <= 0.05,
+        s"randomSplit sizes ${counts.mkString(",")} of $total violate the 70/30 contract")
+      s.createDataset(counts.zipWithIndex.map { case (n, i) => (i, n) }.toSeq)
         .toDF("split_id", "n")
     },
 
@@ -69,8 +86,10 @@ object ApproxQueries {
         approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx")).first()
       val (exact, approx) = (r.getLong(0), r.getLong(1))
       val relErr = math.abs(approx - exact).toDouble / exact
+      Gate.check(relErr <= 0.06, // 3x rsd — generous, deterministic sketch
+        s"HLL estimate $approx vs exact $exact: rel_err $relErr exceeds 3x rsd")
       Seq((exact, approx, math.round(relErr * 10000) / 10000.0,
-        relErr <= 0.06)) // 3x rsd — generous, deterministic sketch
+        relErr <= 0.06))
         .toDF("exact", "approx", "rel_err", "within_bound")
     }
   )

@@ -41,6 +41,18 @@ object CoreQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // A1: collect() (rdd.rs:420-434) — driver materialization preserves
+    // partition-then-element order; attested on the raw collect() result
+    // over a multi-partition parallelize, then oracled on the values.
+    Q("a1_collect",
+      "SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8)) AS t(x) ORDER BY x") { (s, _) =>
+      import s.implicits._
+      val collected = s.sparkContext.parallelize(1 to 8, numSlices = 4).collect()
+      Gate.check(collected.sameElements(1 to 8),
+        s"collect() reordered partitions: ${collected.mkString(",")}")
+      s.createDataset(collected.toSeq).toDF("x").orderBy("x")
+    },
+
     // A2: count() (rdd.rs:436-447)
     Q("a2_count", "SELECT count(*) AS n_rows FROM lineitem") { (s, dir) =>
       Tables(s, dir, "lineitem").agg(count(lit(1)).as("n_rows"))
@@ -101,22 +113,32 @@ object CoreQueries {
     },
 
     // P5: glom — one row per partition (rdd.rs:239-252); rows-only since the
-    // partition layout is an execution detail.
+    // partition layout is an execution detail. GATED: the per-partition
+    // lengths must sum back to the table's row count (glom loses nothing).
     Q.rowsOnly("p5_glom") { (s, dir) =>
       import s.implicits._
-      val sizes = Tables(s, dir, "lineitem").select(col("l_orderkey")).as[Long]
+      val li = Tables(s, dir, "lineitem").select(col("l_orderkey"))
+      val sizes = li.as[Long]
         .mapPartitions(it => Iterator.single(it.length.toLong)).collect().sorted
+      val expected = li.count()
+      Gate.check(sizes.sum == expected,
+        s"glom partition sizes sum to ${sizes.sum}, table has $expected rows")
       s.createDataset(Seq((sizes.length.toLong, sizes.sum)))
         .toDF("n_partitions", "n_rows")
     },
 
     // S5: whole-file binary source (local_file_reader.rs bytes flavor);
-    // rows-only (file sizes aren't visible to the SQL oracle).
+    // rows-only (file sizes aren't visible to the SQL oracle). GATED against
+    // the filesystem's own listing: file count and byte totals must match.
     Q.rowsOnly("s5_binary_files") { (s, dir) =>
-      import s.implicits._
+      val onDisk = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
       val files = s.read.format("binaryFile").load(s"$dir/*.parquet")
         .select(col("path"), length(col("content")).as("n_bytes"))
-      files.agg(count(lit(1)).as("n_files"), sum("n_bytes").as("total_bytes"))
+      Gate(files.agg(count(lit(1)).as("n_files"), sum("n_bytes").as("total_bytes")),
+        col("n_files") === lit(onDisk.length.toLong) &&
+          col("total_bytes") === lit(onDisk.map(_.length()).sum),
+        s"binaryFile scan must match the filesystem listing of $dir")
     },
 
     // A8: top(k) — TakeOrderedAndProjectExec = vega's bounded-heap top-k

@@ -21,3 +21,41 @@ object Q {
   def rowsOnly(name: String)(run: (SparkSession, String) => DataFrame): Q =
     Q(name, run, None)
 }
+
+/** Self-GATING attestation for rows-only queries. A rows-only entry only
+  * shows the driver `spark_rows`, so an in-row recall/count check alone
+  * can't turn the scoreboard red — a broken kernel would still emit a
+  * green-looking stats row. `Gate` closes that: it materializes the (tiny)
+  * stats frame, evaluates the attestation predicate on every row, and
+  * THROWS on any violation. Verify catches per-query throwables and skips
+  * the parquet dump, so a failed attestation surfaces as `err` in
+  * CORRECTNESS instead of a silent pass.
+  */
+object Gate {
+  import org.apache.spark.sql.{Column, Row}
+  import org.apache.spark.sql.functions.{coalesce, lit}
+
+  /** Evaluate `ok` on every row of `df`; throw if any row fails (or the
+    * frame is empty — an empty attestation attests nothing). Returns the
+    * already-materialized rows as a local DataFrame so callers don't pay
+    * for the computation twice.
+    */
+  def apply(df: DataFrame, ok: Column, what: String): DataFrame = {
+    val rows = df.withColumn("__gate_ok", coalesce(ok, lit(false))).collect()
+    if (rows.isEmpty)
+      throw new IllegalStateException(s"self-attestation failed [$what]: empty result")
+    val bad = rows.filter(r => !r.getBoolean(r.fieldIndex("__gate_ok")))
+    if (bad.nonEmpty)
+      throw new IllegalStateException(
+        s"self-attestation failed [$what]: ${bad.take(3).mkString("; ")}")
+    val trimmed = rows.map(r => Row.fromSeq(r.toSeq.dropRight(1)))
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(trimmed: _*), df.schema)
+  }
+
+  /** Driver-side gate for queries that already hold their attested values
+    * as plain Scala — same failure contract as `apply`.
+    */
+  def check(cond: Boolean, what: => String): Unit =
+    if (!cond) throw new IllegalStateException(s"self-attestation failed: $what")
+}
