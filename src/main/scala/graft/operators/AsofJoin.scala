@@ -44,7 +44,16 @@ object AsofJoin {
       .withColumn("__rv", lit(null).cast(
         org.apache.spark.sql.types.StructType(valueCols.map(c => right.schema(c)))))
       .select((leftCols.map(col) :+ col("__side")) :+ col("__rv"): _*)
+    // A right row with a NULL key or NULL ts can never satisfy the join
+    // predicate (key equality + ts range both reject NULL) — but unfiltered
+    // it WOULD pollute the window: NULLs sort first in ascending order, so a
+    // NULL-ts right row would carry its values to every left row of its key,
+    // and NULL-key rows would co-partition with NULL-key left rows. Left-side
+    // NULLs need no filter: a NULL-ts left row sorts before every surviving
+    // right row and a NULL-key left row shares its partition only with other
+    // left rows, so both carry the correct empty match.
     val r = right
+      .where(col(keyCol).isNotNull && col(tsCol).isNotNull)
       .withColumn("__rv", struct(valueCols.map(col): _*))
       .select(
         (Seq(col(keyCol), col(tsCol), lit(0).as("__side"), col("__rv")) ++

@@ -182,6 +182,10 @@ object Multimodal {
     val out = new ByteArrayOutputStream()
     val ios = javax.imageio.ImageIO.createImageOutputStream(out)
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    // try/finally on the writer/stream pair: ImageIO output streams are
+    // file-cache backed by default, so an exception path that skips close()
+    // leaks a temp-file handle per call on a long-lived executor.
+    try {
     writer.setOutput(ios)
     writer.prepareWriteSequence(null)
     var f = 0
@@ -203,8 +207,9 @@ object Multimodal {
       f += 1
     }
     writer.endWriteSequence()
-    ios.close()
-    writer.dispose()
+    } finally {
+      try ios.close() finally writer.dispose()
+    }
     out.toByteArray
   }
 
@@ -217,33 +222,39 @@ object Multimodal {
   def sampleFrames(payload: Array[Byte], everyK: Int): Seq[(Int, Int, Int, Double)] =
     try {
       require(everyK > 0)
+      // iis is file-cache backed by default: close it (and dispose the
+      // reader) on EVERY path, including a throw from reader.read on corrupt
+      // bytes — a stream of bad payloads must not leak temp-file handles on
+      // a long-lived executor.
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new ByteArrayInputStream(payload))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) Nil
-      else {
-        val reader = readers.next()
-        reader.setInput(iis)
-        val n = reader.getNumImages(true)
-        val sampled = (0 until n by everyK).map { f =>
-          val img = reader.read(f)
-          var luma = 0L
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              val p = img.getRGB(x, y)
-              luma += (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 + (p & 0xff) * 114) / 1000
-              x += 1
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) Nil
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            (0 until n by everyK).map { f =>
+              val img = reader.read(f)
+              var luma = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val p = img.getRGB(x, y)
+                  luma += (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 + (p & 0xff) * 114) / 1000
+                  x += 1
+                }
+                y += 1
+              }
+              (f, img.getWidth, img.getHeight,
+                luma.toDouble / (img.getWidth * img.getHeight))
             }
-            y += 1
-          }
-          (f, img.getWidth, img.getHeight,
-            luma.toDouble / (img.getWidth * img.getHeight))
+          } finally reader.dispose()
         }
-        reader.dispose()
-        sampled
-      }
+      } finally iis.close()
     } catch { case scala.util.control.NonFatal(_) => Nil }
 
   // ---- table builders ----

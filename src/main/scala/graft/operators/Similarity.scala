@@ -99,6 +99,7 @@ object Similarity {
     val c = corpus.select(col(idCol).cast("long").as("vid"),
       col(vecCol).cast("array<double>").as("cv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
 
     // ---- fit: Lloyd's iterations. Centroids live on the driver
     // (nlist x dim doubles — a few KB). Each pass is ONE narrow job: every
@@ -107,9 +108,16 @@ object Similarity {
     // 1000-executor cluster merges partials in a tree, not on the driver).
     // Zero shuffle of the corpus, zero replication — the same update shape
     // Spark MLlib's k-means uses.
+    // Seeding: the nlist lowest-id vectors. orderBy+limit compiles to
+    // TakeOrderedAndProject — a per-partition bounded heap of nlist rows
+    // merged on the driver, NOT a global sort — and unlike a bare limit()
+    // (nondeterministic under partition racing) the result is identical on
+    // every cluster layout, which the fixed-iteration fit depends on.
     var centroids: Array[Array[Double]] =
       c.orderBy("vid").limit(nlist).select("cv").collect()
         .map(_.getSeq[Double](0).toArray)
+    require(centroids.nonEmpty,
+      s"ivfTopK: corpus has no rows with a non-null '$vecCol' — cannot seed $nlist centroids")
     val vecRdd = c.select("cv").as[Seq[Double]].rdd.map(_.toArray)
 
     for (_ <- 1 to iterations) {
@@ -165,10 +173,10 @@ object Similarity {
     val scored = index.join(broadcast(probes), "cid")
       .withColumn("sim", round(graft_cosine(col("cv"), col("qv")), 4))
     // Materialize the (tiny) top-k result eagerly so the corpus cache can be
-    // released instead of squatting for the rest of the session.
-    val out = topKPerQuery(scored, k).localCheckpoint(true)
-    c.unpersist()
-    out
+    // released instead of squatting for the rest of the session — the
+    // finally releases it even when fit/search throws mid-flight.
+    topKPerQuery(scored, k).localCheckpoint(true)
+    } finally c.unpersist()
   }
 
   /** LSH-bucketed approximate top-k, OR-amplified over numTables independent
@@ -183,6 +191,15 @@ object Similarity {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     requireIntegralId(corpus, idCol)
     import graft.functions.GraftFunctions.{graft_cosine, graft_hyperplanes}
+    // The corpus row (vector included) is duplicated numTables-fold by the
+    // posexplode — acceptable HERE, unlike in Dedup.embeddingNearDup, because
+    // the duplicates never reach an exchange: generate -> project -> broadcast-
+    // hash probe on (t, bucket) run inside ONE whole-stage pipeline, so each
+    // duplicate exists transiently per-row and non-matching candidates die at
+    // the probe. (Dedup's bucket join is a corpus-corpus SHUFFLE join — there
+    // the exploded rows ride the wire, so it bands ids only and joins vectors
+    // back; doing that here would mean broadcasting an unbounded candidate
+    // set or shuffling the corpus by vid to re-attach vectors.)
     val c = corpus.select(col(idCol).cast("long").as("vid"),
       col(vecCol).cast("array<double>").as("cv"))
       .select(col("vid"), col("cv"),

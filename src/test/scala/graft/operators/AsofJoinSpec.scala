@@ -54,6 +54,25 @@ class AsofJoinSpec extends SparkSpec {
     assert(got.isNullAt(2) && got.getString(3) == "b", got.toString)
   }
 
+  test("asof backward: NULL right ts/key rows never match; NULL left ts/key rows match nothing") {
+    val left = Seq(
+      (Some(1L), Some(ts(10))),          // normal row — must match right@5, NOT the null-ts row
+      (Some(1L), Option.empty[java.sql.Timestamp]), // null left ts -> no right row precedes it
+      (Option.empty[Long], Some(ts(10)))) // null left key -> equality matches nothing
+      .toDF("k", "ts")
+    val right = Seq(
+      (Some(1L), Some(ts(5)), 50.0),
+      (Some(1L), Option.empty[java.sql.Timestamp], 999.0), // null ts: sorts first unfiltered -> would leak 999 everywhere
+      (Option.empty[Long], Some(ts(1)), 888.0))            // null key: would co-partition with null-key left rows
+      .toDF("k", "ts", "v")
+    val got = AsofJoin.asofBackward(left, right, "k", "ts", Seq("v"))
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(got == Set(
+      (Some(1L), Some(ts(10)), Some(50.0)),
+      (Some(1L), None, None),
+      (None, Some(ts(10)), None)), got.toString)
+  }
+
   test("asof backward rejects colliding value column names") {
     val df = Seq((1L, ts(0), 1.0)).toDF("k", "ts", "v")
     val err = intercept[IllegalArgumentException] {

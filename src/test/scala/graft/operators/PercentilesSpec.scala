@@ -33,6 +33,54 @@ class PercentilesSpec extends SparkSpec {
     assert(m("b") == ((1.0, 3.0)))
   }
 
+  test("hot-bucket refinement: mass packed into one pass-1 bucket still ranks exactly") {
+    import spark.implicits._
+    // 5000 values uniform in [0, 1e-4] against one outlier at 1e6: pass 1's
+    // equal-width histogram puts >99.9% of the group in bucket 0, which
+    // (with buckets=16 and hotBucketFraction=0.25) trips the refinement —
+    // the sub-histogram over [0, 1e-4] must locate the true quantiles.
+    val vals = (1 to 5000).map(i => ("hot", i * 2e-8)) :+ (("hot", 1e6))
+    val df = vals.toDF("k", "v").repartition(8)
+    val got = Percentiles.exact(df, "k", "v", Seq(0.25, 0.5, 0.9), buckets = 16)
+      .collect()(0)
+    val exp = df.agg(expr("percentile(v, 0.25)"), expr("percentile(v, 0.5)"),
+      expr("percentile(v, 0.9)")).collect()(0)
+    (1 to 3).foreach(i => assert(math.abs(got.getDouble(i) - exp.getDouble(i - 1)) < 1e-15,
+      s"$got vs $exp"))
+  }
+
+  test("identical-valued hot bucket answers from the extent, no sort") {
+    import spark.implicits._
+    // 99% of the group is ONE repeated value — the refined extent is
+    // degenerate (min == max), so ranks inside it resolve directly.
+    val vals = (1 to 9900).map(_ => ("c", 42.0)) ++ (1 to 100).map(i => ("c", 1000.0 + i))
+    val df = vals.toDF("k", "v").repartition(8)
+    val got = Percentiles.exact(df, "k", "v", Seq(0.5, 0.99, 1.0), buckets = 16)
+      .collect()(0)
+    val exp = df.agg(expr("percentile(v, 0.5)"), expr("percentile(v, 0.99)"),
+      expr("percentile(v, 1.0)")).collect()(0)
+    (1 to 3).foreach(i => assert(math.abs(got.getDouble(i) - exp.getDouble(i - 1)) < 1e-9,
+      s"$got vs $exp"))
+  }
+
+  test("non-string group keys keep their type") {
+    import spark.implicits._
+    val df = Seq((1L, 1.0), (1L, 2.0), (2L, 5.0)).toDF("k", "v")
+    val out = Percentiles.exact(df, "k", "v", Seq(0.5))
+    assert(out.schema("k").dataType == org.apache.spark.sql.types.LongType)
+    val m = out.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m == Map(1L -> 1.5, 2L -> 5.0))
+  }
+
+  test("fails loudly past maxGroups distinct keys") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (s"g$i", i.toDouble)).toDF("k", "v")
+    val err = intercept[IllegalArgumentException] {
+      Percentiles.exact(df, "k", "v", Seq(0.5), maxGroups = 100)
+    }
+    assert(err.getMessage.contains("maxGroups"))
+  }
+
   test("rejects percentiles whose rounded names collide") {
     import spark.implicits._
     val df = Seq(("a", 1.0)).toDF("k", "v")
