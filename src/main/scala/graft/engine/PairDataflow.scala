@@ -60,18 +60,27 @@ class PairDataflow[K, V](val ds: Dataset[(K, V)]) extends Serializable {
     * lineage would trip Spark's ambiguous-self-join check under a raw
     * column-equality joinWith.
     *
-    * CAUTION (parity-faithful limitation): like the reference's cogroup
-    * join, the right side's per-key group is buffered in memory (`wsSeq`
-    * below) — a hot key with millions of right-side rows risks executor
-    * OOM. For relational workloads prefer DataFrame `join` (SMJ streams
-    * both sides) or `operators.Skew.saltedJoin` for known-skewed keys.
+    * Hot keys: the right side's per-key group goes through a
+    * [[SpillableBuffer]] — up to `maxBufferedPerKey` values on heap, the
+    * remainder spilled to executor-local disk and streamed once per left
+    * row (the same discipline as SMJ's ExternalAppendOnlyUnsafeRowArray, so
+    * a key with millions of right rows costs disk I/O proportional to its
+    * — inherently quadratic — output instead of an executor OOM). For
+    * relational workloads prefer DataFrame `join`; for known-skewed keys
+    * `operators.Skew.saltedJoin` spreads the key across reducers too.
     */
-  def join[W](other: PairDataflow[K, W])(
+  def join[W](other: PairDataflow[K, W],
+      maxBufferedPerKey: Int = PairDataflow.MaxBufferedPerKey)(
       implicit ek: Encoder[K], e: Encoder[(K, (V, W))]): Dataflow[(K, (V, W))] = {
     val joined = ds.groupByKey(_._1)
       .cogroup(other.ds.groupByKey(_._1)) { (k, vs, ws) =>
-        val wsSeq = ws.map(_._2).toSeq
-        vs.flatMap(v => wsSeq.iterator.map(w => (k, (v._2, w))))
+        val buf = new SpillableBuffer[W](maxBufferedPerKey)
+        ws.foreach(w => buf.append(w._2))
+        buf.seal()
+        if (buf.spilled) // spill file outlives the iterator — tie cleanup to the task
+          Option(org.apache.spark.TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit](_ => buf.close()))
+        vs.flatMap(v => buf.iterator.map(w => (k, (v._2, w))))
       }
     new Dataflow(joined)
   }
@@ -100,4 +109,11 @@ class PairDataflow[K, V](val ds: Dataset[(K, V)]) extends Serializable {
   }
 
   def toDataflow: Dataflow[(K, V)] = new Dataflow(ds)
+}
+
+object PairDataflow {
+  /** Per-key heap bound for the cogroup join's right-side buffer; beyond
+    * this the group spills to executor-local disk (SpillableBuffer).
+    */
+  val MaxBufferedPerKey: Int = 1 << 17
 }

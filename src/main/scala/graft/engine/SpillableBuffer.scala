@@ -1,0 +1,79 @@
+package graft.engine
+
+import java.io.{BufferedInputStream, BufferedOutputStream, File, FileInputStream,
+  FileOutputStream, ObjectInputStream, ObjectOutputStream}
+
+/** A re-iterable, append-once buffer that holds up to `maxInMemory` elements
+  * on heap and spills the remainder to a local temp file (Java
+  * serialization). The miniature analogue of Spark's
+  * ExternalAppendOnlyUnsafeRowArray, for typed cogroup callbacks where the
+  * values aren't UnsafeRows: a hot key's group no longer has to fit in
+  * executor memory — task memory is bounded by `maxInMemory` elements, and
+  * re-iteration (once per probe row in a nested-loop join) replays the heap
+  * prefix then streams the spill file sequentially, so total spill I/O is
+  * proportional to the join output, which a hot-key cross product already
+  * pays by definition.
+  *
+  * Usage contract: append everything, then `seal()`, then any number of
+  * `iterator` calls; `close()` deletes the spill file (register it on the
+  * task-completion listener — consumers may stop mid-iteration).
+  */
+final class SpillableBuffer[T](maxInMemory: Int) {
+  private val mem = new scala.collection.mutable.ArrayBuffer[T]()
+  private var file: File = _
+  private var out: ObjectOutputStream = _
+  private var spilledCount = 0L
+  private var isSealed = false
+
+  def spilled: Boolean = file != null
+  def size: Long = mem.length + spilledCount
+
+  def append(t: T): Unit = {
+    require(!isSealed, "append after seal()")
+    if (mem.length < maxInMemory) mem += t
+    else {
+      if (out == null) {
+        file = File.createTempFile("graft-spill-", ".bin")
+        file.deleteOnExit() // backstop; close() is the real cleanup
+        out = new ObjectOutputStream(new BufferedOutputStream(
+          new FileOutputStream(file), 1 << 16))
+      }
+      out.writeObject(t)
+      spilledCount += 1
+      // reset the back-reference table periodically or the stream itself
+      // retains every written object on heap, defeating the spill
+      if (spilledCount % 1000 == 0) out.reset()
+    }
+  }
+
+  def seal(): SpillableBuffer[T] = {
+    if (out != null) { out.flush(); out.close(); out = null }
+    isSealed = true
+    this
+  }
+
+  /** Replays heap elements then the spill file. Each call re-opens the file
+    * (sequential read); safe to call any number of times after seal().
+    */
+  def iterator: Iterator[T] = {
+    require(isSealed, "iterator before seal()")
+    val heapIt = mem.iterator
+    if (file == null) heapIt
+    else heapIt ++ new Iterator[T] {
+      private val in = new ObjectInputStream(new BufferedInputStream(
+        new FileInputStream(file), 1 << 16))
+      private var read = 0L
+      def hasNext: Boolean = {
+        val h = read < spilledCount
+        if (!h) in.close()
+        h
+      }
+      def next(): T = { read += 1; in.readObject().asInstanceOf[T] }
+    }
+  }
+
+  def close(): Unit = {
+    if (out != null) { out.close(); out = null }
+    if (file != null) { file.delete(); file = null }
+  }
+}

@@ -69,24 +69,19 @@ object Percentiles {
       .where(col("__v").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // Cardinality guard BEFORE any driver-side collect: approx first (a
-      // 10M-group collect would OOM the driver before an exact count could
-      // object), with 3x-rsd slack so the approx never false-trips near the
-      // bound; the exact statRows size is re-checked after.
-      val approxGroups = vals.agg(
-        approx_count_distinct(col("__k"), rsd = 0.02)).first().getLong(0)
-      require(approxGroups <= maxGroups * 1.06,
-        s"~$approxGroups distinct '$keyCol' groups exceed maxGroups=$maxGroups: " +
-          "exact bucketed percentiles hold O(groups x buckets) driver state — " +
-          "use approx_percentile / a grouped sketch for high-cardinality keys")
-
-      // ---- pass 0: per-group extent ----
+      // ---- pass 0: per-group extent. The collect is capped at
+      // maxGroups + 1 rows — the aggregation itself is distributed, so a
+      // 10M-group key costs a shuffle but can never OOM the driver; seeing
+      // the +1th row proves the bound is exceeded and fails loudly.
       val statRows = vals.groupBy("__k")
         .agg(count(lit(1)).as("__n"), min("__v").as("__min"), max("__v").as("__max"))
+        .limit(maxGroups + 1)
         .collect()
         .map(r => r.get(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
       require(statRows.size <= maxGroups,
-        s"${statRows.size} distinct '$keyCol' groups exceed maxGroups=$maxGroups")
+        s">$maxGroups distinct '$keyCol' groups exceed maxGroups=$maxGroups: " +
+          "exact bucketed percentiles hold O(groups x buckets) driver state — " +
+          "use approx_percentile / a grouped sketch for high-cardinality keys")
 
       // Rebuild the (tiny) stats frame from the collected rows so later uses
       // are a local relation, not a re-executed full-input aggregation.

@@ -21,6 +21,18 @@ object PipelineQueries {
   private def par(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Run `body` with spark.sql.shuffle.partitions temporarily lowered —
+    * for small-subset streaming sections, where every shuffle partition
+    * costs a state-store instance per micro-batch.
+    */
+  private def withShufflePartitions[T](s: org.apache.spark.sql.SparkSession,
+      n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Deterministic near-duplicate perturbation for self-attestation:
     * alternating +/-25% per-dim scale => cosine ~0.97 to the source —
     * above the 0.95 dedup threshold but far enough from 1.0 that LSH
@@ -640,11 +652,15 @@ object PipelineQueries {
         .option("maxFilesPerTrigger", 1).parquet(src)
       val qname = "graft_stream_dedup_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
-      val query = graft.streaming.EventStreams.dedupStream(stream)
-        .writeStream.format("memory").queryName(qname)
-        .option("checkpointLocation", tmp.resolve("ckpt").toString)
-        .outputMode("append").start()
-      try { query.processAllAvailable() } finally query.stop()
+      // a streaming agg instantiates one state store PER shuffle partition
+      // per micro-batch — 4 partitions, not 32, for a few-thousand-row subset
+      withShufflePartitions(s, 4) {
+        val query = graft.streaming.EventStreams.dedupStream(stream)
+          .writeStream.format("memory").queryName(qname)
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .outputMode("append").start()
+        try { query.processAllAvailable() } finally query.stop()
+      }
       s.table(qname).groupBy("event_type").agg(count(lit(1)).as("n_unique"))
         .orderBy("event_type")
     },
@@ -666,24 +682,29 @@ object PipelineQueries {
       val stream = s.readStream.schema(emb.schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
       val indexPath = tmp.resolve("index").toString
-      // 4 planes (16 buckets/table): collision ~0.72 per table at cos 0.97,
-      // ~0.9996 OR-ed over 8 tables — and 128 index partitions stay a sane
-      // file count for the per-batch append.
-      val sink = VectorIndexStream.indexSink(stream, indexPath,
-        numPlanes = 4, numTables = 8)
-        .option("checkpointLocation", tmp.resolve("ckpt").toString).start()
-      try { sink.processAllAvailable() } finally sink.stop()
-      val probes = emb.where(col("vec_id") < 20)
-        .select((col("vec_id") + 1000000L).as("vec_id"),
-          perturb(col("embedding").cast("array<double>")).as("embedding"))
-      val topk = VectorIndexStream.probe(s, indexPath, probes, k = 10,
-        numPlanes = 4, numTables = 8)
-      val nFound = topk.where(col("vid") === col("qid") - 1000000L).count()
-      Gate.check(nFound >= 18,
-        s"streaming index probe recovered only $nFound/20 planted neighbors")
-      import s.implicits._
-      Seq((20L, nFound, math.round(nFound.toDouble / 20 * 10000) / 10000.0))
-        .toDF("n_expected", "n_found", "recall")
+      // 3 planes (8 buckets/table): collision ~0.79 per table at cos 0.97,
+      // ~0.998 OR-ed over 4 tables — expected misses over 20 probes ~0.04,
+      // comfortably inside the >=18 gate. 32 partition dirs (x1 file per
+      // batch, thanks to the sink's key-repartition) keep the append cheap:
+      // the dominant cost of a dynamic-partition append is parquet writer
+      // open/commit PER DIRECTORY, not the row volume.
+      withShufflePartitions(s, 4) {
+        val sink = VectorIndexStream.indexSink(stream, indexPath,
+          numPlanes = 3, numTables = 4)
+          .option("checkpointLocation", tmp.resolve("ckpt").toString).start()
+        try { sink.processAllAvailable() } finally sink.stop()
+        val probes = emb.where(col("vec_id") < 20)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            perturb(col("embedding").cast("array<double>")).as("embedding"))
+        val topk = VectorIndexStream.probe(s, indexPath, probes, k = 10,
+          numPlanes = 3, numTables = 4)
+        val nFound = topk.where(col("vid") === col("qid") - 1000000L).count()
+        Gate.check(nFound >= 18,
+          s"streaming index probe recovered only $nFound/20 planted neighbors")
+        import s.implicits._
+        Seq((20L, nFound, math.round(nFound.toDouble / 20 * 10000) / 10000.0))
+          .toDF("n_expected", "n_found", "recall")
+      }
     },
 
     // Gap-based sessions via flatMapGroupsWithState, oracled against the

@@ -416,6 +416,41 @@ object RelationalQueries {
         .agg(round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"))
     },
 
+    // TPC-H Q2-style: cheapest supplier per part — the correlated
+    // MIN-subquery pattern (Q2's min supplycost; this dataset has no
+    // partsupp, so unit price from lineitem plays supplycost). Decorrelated
+    // by hand the same way Catalyst rewrites the SQL form: the per-part min
+    // is a partial-aggregated groupBy broadcast back onto the fact scan —
+    // never a per-left-row re-scan of lineitem. Ties (several suppliers at
+    // the exact min) are all kept, like Q2.
+    Q("q2_min_cost_supplier",
+      """SELECT DISTINCT p_partkey, s_name,
+        |l_extendedprice / l_quantity AS unit_cost
+        |FROM part
+        |JOIN lineitem ON l_partkey = p_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE p_size <= 3
+        |AND l_extendedprice / l_quantity =
+        |  (SELECT min(l2.l_extendedprice / l2.l_quantity)
+        |   FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        |ORDER BY p_partkey, s_name""".stripMargin) { (s, dir) =>
+      val unit = col("l_extendedprice") / col("l_quantity")
+      val l = Tables(s, dir, "lineitem")
+      val minByPart = l.groupBy(col("l_partkey").as("mp_partkey"))
+        .agg(min(unit).as("min_unit"))
+      val smallParts = Tables(s, dir, "part").where(col("p_size") <= 3)
+      l.join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(minByPart), col("l_partkey") === col("mp_partkey"))
+        .where(unit === col("min_unit"))
+        .join(broadcast(Tables(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        // no per-row rounding: the raw IEEE division is bit-identical in
+        // Spark and DuckDB; round() at .005 boundaries is not
+        .select(col("p_partkey"), col("s_name"), unit.as("unit_cost"))
+        .distinct()
+        .orderBy("p_partkey", "s_name")
+    },
+
     // TPC-H Q18-style: large-order customers — semi-join against a grouped
     // HAVING. The filter side is an aggregate of the fact table itself;
     // left_semi keeps the probe side unduplicated (no row explosion).

@@ -15,7 +15,9 @@ import org.apache.spark.sql.types._
   * hash-agg with state-store backing; sessionization keeps one state row
   * per active user.
   */
-object EventStreams {
+// Serializable: closures below call module-level helpers (finishSession),
+// which makes them capture the module instance itself.
+object EventStreams extends Serializable {
 
   /** events schema with ts as LONG nanos, as the parquet reader surfaces it
     * under nanosAsLong (see graft.Tables).
@@ -107,28 +109,74 @@ object EventStreams {
       emitOpen: Boolean = true): Dataset[UserSession] =
     sessionizeMs(events, gapMinutes * 60L * 1000L, emitOpen)
 
+  private def finishSession(userId: Long, s: SessionState): UserSession =
+    UserSession(userId, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
+      s.n, math.round(s.sumValue * 100) / 100.0)
+
+  /** Batch sessionization via SECONDARY SORT: repartition by user, sort each
+    * partition by (user_id, ts), then stream it with O(1) task state — no
+    * per-user event buffer at any point, so one user with a hundred million
+    * events costs the same task memory as one with ten. (The
+    * flatMapGroupsWithState path below must buffer a group's micro-batch
+    * slice — inherent to that API and bounded by the watermark horizon in
+    * streaming, but the wrong shape for a batch backfill over a hot user.)
+    */
+  def sessionizeBatchMs(events: Dataset[Event], gapMs: Long): Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts"))
+      .mapPartitions { it =>
+        var curUser = 0L
+        var st: SessionState = null
+        val closed = it.flatMap { e =>
+          val t = e.ts.getTime
+          if (st == null) {
+            curUser = e.user_id; st = SessionState(t, t, 1, e.value); Iterator.empty
+          } else if (e.user_id == curUser && t - st.end <= gapMs) {
+            st = st.copy(end = math.max(st.end, t), n = st.n + 1,
+              sumValue = st.sumValue + e.value)
+            Iterator.empty
+          } else {
+            val fin = finishSession(curUser, st)
+            curUser = e.user_id; st = SessionState(t, t, 1, e.value)
+            Iterator.single(fin)
+          }
+        }
+        // ++ is lazy: the trailing-session iterator runs only after `closed`
+        // has drained, when st holds the partition's final open session
+        closed ++ new Iterator[UserSession] {
+          def hasNext: Boolean = st != null
+          def next(): UserSession = { val f = finishSession(curUser, st); st = null; f }
+        }
+      }
+  }
+
   def sessionizeMs(events: Dataset[Event], gapMs: Long,
       emitOpen: Boolean): Dataset[UserSession] = {
+    // batch mode: the secondary-sort plan, not state-API buffering
+    if (emitOpen) return sessionizeBatchMs(events, gapMs)
     val spark = events.sparkSession
     import spark.implicits._
 
-    def finish(userId: Long, s: SessionState): UserSession =
-      UserSession(userId, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
-        s.n, math.round(s.sumValue * 100) / 100.0)
+    def finish(userId: Long, s: SessionState): UserSession = finishSession(userId, s)
 
     val (input, timeout) =
-      if (emitOpen) (events, GroupStateTimeout.NoTimeout)
-      else (events.withWatermark("ts", s"$gapMs milliseconds"),
+      (events.withWatermark("ts", s"$gapMs milliseconds"),
         GroupStateTimeout.EventTimeTimeout)
     input.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, UserSession](OutputMode.Append, timeout) {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          if (!emitOpen && state.hasTimedOut) {
+          if (state.hasTimedOut) {
             // watermark passed session end + gap: close the stored session
             val out = state.getOption.map(finish(userId, _))
             state.remove()
             out.iterator
           } else {
+            // buffers ONE user's slice of ONE micro-batch — inherent to the
+            // state API (the group iterator is unordered) and bounded by the
+            // watermark horizon; batch backfills take sessionizeBatchMs above
             val sorted = it.toSeq.sortBy(_.ts.getTime)
             var sessions = List.empty[UserSession]
             var cur = state.getOption
@@ -145,15 +193,9 @@ object EventStreams {
                   cur = Some(SessionState(t, t, 1, e.value))
               }
             }
-            if (emitOpen) {
-              // batch: emit the trailing session, nothing ever arrives later
-              cur.foreach(s => sessions ::= finish(userId, s))
-              state.remove()
-            } else {
-              cur.foreach { s =>
-                state.update(s)
-                state.setTimeoutTimestamp(s.end + gapMs)
-              }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
             }
             sessions.reverseIterator
           }

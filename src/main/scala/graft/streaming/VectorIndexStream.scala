@@ -29,6 +29,12 @@ object VectorIndexStream {
       .select(col("vec_id"), col("v"),
         posexplode(graft_hyperplanes(col("v"), numPlanes, numTables))
           .as(Seq("t", "bucket")))
+      // repartition on the partition keys BEFORE the dynamic-partition
+      // write: each (t, bucket) directory is then written by exactly one
+      // task, so the batch appends ~#dirs files instead of #dirs x #tasks —
+      // the difference between linear file growth and a small-files
+      // explosion under frequent micro-batches
+      .repartition(col("t"), col("bucket"))
       .write.mode("append").partitionBy("t", "bucket").parquet(indexPath)
   }
 
