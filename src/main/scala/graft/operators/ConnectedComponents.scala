@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over a pair list — the step that turns
+  * near-duplicate PAIRS (minhash/simhash/embedding LSH output) into dedup
+  * CLUSTERS, so "keep one document per duplicate group" is well-defined even
+  * when duplicates chain (A~B, B~C but A!~C must still collapse to one
+  * representative).
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) — each round is
+  * two aggregate-shaped shuffles over the current edge set, edges contract
+  * toward stars, and convergence is O(log^2 n) rounds worst-case (2-3 rounds
+  * for the near-clique components LSH actually emits). Per-round state is
+  * just the edge list: no per-component accumulation, no driver-side graph,
+  * nothing keyed by component size — a billion-node dup graph runs the same
+  * plan as a thousand-node one.
+  *
+  *  - large-star(u): m = min(N(u) + u); emit (v, m) for every neighbor
+  *    v > u — big neighbors re-point at the local minimum.
+  *  - small-star(u) on smaller-directed edges: m = min(N<(u) + u); emit
+  *    (v, m) for every v in N<(u) + u — small neighbors collapse onto m.
+  *
+  * Each round is localCheckpoint'd: the loop would otherwise stack an
+  * unbounded lineage (and re-execute every prior round on each action).
+  * Convergence is detected by (count, xor-of-hashes) equality of the edge
+  * set — one aggregate job, no except().
+  */
+object ConnectedComponents {
+
+  /** pairs (c1, c2) -> (id, cluster) for every id appearing in pairs, where
+    * cluster is the smallest id in the component.
+    */
+  def clusters(pairs: DataFrame, c1: String, c2: String,
+      maxRounds: Int = 30): DataFrame = {
+    def canon(e: DataFrame): DataFrame = e
+      .where(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct()
+
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).first()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var edges = canon(pairs.select(col(c1).cast("long").as("u"),
+      col(c2).cast("long").as("v"))
+      .where(col(c1).isNotNull && col(c2).isNotNull))
+      .localCheckpoint(true)
+    var fp = fingerprint(edges)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      // large-star over the symmetric view
+      val sym = edges.unionByName(
+        edges.select(col("v").as("u"), col("u").as("v")))
+      val minN = sym.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val ls = canon(sym.join(minN, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+      // small-star over smaller-directed edges (canon keeps u > v)
+      val minS = ls.groupBy("u").agg(min("v").as("m"))
+      val ss = canon(ls.join(minS, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(minS.select(col("u"), col("m").as("v"))))
+      val next = ss.localCheckpoint(true)
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      edges.unpersist()
+      edges = next
+      fp = nfp
+      rounds += 1
+    }
+    require(converged, s"connected components did not converge in $maxRounds rounds")
+    // fixpoint edges are (member -> root); roots label themselves
+    edges.select(col("u").as("id"), col("v").as("cluster"))
+      .unionByName(edges.select(col("v").as("id"), col("v").as("cluster")))
+      .distinct()
+  }
+
+  /** Dedup by clustering: every id keeps its cluster representative (the
+    * smallest id in its duplicate group); ids not in any pair are their own
+    * representative. Returns (idCol, cluster, is_representative).
+    */
+  def representatives(ids: DataFrame, idCol: String, pairs: DataFrame,
+      c1: String, c2: String): DataFrame = {
+    val labels = clusters(pairs, c1, c2)
+    ids.select(col(idCol).cast("long").as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("cluster"), col("id")).as("cluster"))
+      .withColumn("is_representative", col(idCol) === col("cluster"))
+  }
+}

@@ -130,6 +130,53 @@ object PipelineQueries {
         .orderBy("id1")
     },
 
+    // Distributed connected components (large-star/small-star) over a
+    // deterministic chain graph: doc i ~ doc i+1 within each decade, so the
+    // true clusters have a CLOSED FORM the SQL oracle states directly —
+    // an end-to-end oracle on the iterative distributed algorithm itself
+    // (chains are its worst convergence case; cliques its best).
+    Q("x_cluster_cc",
+      """SELECT doc_id AS id, doc_id - doc_id % 10 AS cluster
+        |FROM documents ORDER BY id""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir, "documents").select("doc_id")
+      val edges = d.where(pmod(col("doc_id"), lit(10)) =!= 9)
+        .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+      graft.operators.ConnectedComponents.clusters(edges, "a", "b")
+        .orderBy("id")
+    },
+
+    // Pairs -> clusters -> representatives: the full dedup pipeline. Chains
+    // of near-copies (src ~ copy1 ~ copy2, one more token per hop) are
+    // injected; transitive clustering must put all three in ONE cluster even
+    // if the src~copy2 similarity alone were below threshold. GATED.
+    Q.rowsOnly("x_dedup_clusters") { (s, dir) =>
+      val docs = par(Tables(s, dir, "documents")).select("doc_id", "text")
+      def copies(off: Long, suffix: String) = docs
+        .where(col("doc_id") < 20 && length(col("text")) > 200)
+        .select((col("doc_id") + off).as("doc_id"),
+          concat(col("text"), lit(suffix)).as("text"))
+      val l1 = copies(1000000L, " zzqx")
+      val l2 = copies(2000000L, " zzqx yyqk")
+      val nChains = l1.count()
+      val pairs = Dedup.minhashPairs(docs.unionByName(l1).unionByName(l2),
+        "doc_id", "text", shingleK = 3, numHashes = 64, numBands = 16,
+        threshold = 0.8)
+      val labels = graft.operators.ConnectedComponents.clusters(pairs, "id1", "id2")
+      // each copy must land in its source's cluster (not merely any cluster:
+      // organic near-dups may merge chains, so compare against the source's
+      // own label rather than a closed-form min)
+      val srcLab = labels.select(col("id").as("src"), col("cluster").as("src_cluster"))
+      val okCopies = labels.where(col("id") >= 1000000L)
+        .withColumn("src", pmod(col("id"), lit(1000000L)))
+        .join(srcLab, "src")
+        .where(col("cluster") === col("src_cluster"))
+        .count()
+      Gate.check(nChains > 0 && okCopies == 2 * nChains,
+        s"cluster dedup linked only $okCopies/${2 * nChains} chained copies to their source")
+      import s.implicits._
+      Seq((2 * nChains, okCopies)).toDF("n_expected", "n_found")
+    },
+
     // Embedding-cosine near-dup via OR-amplified hyperplane LSH,
     // self-attesting: 20 perturbed copies (alternating +/-25% per-dim scale
     // => cosine ~0.97, above the 0.95 threshold but far enough from 1.0 that

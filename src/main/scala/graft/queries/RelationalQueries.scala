@@ -477,6 +477,63 @@ object RelationalQueries {
         .limit(100)
     },
 
+    // TPC-H Q4-style: EXISTS correlated subquery -> left-semi join. The
+    // probe (orders) never duplicates however many lineitems match, and the
+    // build side carries only the join key.
+    Q("q4_priority_exists",
+      """SELECT o_orderpriority, count(*) AS n_orders FROM orders
+        |WHERE o_orderdate >= DATE '1995-01-01'
+        |AND EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1995-01-01"))
+        .join(Tables(s, dir, "lineitem").where(col("l_returnflag") === "R")
+          .select("l_orderkey"),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+
+    // TPC-H Q13-style: customer order-count distribution — LEFT OUTER join
+    // (customers with zero orders must survive as count 0) then a two-level
+    // aggregate. Both shuffles are aggregate-sized after the first groupBy.
+    Q("q13_custdist",
+      """SELECT n_orders, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS n_orders
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey) d
+        |GROUP BY n_orders ORDER BY custdist DESC, n_orders DESC""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy("n_orders").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("n_orders").desc)
+    },
+
+    // TPC-H Q22-style: positive-balance customers with NO orders — a scalar
+    // subquery (global average, one broadcast row) plus an ANTI join.
+    Q("q22_idle_balances",
+      """SELECT substr(c_name, 10, 1) AS cgroup, count(*) AS n_cust,
+        |round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        |AND NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val c = Tables(s, dir, "customer")
+      val avgBal = c.where(col("c_acctbal") > 0)
+        .agg(avg("c_acctbal").as("abal"))
+      c.join(broadcast(avgBal)).where(col("c_acctbal") > col("abal"))
+        .join(Tables(s, dir, "orders").where(col("o_totalprice") > 300000)
+          .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(substring(col("c_name"), 10, 1).as("cgroup"))
+        .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("total_bal"))
+        .orderBy("cgroup")
+    },
+
     // TPC-H Q5-style: five-way join, revenue per nation.
     Q("q5_nation_revenue",
       """SELECT n_name,
