@@ -51,11 +51,16 @@ final class Session(val spark: SparkSession) {
   /** LocalFsReader whole-file bytes flavor (src/io/local_file_reader.rs:20-78):
     * (path, content-bytes) per file. Spark's binaryFile source bin-packs files
     * into size-balanced partitions, like the reference's mean/σ heuristic.
+    * `glob` mirrors the reference's extension filter
+    * (local_file_reader.rs:29-35, `.filter(|f| f.ends_with(ext))`) via the
+    * source's pathGlobFilter pushdown — files are excluded at listing time,
+    * never opened.
     */
-  def binaryFiles(path: String): Dataset[(String, Array[Byte])] = {
+  def binaryFiles(path: String, glob: Option[String] = None): Dataset[(String, Array[Byte])] = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(path)
-      .select("path", "content").as[(String, Array[Byte])]
+    val reader = spark.read.format("binaryFile")
+    glob.foreach(g => reader.option("pathGlobFilter", g))
+    reader.load(path).select("path", "content").as[(String, Array[Byte])]
   }
 
   /** Context::read_source(config, decoder) composition (src/io/mod.rs:11-16):

@@ -27,6 +27,10 @@ class SessionIoSpec extends SparkSpec {
     assert(files.length == 2)
     assert(files(0)._2.toSeq == Seq[Byte](1, 2, 3))
     assert(files(1)._2.toSeq == Seq[Byte](4, 5))
+    // extension filter (vega local_file_reader.rs:29-35) via pathGlobFilter
+    Files.write(java.nio.file.Paths.get(s"$dir/c.txt"), Array[Byte](9))
+    assert(sc.binaryFiles(dir, Some("*.bin")).collect().length == 2)
+    assert(sc.binaryFiles(dir).collect().length == 3)
   }
 
   test("readCsv parses a delimited file (S8)") {
