@@ -65,9 +65,13 @@ class PairDataflow[K, V](val ds: Dataset[(K, V)]) extends Serializable {
     * remainder spilled to executor-local disk and streamed once per left
     * row (the same discipline as SMJ's ExternalAppendOnlyUnsafeRowArray, so
     * a key with millions of right rows costs disk I/O proportional to its
-    * — inherently quadratic — output instead of an executor OOM). For
-    * relational workloads prefer DataFrame `join`; for known-skewed keys
-    * `operators.Skew.saltedJoin` spreads the key across reducers too.
+    * — inherently quadratic — output instead of an executor OOM). The spill
+    * path serializes values with Java serialization: a key's right-side
+    * group larger than `maxBufferedPerKey` requires `W` to be
+    * java.io.Serializable (case classes/tuples/primitives are; the error if
+    * not is immediate and names the type). For relational workloads prefer
+    * DataFrame `join`; for known-skewed keys `operators.Skew.saltedJoin`
+    * spreads the key across reducers too.
     */
   def join[W](other: PairDataflow[K, W],
       maxBufferedPerKey: Int = PairDataflow.MaxBufferedPerKey)(
@@ -77,10 +81,17 @@ class PairDataflow[K, V](val ds: Dataset[(K, V)]) extends Serializable {
         val buf = new SpillableBuffer[W](maxBufferedPerKey)
         ws.foreach(w => buf.append(w._2))
         buf.seal()
-        if (buf.spilled) // spill file outlives the iterator — tie cleanup to the task
+        if (buf.spilled) // backstop for consumers that stop mid-key (limit/take)
           Option(org.apache.spark.TaskContext.get())
             .foreach(_.addTaskCompletionListener[Unit](_ => buf.close()))
-        vs.flatMap(v => buf.iterator.map(w => (k, (v._2, w))))
+        val out = vs.flatMap(v => buf.iterator.map(w => (k, (v._2, w))))
+        // free the heap prefix + spill file as soon as THIS key's cross
+        // product drains — a task with many hot keys must not accumulate
+        // every key's buffer until task end
+        new Iterator[(K, (V, W))] {
+          def hasNext: Boolean = { val h = out.hasNext; if (!h) buf.close(); h }
+          def next(): (K, (V, W)) = out.next()
+        }
       }
     new Dataflow(joined)
   }

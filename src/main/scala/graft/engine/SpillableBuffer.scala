@@ -24,9 +24,18 @@ final class SpillableBuffer[T](maxInMemory: Int) {
   private var out: ObjectOutputStream = _
   private var spilledCount = 0L
   private var isSealed = false
+  // readers opened by iterator that haven't drained yet — a consumer that
+  // stops early (limit, take) abandons its stream; close() sweeps these so
+  // the fd doesn't live until GC
+  private val openReaders = new scala.collection.mutable.ArrayBuffer[ObjectInputStream]()
 
   def spilled: Boolean = file != null
   def size: Long = mem.length + spilledCount
+
+  /** The spill file, if any — safe to capture in a cleanup closure without
+    * pinning the buffer (and its heap prefix) itself.
+    */
+  def spillFile: Option[File] = Option(file)
 
   def append(t: T): Unit = {
     require(!isSealed, "append after seal()")
@@ -38,7 +47,13 @@ final class SpillableBuffer[T](maxInMemory: Int) {
         out = new ObjectOutputStream(new BufferedOutputStream(
           new FileOutputStream(file), 1 << 16))
       }
-      out.writeObject(t)
+      try out.writeObject(t)
+      catch { case e: java.io.NotSerializableException =>
+        throw new IllegalArgumentException(
+          s"SpillableBuffer spill requires java.io.Serializable values; " +
+            s"${e.getMessage} is not — raise maxInMemory past the group size " +
+            "or make the value type Serializable", e)
+      }
       spilledCount += 1
       // reset the back-reference table periodically or the stream itself
       // retains every written object on heap, defeating the spill
@@ -62,10 +77,11 @@ final class SpillableBuffer[T](maxInMemory: Int) {
     else heapIt ++ new Iterator[T] {
       private val in = new ObjectInputStream(new BufferedInputStream(
         new FileInputStream(file), 1 << 16))
+      openReaders += in
       private var read = 0L
       def hasNext: Boolean = {
         val h = read < spilledCount
-        if (!h) in.close()
+        if (!h) { in.close(); openReaders -= in }
         h
       }
       def next(): T = { read += 1; in.readObject().asInstanceOf[T] }
@@ -74,6 +90,9 @@ final class SpillableBuffer[T](maxInMemory: Int) {
 
   def close(): Unit = {
     if (out != null) { out.close(); out = null }
+    openReaders.foreach(r => try r.close() catch { case _: Exception => () })
+    openReaders.clear()
     if (file != null) { file.delete(); file = null }
+    mem.clear()
   }
 }

@@ -74,7 +74,6 @@ object GraftFunctions {
 
   def register(spark: SparkSession): Unit = registered.synchronized {
     if (registered.contains(spark)) return
-    registered.add(spark)
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
@@ -101,6 +100,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_project",
       exprs => RandomProjection(exprs(0), intArg(exprs(1))), "built-in")
+    // mark registered only once every registration succeeded — a partial
+    // failure (session shutting down, registry error) must stay retryable
+    registered.add(spark)
   }
 
   /** Column wrappers (require register(spark) first in the session). */

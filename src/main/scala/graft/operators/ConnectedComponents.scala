@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Distributed connected components over a pair list — the step that turns
   * near-duplicate PAIRS (minhash/simhash/embedding LSH output) into dedup
@@ -23,10 +24,15 @@ import org.apache.spark.sql.functions._
   *  - small-star(u) on smaller-directed edges: m = min(N<(u) + u); emit
   *    (v, m) for every v in N<(u) + u — small neighbors collapse onto m.
   *
-  * Each round is localCheckpoint'd: the loop would otherwise stack an
-  * unbounded lineage (and re-execute every prior round on each action).
-  * Convergence is detected by (count, xor-of-hashes) equality of the edge
-  * set — one aggregate job, no except().
+  * Round storage: each round is localCheckpoint'd — a round references the
+  * previous edge set several times (sym is edges twice, then two joins over
+  * it), so anything short of a hard lineage cut grows the plan
+  * EXPONENTIALLY per round and stalls the optimizer within a handful of
+  * rounds. Dataset.unpersist is a no-op on checkpointed data, so the
+  * previous round's blocks are freed by unpersisting the underlying
+  * checkpoint RDD (LogicalRDD) directly. Convergence is detected by
+  * (count, xor-of-hashes) equality of the edge set — one aggregate job,
+  * no except().
   */
 object ConnectedComponents {
 
@@ -47,6 +53,17 @@ object ConnectedComponents {
       (r.getLong(0), r.getLong(1))
     }
 
+    // Integral ids only, checked up front: a silent cast-to-null (or a
+    // truncating double cast) would DROP edges and quietly label every
+    // affected doc its own representative — a dedup that dedups nothing.
+    Seq(c1, c2).foreach { c =>
+      pairs.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => ()
+        case other => throw new IllegalArgumentException(
+          s"pair column '$c' must be integral, got ${other.catalogString}; " +
+            "derive a long id first (hash or zipWithIndex)")
+      }
+    }
     var edges = canon(pairs.select(col(c1).cast("long").as("u"),
       col(c2).cast("long").as("v"))
       .where(col(c1).isNotNull && col(c2).isNotNull))
@@ -71,17 +88,32 @@ object ConnectedComponents {
       val next = ss.localCheckpoint(true)
       val nfp = fingerprint(next)
       converged = nfp == fp
-      edges.unpersist()
+      freeCheckpoint(edges) // Dataset.unpersist can't reach checkpoint blocks
       edges = next
       fp = nfp
       rounds += 1
     }
     require(converged, s"connected components did not converge in $maxRounds rounds")
-    // fixpoint edges are (member -> root); roots label themselves
-    edges.select(col("u").as("id"), col("v").as("cluster"))
+    // fixpoint edges are (member -> root); roots label themselves.
+    // Materialize the labels so the final round's blocks can be released
+    // instead of squatting behind a lazy result for the rest of the session.
+    val labels = edges.select(col("u").as("id"), col("v").as("cluster"))
       .unionByName(edges.select(col("v").as("id"), col("v").as("cluster")))
       .distinct()
+      .localCheckpoint(true)
+    freeCheckpoint(edges)
+    labels
   }
+
+  /** Release the storage behind a localCheckpoint'd frame: the blocks live
+    * on the checkpoint RDD inside the LogicalRDD leaf, which
+    * Dataset.unpersist (CacheManager-scoped) never sees.
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 
   /** Dedup by clustering: every id keeps its cluster representative (the
     * smallest id in its duplicate group); ids not in any pair are their own

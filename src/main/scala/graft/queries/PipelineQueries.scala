@@ -21,6 +21,17 @@ object PipelineQueries {
   private def par(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Delete a temp working tree once its query has fully materialized —
+    * bench/verify sweeps re-run these queries every round, and streaming
+    * sources/checkpoints/indexes would otherwise accumulate in /tmp.
+    */
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(root))
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Files.deleteIfExists(p); () })
+  }
+
   /** Run `body` with spark.sql.shuffle.partitions temporarily lowered —
     * for small-subset streaming sections, where every shuffle partition
     * costs a state-store instance per micro-batch.
@@ -139,9 +150,17 @@ object PipelineQueries {
       """SELECT doc_id AS id, doc_id - doc_id % 10 AS cluster
         |FROM documents ORDER BY id""".stripMargin) { (s, dir) =>
       val d = Tables(s, dir, "documents").select("doc_id")
-      val edges = d.where(pmod(col("doc_id"), lit(10)) =!= 9)
+      // cap at the real max id: if the table ever ends mid-decade, the last
+      // doc must not edge to a nonexistent neighbor (the oracle has no such
+      // row); a doc left with no edge at all still labels itself below.
+      val maxId = d.agg(max("doc_id")).first().getLong(0)
+      val edges = d.where(pmod(col("doc_id"), lit(10)) =!= 9 &&
+          col("doc_id") < maxId)
         .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
-      graft.operators.ConnectedComponents.clusters(edges, "a", "b")
+      val labels = graft.operators.ConnectedComponents.clusters(edges, "a", "b")
+      d.join(labels, col("doc_id") === col("id"), "left")
+        .select(col("doc_id").as("id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"))
         .orderBy("id")
     },
 
@@ -691,25 +710,29 @@ object PipelineQueries {
       """SELECT event_type, count(*) AS n_unique FROM events WHERE user_id < 50
         |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
       val tmp = java.nio.file.Files.createTempDirectory("graft-sdedup")
-      val src = tmp.resolve("src").toString
-      val subset = Tables(s, dir, "events").where(col("user_id") < 50)
-      subset.coalesce(1).write.mode("overwrite").parquet(src)
-      subset.coalesce(1).write.mode("append").parquet(src)
-      val stream = s.readStream.schema(subset.schema)
-        .option("maxFilesPerTrigger", 1).parquet(src)
-      val qname = "graft_stream_dedup_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
-      // a streaming agg instantiates one state store PER shuffle partition
-      // per micro-batch — 4 partitions, not 32, for a few-thousand-row subset
-      withShufflePartitions(s, 4) {
-        val query = graft.streaming.EventStreams.dedupStream(stream)
-          .writeStream.format("memory").queryName(qname)
-          .option("checkpointLocation", tmp.resolve("ckpt").toString)
-          .outputMode("append").start()
-        try { query.processAllAvailable() } finally query.stop()
-      }
-      s.table(qname).groupBy("event_type").agg(count(lit(1)).as("n_unique"))
-        .orderBy("event_type")
+      try {
+        val src = tmp.resolve("src").toString
+        val subset = Tables(s, dir, "events").where(col("user_id") < 50)
+        subset.coalesce(1).write.mode("overwrite").parquet(src)
+        subset.coalesce(1).write.mode("append").parquet(src)
+        val stream = s.readStream.schema(subset.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+        val qname = "graft_stream_dedup_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        // a streaming agg instantiates one state store PER shuffle partition
+        // per micro-batch — 4 partitions, not 32, for a few-thousand-row subset
+        withShufflePartitions(s, 4) {
+          val query = graft.streaming.EventStreams.dedupStream(stream)
+            .writeStream.format("memory").queryName(qname)
+            .option("checkpointLocation", tmp.resolve("ckpt").toString)
+            .outputMode("append").start()
+          try { query.processAllAvailable() } finally query.stop()
+        }
+        // the memory sink holds the rows — the files can go as soon as the
+        // result aggregate is computed over the in-memory table
+        s.table(qname).groupBy("event_type").agg(count(lit(1)).as("n_unique"))
+          .orderBy("event_type").localCheckpoint(true)
+      } finally deleteRecursively(tmp)
     },
 
     // Streaming LSH index maintenance, driver-visible: the corpus arrives in
@@ -720,6 +743,7 @@ object PipelineQueries {
     Q.rowsOnly("x_stream_index_probe") { (s, dir) =>
       import graft.streaming.VectorIndexStream
       val tmp = java.nio.file.Files.createTempDirectory("graft-vindex")
+      try {
       val src = tmp.resolve("src").toString
       val emb = Tables(s, dir, "embeddings")
       emb.where(pmod(col("vec_id"), lit(2)) === 0)
@@ -752,6 +776,7 @@ object PipelineQueries {
         Seq((20L, nFound, math.round(nFound.toDouble / 20 * 10000) / 10000.0))
           .toDF("n_expected", "n_found", "recall")
       }
+      } finally deleteRecursively(tmp)
     },
 
     // Gap-based sessions via flatMapGroupsWithState, oracled against the

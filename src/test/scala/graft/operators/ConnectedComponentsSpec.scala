@@ -71,4 +71,15 @@ class ConnectedComponentsSpec extends SparkSpec {
   test("empty pair set yields empty labels") {
     assert(run(Seq.empty).isEmpty)
   }
+
+  test("round checkpoints are freed: only the result's blocks survive") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val labels = ConnectedComponents.clusters(
+      (0L until 50L).map(i => (i, i + 1)).toDF("a", "b"), "a", "b")
+    labels.count()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // a 51-node chain needs several star rounds; every intermediate
+    // checkpoint must be unpersisted, leaving only the final labels RDD
+    assert(leaked.size <= 1, s"${leaked.size} persisted RDDs survive clusters()")
+  }
 }
