@@ -102,6 +102,29 @@ object Stress {
       println("RANGE=" + operators.RangeJoin.pointInInterval(
         c, w, "user_id", "pt", "w_start", "w_end", Seq.empty, 1800000L).count())
     }
+
+    // connected components: nDocs nodes in chains of 100 (the slow-converging
+    // shape — LSH dup clusters are near-cliques and converge much faster)
+    time(s"connectedComponents over $nDocs-node chain graph") {
+      val edges = spark.range(nDocs)
+        .where(pmod(col("id"), lit(100)) =!= 99)
+        .select(col("id").as("a"), (col("id") + 1).as("b"))
+      println("CC_LABELS=" + operators.ConnectedComponents
+        .clusters(edges, "a", "b").count())
+    }
+
+    // hot-key spill join: ONE key owns half the right side; per-key heap
+    // capped far below it, so most of the group streams from spill
+    time(s"spill join, ${nDocs / 2}-row hot key @10k heap bound") {
+      import spark.implicits._
+      val left = new engine.PairDataflow(
+        Seq((0L, "hot"), (1L, "cold")).toDS())
+      val right = new engine.PairDataflow(
+        spark.range(nDocs / 2).map(i => (0L, i.longValue()))
+          .union(spark.range(100).map(i => (1L, i.longValue()))))
+      println("SPILL_JOIN=" + left.join(right, maxBufferedPerKey = 10000)
+        .ds.count())
+    }
     spark.stop()
   }
 }
