@@ -779,6 +779,62 @@ object PipelineQueries {
       } finally deleteRecursively(tmp)
     },
 
+    // Conversion funnel: users whose FIRST view precedes their first click
+    // precedes their first purchase — one partial-aggregated groupBy(user)
+    // carrying three conditional mins, then a single-row rollup; no join,
+    // no window, epoch-ms on both sides (monotone, tie-stable). The classic
+    // behavioral-analytics shape at any scale.
+    Q("x_event_funnel",
+      """WITH f AS (SELECT user_id,
+        |  min(epoch_ms(ts)) FILTER (event_type = 'view') AS v,
+        |  min(epoch_ms(ts)) FILTER (event_type = 'click') AS c,
+        |  min(epoch_ms(ts)) FILTER (event_type = 'purchase') AS p
+        |  FROM events GROUP BY user_id)
+        |SELECT count(*) AS n_users,
+        |CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+        |CAST(sum(CASE WHEN v < c THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after,
+        |CAST(sum(CASE WHEN v < c AND c < p THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_converted
+        |FROM f""".stripMargin) { (s, dir) =>
+      def firstTs(t: String) =
+        min(when(col("event_type") === t, unix_millis(col("ts")))).as(t.take(1))
+      Tables(s, dir, "events")
+        .groupBy("user_id")
+        .agg(firstTs("view"), firstTs("click"), firstTs("purchase"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("n_viewed"),
+          sum(when(col("v") < col("c"), 1L).otherwise(0L)).as("n_clicked_after"),
+          sum(when(col("v") < col("c") && col("c") < col("p"), 1L).otherwise(0L))
+            .as("n_converted"))
+    },
+
+    // Per-document top term (tf argmax, deterministic lexicographic
+    // tie-break) — the term-frequency half of TF-IDF with an INTEGER-only
+    // result the oracle can hash exactly. Window.partitionBy(doc_id) is
+    // safe here: group size is bounded by a document's token count, not by
+    // corpus size.
+    Q("x_text_topterms",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        |  FROM documents WHERE doc_id < 100),
+        |cnt AS (SELECT doc_id, t, count(*) AS n FROM tok WHERE t <> ''
+        |  GROUP BY doc_id, t),
+        |rk AS (SELECT doc_id, t, n, row_number() OVER
+        |  (PARTITION BY doc_id ORDER BY n DESC, t) AS r FROM cnt)
+        |SELECT doc_id, t AS top_term, n AS n_occurrences
+        |FROM rk WHERE r = 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val tokens = Tables(s, dir, "documents").where(col("doc_id") < 100)
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("t"))
+        .where(col("t") =!= "")
+      val counts = tokens.groupBy("doc_id", "t").agg(count(lit(1)).as("n"))
+      counts.withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+            .orderBy(col("n").desc, col("t"))))
+        .where(col("r") === 1)
+        .select(col("doc_id"), col("t").as("top_term"), col("n").as("n_occurrences"))
+        .orderBy("doc_id")
+    },
+
     // Gap-based sessions via flatMapGroupsWithState, oracled against the
     // classic gaps-and-islands SQL (ms-truncated epochs on both sides).
     Q("x_sessionize",
