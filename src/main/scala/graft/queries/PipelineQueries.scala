@@ -153,15 +153,19 @@ object PipelineQueries {
       // cap at the real max id: if the table ever ends mid-decade, the last
       // doc must not edge to a nonexistent neighbor (the oracle has no such
       // row); a doc left with no edge at all still labels itself below.
+      // 8 shuffle partitions: CC runs ~4 rounds x several aggregate-sized
+      // jobs over a doc-count-sized edge list — scheduler floor, not data.
       val maxId = d.agg(max("doc_id")).first().getLong(0)
-      val edges = d.where(pmod(col("doc_id"), lit(10)) =!= 9 &&
-          col("doc_id") < maxId)
-        .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
-      val labels = graft.operators.ConnectedComponents.clusters(edges, "a", "b")
-      d.join(labels, col("doc_id") === col("id"), "left")
-        .select(col("doc_id").as("id"),
-          coalesce(col("cluster"), col("doc_id")).as("cluster"))
-        .orderBy("id")
+      withShufflePartitions(s, 8) {
+        val edges = d.where(pmod(col("doc_id"), lit(10)) =!= 9 &&
+            col("doc_id") < maxId)
+          .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+        val labels = graft.operators.ConnectedComponents.clusters(edges, "a", "b")
+        d.join(labels, col("doc_id") === col("id"), "left")
+          .select(col("doc_id").as("id"),
+            coalesce(col("cluster"), col("doc_id")).as("cluster"))
+          .orderBy("id")
+      }
     },
 
     // Pairs -> clusters -> representatives: the full dedup pipeline. Chains
@@ -180,7 +184,11 @@ object PipelineQueries {
       val pairs = Dedup.minhashPairs(docs.unionByName(l1).unionByName(l2),
         "doc_id", "text", shingleK = 3, numHashes = 64, numBands = 16,
         threshold = 0.8)
-      val labels = graft.operators.ConnectedComponents.clusters(pairs, "id1", "id2")
+      // pair graph is tiny (near-dup pairs only) — CC rounds are scheduler-
+      // bound at 32 shuffle partitions
+      val labels = withShufflePartitions(s, 8) {
+        graft.operators.ConnectedComponents.clusters(pairs, "id1", "id2")
+      }
       // each copy must land in its source's cluster (not merely any cluster:
       // organic near-dups may merge chains, so compare against the source's
       // own label rather than a closed-form min)
