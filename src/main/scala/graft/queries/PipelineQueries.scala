@@ -843,6 +843,67 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // STREAMING sessionization, driver-visible: the subset arrives in two
+    // time-ordered micro-batches (sessions spanning the split must merge in
+    // state), then a far-future sentinel event (user -1, excluded from the
+    // result) advances the event-time watermark past every session's
+    // end + gap so the EventTimeTimeout closes them all deterministically.
+    // Oracled against the same gaps-and-islands SQL as the batch twin.
+    Q("x_stream_sessionize",
+      """WITH d AS (SELECT user_id, epoch_ms(ts) AS t FROM events
+        |  WHERE user_id < 30),
+        |m AS (SELECT user_id, t, CASE WHEN t - lag(t) OVER
+        |  (PARTITION BY user_id ORDER BY t) > 1800000
+        |  OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+        |  THEN 1 ELSE 0 END AS new_s FROM d),
+        |s AS (SELECT user_id, sum(new_s) OVER
+        |  (PARTITION BY user_id ORDER BY t
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m)
+        |SELECT user_id, CAST(count(DISTINCT sid) AS BIGINT) AS n_sessions,
+        |count(*) AS n_events FROM s GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ssess")
+      try {
+        val src = tmp.resolve("src").toString
+        val ev = Tables(s, dir, "events").where(col("user_id") < 30)
+          .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+            col("event_type"), col("value"))
+        val bounds = ev.agg(
+          expr("approx_percentile(unix_millis(ts), 0.5)"),
+          max(unix_millis(col("ts")))).first()
+        val (mid, maxMs) = (bounds.getLong(0), bounds.getLong(1))
+        // time-ordered files: a later batch must never carry data older
+        // than the watermark the earlier batch established (it would be
+        // dropped as late). Writes are sequential, so mtime order = batch
+        // order for the file source.
+        ev.where(unix_millis(col("ts")) < mid)
+          .coalesce(1).write.mode("overwrite").parquet(src)
+        ev.where(unix_millis(col("ts")) >= mid)
+          .coalesce(1).write.mode("append").parquet(src)
+        import s.implicits._
+        Seq((-1L, new java.sql.Timestamp(maxMs + 18000000L), "sentinel", 0.0))
+          .toDF("user_id", "ts", "event_type", "value")
+          .coalesce(1).write.mode("append").parquet(src)
+        val qname = "graft_stream_sess_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        withShufflePartitions(s, 4) {
+          val stream = s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+            .as[graft.streaming.EventStreams.Event]
+          val query = graft.streaming.EventStreams
+            .sessionize(stream, gapMinutes = 30, emitOpen = false)
+            .writeStream.format("memory").queryName(qname)
+            .option("checkpointLocation", tmp.resolve("ckpt").toString)
+            .outputMode("append").start()
+          try { query.processAllAvailable() } finally query.stop()
+        }
+        s.table(qname).where(col("user_id") >= 0)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+          .orderBy("user_id").localCheckpoint(true)
+      } finally deleteRecursively(tmp)
+    },
+
     // Gap-based sessions via flatMapGroupsWithState, oracled against the
     // classic gaps-and-islands SQL (ms-truncated epochs on both sides).
     Q("x_sessionize",
