@@ -410,8 +410,11 @@ object RelationalQueries {
       val avgByPart = l.groupBy(col("l_partkey").as("ap_partkey"))
         .agg((lit(0.2) * avg("l_quantity")).as("qty_limit"))
       val brand = Tables(s, dir, "part").where(col("p_brand") === "Brand#1")
+      // brand is a true dimension -> broadcast; avgByPart is keyed by the
+      // FACT key (one row per part: billions at 100 TB), so no broadcast
+      // hint — AQE broadcasts it at small scale and SMJs it at large
       l.join(broadcast(brand), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(avgByPart), col("l_partkey") === col("ap_partkey"))
+        .join(avgByPart, col("l_partkey") === col("ap_partkey"))
         .where(col("l_quantity") < col("qty_limit"))
         .agg(round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"))
     },
@@ -439,8 +442,11 @@ object RelationalQueries {
       val minByPart = l.groupBy(col("l_partkey").as("mp_partkey"))
         .agg(min(unit).as("min_unit"))
       val smallParts = Tables(s, dir, "part").where(col("p_size") <= 3)
+      // smallParts is a filtered dimension -> broadcast; minByPart is keyed
+      // by the fact key (a row per part), so its join stays unhinted — AQE
+      // picks broadcast only while it actually fits
       l.join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(minByPart), col("l_partkey") === col("mp_partkey"))
+        .join(minByPart, col("l_partkey") === col("mp_partkey"))
         .where(unit === col("min_unit"))
         .join(broadcast(Tables(s, dir, "supplier")),
           col("l_suppkey") === col("s_suppkey"))
