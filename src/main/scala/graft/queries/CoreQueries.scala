@@ -396,6 +396,86 @@ object CoreQueries {
           explode(split(substring(col("text"), 1, 40), " ")).as("val"))
         .where(col("val") =!= "")
         .orderBy("key", "val")
+    },
+
+    // Partitioned write + partition-pruned read: the layout primitive every
+    // 100 TB pipeline leans on. GATED on the PRUNING itself: after filtering
+    // to one event_type, every file the scan touches must live under that
+    // type's partition directory — a pruning regression fails the query,
+    // not just slows it.
+    Q("x_partitioned_write",
+      """SELECT count(*) AS n_clicks, round(sum(value), 2) AS sum_value
+        |FROM events WHERE event_type = 'click'""".stripMargin) { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-partw")
+      try {
+        Tables(s, dir, "events")
+          .write.mode("overwrite").partitionBy("event_type")
+          .parquet(tmp.toString)
+        val clicks = s.read.parquet(tmp.toString)
+          .where(col("event_type") === "click")
+        // pruning gate, two-sided: the scan must carry the partition filter
+        // (inputFiles can't attest this — it lists the unpruned table), and
+        // reading ONLY the click directory must reproduce the same count
+        val plan = clicks.queryExecution.executedPlan.toString
+        Gate.check(plan.contains("PartitionFilters") && plan.contains("= click"),
+          s"partition filter missing from scan:\n${plan.take(500)}")
+        val direct = s.read.parquet(tmp.resolve("event_type=click").toString).count()
+        val out = clicks.agg(count(lit(1)).as("n_clicks"),
+          round(sum("value"), 2).as("sum_value")).localCheckpoint(true)
+        Gate.check(out.first().getLong(0) == direct,
+          s"pruned scan (${out.first().getLong(0)}) != direct partition read ($direct)")
+        out
+      } finally {
+        import java.nio.file.Files
+        Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { Files.deleteIfExists(p); () })
+      }
+    },
+
+    // Bucketed co-located join: both fact tables bucketed on the join key,
+    // so the join needs NO exchange on either side — vega's partitioner-
+    // aware one-to-one cogroup dependency (co_grouped_rdd.rs:103-126),
+    // expressed as Spark bucketing. GATED on the plan: an exchange between
+    // the bucketed scans and the join fails the query.
+    Q("x_bucketed_join",
+      """SELECT o_orderstatus, count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-buck")
+      s.sql("DROP TABLE IF EXISTS graft_orders_b")
+      s.sql("DROP TABLE IF EXISTS graft_lineitem_b")
+      try {
+        Tables(s, dir, "orders")
+          .write.mode("overwrite").option("path", tmp.resolve("o").toString)
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable("graft_orders_b")
+        Tables(s, dir, "lineitem")
+          .write.mode("overwrite").option("path", tmp.resolve("l").toString)
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable("graft_lineitem_b")
+        val joined = s.table("graft_lineitem_b")
+          .join(s.table("graft_orders_b").hint("merge"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+          .orderBy("o_orderstatus")
+        val out = joined.localCheckpoint(true) // finalize the adaptive plan
+        // AQE plan string prints final + initial sections; check final only
+        val full = joined.queryExecution.executedPlan.toString
+        val plan = full.indexOf("== Initial Plan ==") match {
+          case -1 => full; case i => full.substring(0, i)
+        }
+        val joinIdx = plan.indexOf("SortMergeJoin")
+        Gate.check(joinIdx >= 0 &&
+          !plan.substring(joinIdx).contains("Exchange hashpartitioning"),
+          "bucketed join regressed: exchange present between scans and join")
+        out
+      } finally {
+        s.sql("DROP TABLE IF EXISTS graft_orders_b")
+        s.sql("DROP TABLE IF EXISTS graft_lineitem_b")
+        import java.nio.file.Files
+        Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { Files.deleteIfExists(p); () })
+      }
     }
   )
 }
