@@ -440,16 +440,19 @@ object CoreQueries {
     Q("x_bucketed_join",
       """SELECT o_orderstatus, count(*) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_orderkey % 5 = 0 AND o_orderkey % 5 = 0
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
       val tmp = java.nio.file.Files.createTempDirectory("graft-buck")
       s.sql("DROP TABLE IF EXISTS graft_orders_b")
       s.sql("DROP TABLE IF EXISTS graft_lineitem_b")
       try {
-        Tables(s, dir, "orders")
+        // deterministic 1/5 subset: the demo is the LAYOUT (bucketed scans
+        // join with no exchange), not the write throughput
+        Tables(s, dir, "orders").where(pmod(col("o_orderkey"), lit(5)) === 0)
           .write.mode("overwrite").option("path", tmp.resolve("o").toString)
           .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
           .saveAsTable("graft_orders_b")
-        Tables(s, dir, "lineitem")
+        Tables(s, dir, "lineitem").where(pmod(col("l_orderkey"), lit(5)) === 0)
           .write.mode("overwrite").option("path", tmp.resolve("l").toString)
           .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
           .saveAsTable("graft_lineitem_b")
