@@ -42,8 +42,12 @@ final class SpillableBuffer[T](maxInMemory: Int) {
     if (mem.length < maxInMemory) mem += t
     else {
       if (out == null) {
+        // No deleteOnExit: the JVM-global DeleteOnExitHook entry is never
+        // removed even after close() deletes the file, so a long-lived
+        // executor joining many hot keys would grow that list without
+        // bound. close() (wired to the task-completion listener) is the
+        // cleanup path.
         file = File.createTempFile("graft-spill-", ".bin")
-        file.deleteOnExit() // backstop; close() is the real cleanup
         out = new ObjectOutputStream(new BufferedOutputStream(
           new FileOutputStream(file), 1 << 16))
       }

@@ -121,6 +121,15 @@ object ConnectedComponents {
     */
   def representatives(ids: DataFrame, idCol: String, pairs: DataFrame,
       c1: String, c2: String): DataFrame = {
+    // Same integral-id guard as clusters(): a string/double id column would
+    // cast silently (null/truncation), mis-join the labels, and every
+    // affected doc would quietly become its own representative.
+    ids.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"id column '$idCol' must be integral, got ${other.catalogString}; " +
+          "derive a long id first (hash or zipWithIndex)")
+    }
     val labels = clusters(pairs, c1, c2)
     ids.select(col(idCol).cast("long").as("id"))
       .join(labels, Seq("id"), "left")

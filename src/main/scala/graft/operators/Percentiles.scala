@@ -34,11 +34,14 @@ import org.apache.spark.sql.types._
   * buckets²-level cell (values identical up to ~1e-8 of the group's range
   * but not equal) still degrades pass 2 toward a single-reducer sort.
   *
-  * The driver holds per-group stats and the candidate-bucket histogram —
-  * O(groups × ~buckets) rows — so the operator targets the few-huge-groups
-  * regime and FAILS LOUDLY past `maxGroups` distinct keys (the
-  * high-cardinality regime belongs to approx_percentile or a grouped
-  * sketch, not an exact rank locator).
+  * The driver holds per-group stats and the candidate-bucket histogram, so
+  * the operator targets the few-huge-groups regime: it FAILS LOUDLY past
+  * `maxGroups` distinct keys (the high-cardinality regime belongs to
+  * approx_percentile or a grouped sketch, not an exact rank locator), and
+  * the groups × buckets product is additionally capped at `maxHistCells`
+  * by scaling the pass-1 bucket count down as group count grows — the
+  * worst-case driver collect is ~maxHistCells tuples, never the
+  * multi-GB groups × 8192 the raw defaults would imply.
   *
   * Interpolation is `lower + (upper - lower) * frac` — the SAME
   * floating-point expression DuckDB's quantile_cont and Spark's builtin
@@ -49,7 +52,7 @@ object Percentiles {
 
   def exact(df: DataFrame, keyCol: String, valCol: String,
       ps: Seq[Double], buckets: Int = 8192, maxGroups: Int = 10000,
-      hotBucketFraction: Double = 0.25): DataFrame = {
+      hotBucketFraction: Double = 0.25, maxHistCells: Long = 2000000L): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0))
     val spark = df.sparkSession
     def name(p: Double) = s"p${math.round(p * 100)}"
@@ -83,6 +86,17 @@ object Percentiles {
           "exact bucketed percentiles hold O(groups x buckets) driver state — " +
           "use approx_percentile / a grouped sketch for high-cardinality keys")
 
+      // Bound the DRIVER-side histogram product, not just the group count:
+      // pass 1 collects up to groups × buckets (key, bucket, count) tuples,
+      // and at the old defaults (10000 × 8192) that is ~80M tuples — several
+      // GB of heap — before anything fails. Scale buckets down as group
+      // count grows, capping the worst-case collect at maxHistCells (~2M
+      // tuples ≈ 100 MB); hot-bucket refinement restores resolution where a
+      // rank actually lands, so accuracy is unchanged and pass 2 stays
+      // bucket-sized.
+      val eb: Int = math.max(128, math.min(buckets,
+        (maxHistCells / math.max(1, statRows.size)).toInt))
+
       // Rebuild the (tiny) stats frame from the collected rows so later uses
       // are a local relation, not a re-executed full-input aggregation.
       val statsDf = broadcast(keyedDf(
@@ -93,8 +107,8 @@ object Percentiles {
         .withColumn("__b",
           when(col("__max") === col("__min"), lit(0L))
             .otherwise(least(
-              floor((col("__v") - col("__min")) / (col("__max") - col("__min")) * buckets),
-              lit(buckets - 1L))))
+              floor((col("__v") - col("__min")) / (col("__max") - col("__min")) * eb),
+              lit(eb - 1L))))
 
       // ---- pass 1: per-(group, bucket) histogram (map-side combined) ----
       val hist = withBucket(vals).groupBy("__k", "__b").agg(count(lit(1)).as("__c"))
@@ -132,7 +146,7 @@ object Percentiles {
       // extent; answer identical-valued buckets directly from the extent.
       val hotKeys = targets.map(t => (t._1, t._2)).distinct.filter { case (k, b) =>
         val c = bucketCount((k, b))
-        c > hotBucketFraction * statRows(k)._1 && c > buckets
+        c > hotBucketFraction * statRows(k)._1 && c > eb
       }
       val (directPicks, refined, hotExtDf) = if (hotKeys.isEmpty)
         (Seq.empty[(Any, String, Double)], Map.empty[(Any, Long), Seq[(Long, Long)]], None)

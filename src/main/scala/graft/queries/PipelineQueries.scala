@@ -874,16 +874,33 @@ object PipelineQueries {
         val (mid, maxMs) = (bounds.getLong(0), bounds.getLong(1))
         // time-ordered files: a later batch must never carry data older
         // than the watermark the earlier batch established (it would be
-        // dropped as late). Writes are sequential, so mtime order = batch
-        // order for the file source.
+        // dropped as late). Sequential writes are NOT enough — on a
+        // filesystem with coarse mtime granularity two writes can tie and
+        // the file source (which orders by mtime) could pick the sentinel
+        // up early, jumping the watermark past every real event. Stamp
+        // each batch's files with explicitly increasing mtimes instead.
+        val stamped = scala.collection.mutable.Set.empty[String]
+        def stampNewFiles(epochMs: Long): Unit =
+          new java.io.File(src).listFiles()
+            .filter(f => f.isFile && f.getName.startsWith("part-"))
+            .foreach { f =>
+              if (stamped.add(f.getName)) {
+                java.nio.file.Files.setLastModifiedTime(f.toPath,
+                  java.nio.file.attribute.FileTime.fromMillis(epochMs))
+              }
+            }
+        val t0 = System.currentTimeMillis()
         ev.where(unix_millis(col("ts")) < mid)
           .coalesce(1).write.mode("overwrite").parquet(src)
+        stampNewFiles(t0)
         ev.where(unix_millis(col("ts")) >= mid)
           .coalesce(1).write.mode("append").parquet(src)
+        stampNewFiles(t0 + 60000L)
         import s.implicits._
         Seq((-1L, new java.sql.Timestamp(maxMs + 18000000L), "sentinel", 0.0))
           .toDF("user_id", "ts", "event_type", "value")
           .coalesce(1).write.mode("append").parquet(src)
+        stampNewFiles(t0 + 120000L)
         val qname = "graft_stream_sess_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
         withShufflePartitions(s, 4) {

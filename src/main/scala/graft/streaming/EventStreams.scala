@@ -155,8 +155,18 @@ object EventStreams extends Serializable {
 
   def sessionizeMs(events: Dataset[Event], gapMs: Long,
       emitOpen: Boolean): Dataset[UserSession] = {
-    // batch mode: the secondary-sort plan, not state-API buffering
-    if (emitOpen) return sessionizeBatchMs(events, gapMs)
+    // batch mode: the secondary-sort plan, not state-API buffering.
+    // emitOpen only makes sense when no more data can arrive, and the
+    // secondary-sort plan (sortWithinPartitions) is unsupported on a
+    // streaming Dataset — fail with the real reason instead of letting the
+    // analyzer surface an unrelated-looking sort error.
+    if (emitOpen) {
+      require(!events.isStreaming,
+        "emitOpen=true is batch-only: a stream never ends, so the trailing " +
+          "open session is undefined — use emitOpen=false (event-time " +
+          "timeout closes sessions once the watermark passes end + gap)")
+      return sessionizeBatchMs(events, gapMs)
+    }
     val spark = events.sparkSession
     import spark.implicits._
 

@@ -68,6 +68,15 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("representatives rejects non-integral id columns like clusters does") {
+    val ids = Seq("a", "b").toDF("doc_id")
+    val pairs = Seq((1L, 2L)).toDF("a", "b")
+    val err = intercept[IllegalArgumentException] {
+      ConnectedComponents.representatives(ids, "doc_id", pairs, "a", "b")
+    }
+    assert(err.getMessage.contains("integral"))
+  }
+
   test("empty pair set yields empty labels") {
     assert(run(Seq.empty).isEmpty)
   }

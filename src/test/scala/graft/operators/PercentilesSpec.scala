@@ -72,6 +72,25 @@ class PercentilesSpec extends SparkSpec {
     assert(m == Map(1L -> 1.5, 2L -> 5.0))
   }
 
+  test("histogram cell cap scales buckets down without losing exactness") {
+    import spark.implicits._
+    // 50 groups x maxHistCells=2000 forces the pass-1 bucket count down to
+    // the 128 floor (2000/50 = 40 < 128) — the driver-side histogram stays
+    // bounded and the coarser buckets must still rank exactly.
+    val vals = for (g <- 1 to 50; i <- 1 to 200) yield (s"g$g", (i * 7 % 97).toDouble + g)
+    val df = vals.toDF("k", "v").repartition(8)
+    val got = Percentiles.exact(df, "k", "v", Seq(0.5, 0.9), maxHistCells = 2000L)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    val exp = df.groupBy("k")
+      .agg(expr("percentile(v, 0.5)").as("p50"), expr("percentile(v, 0.9)").as("p90"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.length == 50)
+    got.zip(exp).foreach { case (g, e) =>
+      assert(g._1 == e._1 && math.abs(g._2 - e._2) < 1e-9 && math.abs(g._3 - e._3) < 1e-9,
+        s"$g vs $e")
+    }
+  }
+
   test("fails loudly past maxGroups distinct keys") {
     import spark.implicits._
     val df = (1 to 500).map(i => (s"g$i", i.toDouble)).toDF("k", "v")

@@ -93,6 +93,23 @@ class StreamingSpec extends SparkSpec {
     assert(sessions(2).user_id == 2 && sessions(2).n_events == 1)
   }
 
+  test("emitOpen=true on a streaming Dataset fails with the real reason") {
+    val src = java.nio.file.Files.createTempDirectory("graft-sess-guard")
+    val schema = simpleSchema(
+      "user_id" -> org.apache.spark.sql.types.LongType,
+      "ts" -> org.apache.spark.sql.types.TimestampType,
+      "event_type" -> org.apache.spark.sql.types.StringType,
+      "value" -> org.apache.spark.sql.types.DoubleType)
+    val stream = spark.readStream.schema(schema).parquet(src.toString)
+      .as[EventStreams.Event]
+    // previously this routed to the secondary-sort batch plan and failed at
+    // analysis time with an unrelated-looking sort error
+    val err = intercept[IllegalArgumentException] {
+      EventStreams.sessionizeMs(stream, gapMs = 1000, emitOpen = true)
+    }
+    assert(err.getMessage.contains("batch-only"))
+  }
+
   test("streaming sessionize keeps sessions whole across micro-batches") {
     import org.apache.spark.sql.functions._
     val src = java.nio.file.Files.createTempDirectory("graft-sess")
