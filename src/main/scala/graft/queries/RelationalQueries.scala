@@ -567,6 +567,289 @@ object RelationalQueries {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("revenue"))
         .orderBy("n_name")
+    },
+
+    // TPC-H Q8-style: one nation's market share inside a region, by year.
+    // The widest join tree in the suite (7 tables, and nation twice with
+    // different roles); every dimension broadcasts, so the only shuffles are
+    // lineitem⨝orders on the order key and the final year aggregate.
+    Q("q8_market_share",
+      """SELECT CAST(o_year AS INTEGER) AS o_year,
+        |round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+        |  / sum(volume), 4) AS mkt_share
+        |FROM (SELECT year(o_orderdate) AS o_year,
+        |  l_extendedprice * (1 - l_discount) AS volume, n2.n_name AS nation
+        |  FROM part JOIN lineitem ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY') t
+        |GROUP BY o_year ORDER BY o_year""".stripMargin) { (s, dir) =>
+      val volume = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val econParts = Tables(s, dir, "part").where(col("p_type") === "ECONOMY")
+        .select("p_partkey")
+      val custNation = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+      val suppNation = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("nation"))
+      val asia = Tables(s, dir, "region").where(col("r_name") === "ASIA")
+      Tables(s, dir, "lineitem")
+        .join(broadcast(econParts), col("l_partkey") === col("p_partkey"))
+        .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
+        .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(Tables(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(round(
+          sum(when(col("nation") === "NATION_3", volume).otherwise(lit(0.0)))
+            / sum(volume), 4).as("mkt_share"))
+        .orderBy("o_year")
+    },
+
+    // TPC-H Q9-style: product-line profit by supplier nation and year. The
+    // dataset has no partsupp, so supply cost is modeled as a fixed fraction
+    // of the part's retail price — same join tree, same agg shape.
+    Q("q9_product_profit",
+      """SELECT nation, CAST(o_year AS INTEGER) AS o_year,
+        |round(sum(amount), 2) AS sum_profit
+        |FROM (SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  l_extendedprice * (1 - l_discount)
+        |    - 0.6 * p_retailprice * l_quantity AS amount
+        |  FROM part JOIN lineitem ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE p_name LIKE '%red%') t
+        |GROUP BY nation, o_year ORDER BY nation, o_year DESC""".stripMargin) { (s, dir) =>
+      val redParts = Tables(s, dir, "part").where(col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+      val amount = col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        lit(0.6) * col("p_retailprice") * col("l_quantity")
+      Tables(s, dir, "lineitem")
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(round(sum(amount), 2).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+
+    // TPC-H Q11-style: parts whose traded value (for one nation's suppliers)
+    // exceeds a fraction of that nation's total — the scalar-subquery-over-
+    // the-same-aggregate pattern. The per-part aggregate is computed ONCE
+    // and reused for both the threshold and the output (vs re-scanning
+    // lineitem); the threshold is a one-row broadcast.
+    Q("q11_important_values",
+      """WITH v AS (SELECT l_partkey, sum(l_extendedprice) AS pv FROM lineitem
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_3' GROUP BY l_partkey)
+        |SELECT l_partkey, round(pv, 2) AS part_value FROM v
+        |WHERE pv > (SELECT sum(pv) * 0.001 FROM v)
+        |ORDER BY part_value DESC, l_partkey""".stripMargin) { (s, dir) =>
+      val nat3Supp = Tables(s, dir, "supplier")
+        .join(broadcast(Tables(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .where(col("n_name") === "NATION_3")
+        .select("s_suppkey")
+      val v = Tables(s, dir, "lineitem")
+        .join(broadcast(nat3Supp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("l_partkey").agg(sum("l_extendedprice").as("pv"))
+        // reused by threshold + filter: cache the (small, per-part) aggregate
+        .localCheckpoint(true)
+      val threshold = v.agg((sum("pv") * lit(0.001)).as("thr"))
+      v.join(broadcast(threshold)).where(col("pv") > col("thr"))
+        .select(col("l_partkey"), round(col("pv"), 2).as("part_value"))
+        .orderBy(col("part_value").desc, col("l_partkey"))
+    },
+
+    // TPC-H Q12-style: late shipments split by order priority. The dataset
+    // has no commit/receipt dates or ship modes, so "late" is shipped >90
+    // days after the order date and the split keys on line status — the
+    // join + conditional-aggregation shape is Q12's.
+    Q("q12_late_shipments",
+      """SELECT l_linestatus,
+        |CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { (s, dir) =>
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    },
+
+    // TPC-H Q15-style: the quarter's top revenue supplier(s) — an aggregate
+    // compared against the max of itself. rev is computed once; the max is a
+    // one-row broadcast, so no re-scan and no window over the whole table.
+    // Ties (several suppliers at the exact max) are all kept, like Q15.
+    Q("q15_top_supplier",
+      """WITH rev AS (SELECT l_suppkey AS supplier_no,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      val rev = Tables(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("total_revenue"))
+        .localCheckpoint(true) // reused for the max and the probe
+      val top = rev.agg(max("total_revenue").as("max_rev"))
+      rev.join(broadcast(top)).where(col("total_revenue") === col("max_rev"))
+        .join(broadcast(Tables(s, dir, "supplier")),
+          col("supplier_no") === col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    },
+
+    // TPC-H Q16-style: supplier variety per (brand, type, size) — the
+    // count-DISTINCT showcase (Spark plans the two-phase expand + partial
+    // aggregate; the distinct never funnels through one reducer).
+    Q("q16_supplier_variety",
+      """SELECT p_brand, p_type, p_size,
+        |CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size IN (1,4,9,14,19,24,29,34)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin) { (s, dir) =>
+      val parts = Tables(s, dir, "part")
+        .where(col("p_brand") =!= "Brand#1"
+          && col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+      Tables(s, dir, "lineitem")
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    },
+
+    // TPC-H Q19-style: disjunctive brand/size/quantity triples — the
+    // OR-of-conjunctions predicate. The part side of each disjunct pushes to
+    // the broadcast build; the l_quantity side pushes to the lineitem scan.
+    Q("q19_or_predicates",
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |count(*) AS n
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 1 AND 15)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20
+        |       AND l_quantity BETWEEN 10 AND 25)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 15 AND 35
+        |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin) { (s, dir) =>
+      val pred =
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 10)
+          && col("l_quantity").between(1, 15)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(5, 20)
+          && col("l_quantity").between(10, 25)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(15, 35)
+          && col("l_quantity").between(20, 40))
+      Tables(s, dir, "lineitem")
+        .join(broadcast(Tables(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .where(pred)
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("n"))
+    },
+
+    // TPC-H Q20-style: suppliers who moved real volume of a part family in a
+    // year — the nested-IN chain. Both INs become semi-joins: the part-key
+    // filter is a broadcast semi into the lineitem scan, and the final
+    // supplier filter is a semi against the HAVING aggregate, so no step
+    // duplicates rows.
+    Q("q20_volume_suppliers",
+      """SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                      WHERE p_name LIKE 'small%')
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY l_suppkey HAVING sum(l_quantity) > 300)
+        |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      val smallParts = Tables(s, dir, "part")
+        .where(col("p_name").like("small%")).select("p_partkey")
+      val movers = Tables(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"),
+          "left_semi")
+        .groupBy("l_suppkey").agg(sum("l_quantity").as("qty"))
+        .where(col("qty") > 300)
+        .select("l_suppkey")
+      Tables(s, dir, "supplier")
+        .join(movers, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    },
+
+    // TPC-H Q21-style: suppliers who were the ONLY late supplier on a
+    // multi-supplier finished order. The classic exists/not-exists pair is
+    // decorrelated into ONE per-order aggregate (distinct suppliers,
+    // distinct late suppliers) joined back — two shuffles total, no
+    // per-outer-row re-scan of lineitem, no row explosion ("late" is
+    // shipped >60 days after the order date; this dataset has no
+    // commit/receipt dates).
+    Q("q21_sole_late_supplier",
+      """WITH lo AS (SELECT l_orderkey, l_suppkey,
+        |  CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |    THEN 1 ELSE 0 END AS late
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE o_orderstatus = 'F'),
+        |st AS (SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late
+        |  FROM lo GROUP BY l_orderkey),
+        |cand AS (SELECT DISTINCT lo.l_orderkey, lo.l_suppkey
+        |  FROM lo JOIN st ON lo.l_orderkey = st.l_orderkey
+        |  WHERE lo.late = 1 AND st.n_supp > 1 AND st.n_late = 1)
+        |SELECT s_name, count(*) AS numwait
+        |FROM cand JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_5'
+        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin) { (s, dir) =>
+      val lo = Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "orders").where(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+            1).otherwise(0).as("late"))
+        // feeds both the per-order stats and the candidate probe
+        .localCheckpoint(true)
+      val st = lo.groupBy("l_orderkey")
+        .agg(countDistinct("l_suppkey").as("n_supp"),
+          countDistinct(when(col("late") === 1, col("l_suppkey"))).as("n_late"))
+      val cand = lo.where(col("late") === 1)
+        .join(st.where(col("n_supp") > 1 && col("n_late") === 1)
+          .select("l_orderkey"), Seq("l_orderkey"))
+        .select("l_orderkey", "l_suppkey").distinct()
+      val nat5Supp = Tables(s, dir, "supplier")
+        .join(broadcast(Tables(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .where(col("n_name") === "NATION_5")
+        .select("s_suppkey", "s_name")
+      cand.join(broadcast(nat5Supp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
     }
   )
 }
