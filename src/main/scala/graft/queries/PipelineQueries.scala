@@ -843,6 +843,116 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // TF-IDF: per-document top-3 terms by smoothed tf-idf
+    // (tf × (ln((N+1)/(df+1)) + 1)). Exact-hash-safe floats BY CONSTRUCTION:
+    // every input (tf, df, N) is an integer, every op (+ − × ÷ ln round) is
+    // correctly rounded and evaluated in the same literal order in both
+    // engines, and Java's Math.log is bit-identical to libm's ln on this
+    // range (verified) — so the rounded score, the score-ordered ranks, and
+    // the hash all match without a tolerance. Plan: tf is one shuffle,
+    // df one aggregate over it; the doc-frequency join keys on the TERM
+    // (vocabulary-sized at 100 TB — unhinted, AQE broadcasts while it
+    // fits); the rank window partitions by doc (bounded by a doc's
+    // vocabulary, never corpus-sized).
+    Q("x_tfidf",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        |  FROM documents),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok WHERE t <> ''
+        |  GROUP BY doc_id, t),
+        |df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (SELECT doc_id, t, tf, df,
+        |  round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 4) AS score
+        |  FROM tf JOIN df USING (t) CROSS JOIN n WHERE doc_id < 100),
+        |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |  ORDER BY score DESC, t) AS INTEGER) AS r FROM sc)
+        |SELECT doc_id, r, t AS term, tf, df, score FROM rk
+        |WHERE r <= 3 ORDER BY doc_id, r""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val tok = docs.select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("t"))
+        .where(col("t") =!= "")
+      val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val sc = tf.where(col("doc_id") < 100)
+        .join(dfreq, "t")
+        .crossJoin(broadcast(n))
+        .withColumn("score", round(col("tf")
+          * (log((col("n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)), 4))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("t"))
+      sc.withColumn("r", row_number().over(w)).where(col("r") <= 3)
+        .select(col("doc_id"), col("r"), col("t").as("term"),
+          col("tf"), col("df"), col("score"))
+        .orderBy("doc_id", "r")
+    },
+
+    // BM25 (k1=1.2, b=0.75) of the fixed query {spark, vector, stream}
+    // against every document. Same bit-identical-float discipline as
+    // x_tfidf, plus two order-of-summation guards: avgdl is an EXACT
+    // integer sum divided once (never a float-accumulated avg, whose
+    // result depends on partition order), and the 3 per-term contributions
+    // are pivoted to columns and added in fixed left-to-right order (an
+    // agg-ordered sum() over them would be nondeterministic in the last
+    // ulp). Per-doc work is a few joins against broadcast scalars; the
+    // only corpus-wide shuffles are the tokenize-count and doc-length aggs.
+    Q("x_bm25",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        |  FROM documents),
+        |tok2 AS (SELECT * FROM tok WHERE t <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+        |stats AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok2
+        |  WHERE t IN ('spark','vector','stream') GROUP BY doc_id, t),
+        |dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        |sc AS (SELECT tf.doc_id, tf.t,
+        |  ln(1.0 + (n.n - dfq.df + 0.5) / (dfq.df + 0.5))
+        |    * (tf.tf * (1.2 + 1.0))
+        |    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS s
+        |  FROM tf JOIN dfq USING (t) JOIN dl USING (doc_id)
+        |  CROSS JOIN stats CROSS JOIN n WHERE tf.doc_id < 50),
+        |pv AS (SELECT doc_id,
+        |  max(CASE WHEN t = 'spark' THEN s END) AS s1,
+        |  max(CASE WHEN t = 'vector' THEN s END) AS s2,
+        |  max(CASE WHEN t = 'stream' THEN s END) AS s3
+        |  FROM sc GROUP BY doc_id)
+        |SELECT dl.doc_id, dl.dl AS doc_len,
+        |round(coalesce(s1, 0) + coalesce(s2, 0) + coalesce(s3, 0), 4) AS bm25
+        |FROM dl LEFT JOIN pv USING (doc_id) WHERE dl.doc_id < 50
+        |ORDER BY dl.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val tok2 = docs.select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("t"))
+        .where(col("t") =!= "")
+      val dl = tok2.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg((sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val tf = tok2.where(col("t").isin("spark", "vector", "stream"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      val sc = tf.join(broadcast(dfq), "t")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .crossJoin(broadcast(n))
+        .where(col("doc_id") < 50)
+        .withColumn("s",
+          log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+            * (col("tf") * (lit(1.2) + lit(1.0)))
+            / (col("tf") + lit(1.2)
+              * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))))
+      val pv = sc.groupBy("doc_id").agg(
+        max(when(col("t") === "spark", col("s"))).as("s1"),
+        max(when(col("t") === "vector", col("s"))).as("s2"),
+        max(when(col("t") === "stream", col("s"))).as("s3"))
+      dl.where(col("doc_id") < 50).join(pv, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("dl").as("doc_len"),
+          round(coalesce(col("s1"), lit(0.0)) + coalesce(col("s2"), lit(0.0))
+            + coalesce(col("s3"), lit(0.0)), 4).as("bm25"))
+        .orderBy("doc_id")
+    },
+
     // STREAMING sessionization, driver-visible: the subset arrives in two
     // time-ordered micro-batches (sessions spanning the split must merge in
     // state), then a far-future sentinel event (user -1, excluded from the
