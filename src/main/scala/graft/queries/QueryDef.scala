@@ -59,3 +59,44 @@ object Gate {
   def check(cond: Boolean, what: => String): Unit =
     if (!cond) throw new IllegalStateException(s"self-attestation failed: $what")
 }
+
+/** Temp dirs for query-local write fixtures and streaming checkpoints.
+  * Prefers the RAM-backed /dev/shm when present: these dirs hold tiny,
+  * deliberately transient data, but streaming commit/offset logs fsync
+  * once per micro-batch and dynamic-partition appends open a parquet
+  * writer per directory — on a disk-backed /tmp that metadata I/O
+  * dominates the queries' own work. Falls back to the JVM default
+  * temp dir when no tmpfs is available.
+  */
+object Tmp {
+  // Roundtrip queries (a12/s4/s6/s8) return frames that lazily READ the
+  // dir they wrote, so they can't delete it inline — sweep every dir this
+  // JVM created on exit instead. tmpfs is RAM: a leak there would persist
+  // until reboot, not until a disk cleanup. Bounded: one entry per
+  // fixture-writing query per session.
+  private val created = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      created.forEach { p =>
+        try delete(p) catch { case _: Exception => () }
+      }))
+  }
+
+  private def delete(root: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+
+  def dir(prefix: String): java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val p =
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+        java.nio.file.Files.createTempDirectory(shm, prefix)
+      else java.nio.file.Files.createTempDirectory(prefix)
+    created.add(p)
+    p
+  }
+}
