@@ -64,10 +64,15 @@ object ConnectedComponents {
             "derive a long id first (hash or zipWithIndex)")
       }
     }
+    // LAZY checkpoints throughout the loop: the fingerprint action right
+    // after materializes the checkpoint blocks inside its own job, so each
+    // round costs ONE job (agg + block writes) instead of two (eager
+    // materialize, then agg over the cache). The lineage cut itself is
+    // still load-bearing — see the scaladoc.
     var edges = canon(pairs.select(col(c1).cast("long").as("u"),
       col(c2).cast("long").as("v"))
       .where(col(c1).isNotNull && col(c2).isNotNull))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var fp = fingerprint(edges)
     var rounds = 0
     var converged = false
@@ -85,8 +90,8 @@ object ConnectedComponents {
       val ss = canon(ls.join(minS, "u")
         .select(col("v").as("u"), col("m").as("v"))
         .unionByName(minS.select(col("u"), col("m").as("v"))))
-      val next = ss.localCheckpoint(true)
-      val nfp = fingerprint(next)
+      val next = ss.localCheckpoint(false)
+      val nfp = fingerprint(next) // materializes next's blocks in the same job
       converged = nfp == fp
       freeCheckpoint(edges) // Dataset.unpersist can't reach checkpoint blocks
       edges = next

@@ -44,6 +44,24 @@ object PipelineQueries {
     try body finally s.conf.set(key, prev)
   }
 
+  /** Stamp files `seen` hasn't recorded yet with an explicit mtime. The
+    * streaming file source orders files by modification time, and a
+    * filesystem with coarse mtime granularity can tie two sequential
+    * writes — for watermark-ordered fixtures (a later file must never
+    * carry data older than the watermark an earlier file established),
+    * ordering has to be explicit, not an artifact of write timing.
+    */
+  private def stampNewFiles(src: String,
+      seen: scala.collection.mutable.Set[String], epochMs: Long): Unit =
+    new java.io.File(src).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+      .foreach { f =>
+        if (seen.add(f.getName)) {
+          java.nio.file.Files.setLastModifiedTime(f.toPath,
+            java.nio.file.attribute.FileTime.fromMillis(epochMs))
+        }
+      }
+
   /** Deterministic near-duplicate perturbation for self-attestation:
     * alternating +/-25% per-dim scale => cosine ~0.97 to the source —
     * above the 0.95 dedup threshold but far enough from 1.0 that LSH
@@ -986,33 +1004,20 @@ object PipelineQueries {
         val (mid, maxMs) = (bounds.getLong(0), bounds.getLong(1))
         // time-ordered files: a later batch must never carry data older
         // than the watermark the earlier batch established (it would be
-        // dropped as late). Sequential writes are NOT enough — on a
-        // filesystem with coarse mtime granularity two writes can tie and
-        // the file source (which orders by mtime) could pick the sentinel
-        // up early, jumping the watermark past every real event. Stamp
-        // each batch's files with explicitly increasing mtimes instead.
+        // dropped as late) — see stampNewFiles.
         val stamped = scala.collection.mutable.Set.empty[String]
-        def stampNewFiles(epochMs: Long): Unit =
-          new java.io.File(src).listFiles()
-            .filter(f => f.isFile && f.getName.startsWith("part-"))
-            .foreach { f =>
-              if (stamped.add(f.getName)) {
-                java.nio.file.Files.setLastModifiedTime(f.toPath,
-                  java.nio.file.attribute.FileTime.fromMillis(epochMs))
-              }
-            }
         val t0 = System.currentTimeMillis()
         ev.where(unix_millis(col("ts")) < mid)
           .coalesce(1).write.mode("overwrite").parquet(src)
-        stampNewFiles(t0)
+        stampNewFiles(src, stamped, t0)
         ev.where(unix_millis(col("ts")) >= mid)
           .coalesce(1).write.mode("append").parquet(src)
-        stampNewFiles(t0 + 60000L)
+        stampNewFiles(src, stamped, t0 + 60000L)
         import s.implicits._
         Seq((-1L, new java.sql.Timestamp(maxMs + 18000000L), "sentinel", 0.0))
           .toDF("user_id", "ts", "event_type", "value")
           .coalesce(1).write.mode("append").parquet(src)
-        stampNewFiles(t0 + 120000L)
+        stampNewFiles(src, stamped, t0 + 120000L)
         val qname = "graft_stream_sess_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
         withShufflePartitions(s, 4) {
@@ -1030,6 +1035,60 @@ object PipelineQueries {
           .groupBy("user_id")
           .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
           .orderBy("user_id").localCheckpoint(true)
+      } finally deleteRecursively(tmp)
+    },
+
+    // STREAMING windowed aggregation, driver-visible: the batch twin is
+    // x_event_window; this runs the same tumbling-hour aggregate through a
+    // real watermark + append-mode stream (two time-split micro-batches,
+    // then a far-future sentinel closes every window). Sums are integer
+    // cents, so cross-batch state accumulation order can't flip a rounded
+    // digit — the oracle compare is exact.
+    Q("x_stream_window",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+        |event_type, count(*) AS n,
+        |CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events WHERE user_id < 40
+        |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin) { (s, dir) =>
+      val tmp = Tmp.dir("graft-swin")
+      try {
+        val src = tmp.resolve("src").toString
+        val ev = Tables(s, dir, "events").where(col("user_id") < 40)
+          .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+            col("event_type"), col("value"))
+        val bounds = ev.agg(
+          expr("approx_percentile(unix_millis(ts), 0.5)"),
+          max(unix_millis(col("ts")))).first()
+        val (mid, maxMs) = (bounds.getLong(0), bounds.getLong(1))
+        val stamped = scala.collection.mutable.Set.empty[String]
+        val t0 = System.currentTimeMillis()
+        ev.where(unix_millis(col("ts")) < mid)
+          .coalesce(1).write.mode("overwrite").parquet(src)
+        stampNewFiles(src, stamped, t0)
+        ev.where(unix_millis(col("ts")) >= mid)
+          .coalesce(1).write.mode("append").parquet(src)
+        stampNewFiles(src, stamped, t0 + 60000L)
+        import s.implicits._
+        // sentinel 3h past the last event: watermark (1h lag) passes every
+        // real window's end, so append mode emits them all; the sentinel's
+        // own window never closes and never reaches the sink
+        Seq((-1L, new java.sql.Timestamp(maxMs + 10800000L), "sentinel", 0.0))
+          .toDF("user_id", "ts", "event_type", "value")
+          .coalesce(1).write.mode("append").parquet(src)
+        stampNewFiles(src, stamped, t0 + 120000L)
+        val qname = "graft_stream_win_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        withShufflePartitions(s, 4) {
+          val stream = s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+          val query = graft.streaming.EventStreams.hourlyCountsCents(stream)
+            .writeStream.format("memory").queryName(qname)
+            .option("checkpointLocation", tmp.resolve("ckpt").toString)
+            .outputMode("append").start()
+          try { query.processAllAvailable() } finally query.stop()
+        }
+        s.table(qname).where(col("event_type") =!= "sentinel")
+          .orderBy("hour", "event_type").localCheckpoint(true)
       } finally deleteRecursively(tmp)
     },
 

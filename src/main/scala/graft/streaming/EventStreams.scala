@@ -43,6 +43,21 @@ object EventStreams extends Serializable {
 
   def hourlyCountsBatch(events: DataFrame): DataFrame = windowAgg(events)
 
+  /** Exact-sum streaming variant: the fixture's values carry 2-decimal
+    * granularity, so round(value*100) is an exact integer with identical
+    * bits in any engine, and the LONG sum is order-insensitive — the
+    * cross-micro-batch state accumulation order can't flip a rounded
+    * digit, unlike the double sum in `hourlyCounts` (fine for display,
+    * not for an exact-hash oracle).
+    */
+  def hourlyCountsCents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0).cast("long")).as("sum_cents"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:00").as("hour"),
+        col("event_type"), col("n"), col("sum_cents"))
+
   private def windowAgg(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
