@@ -1,0 +1,232 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Fixed-size mergeable quantile sketch:
+  * graft_qsketch(value double, k int, ps array<double>) -> array<double>
+  * (one estimate per requested quantile, in request order).
+  *
+  * The grouped-percentile path for HIGH-cardinality keys — the regime
+  * `operators.Percentiles.exact` deliberately refuses (its driver-side
+  * rank locator holds O(groups × buckets) state). This sketch is a
+  * t-digest-style centroid summary with a uniform weight cap: the buffer
+  * holds ≤ k (value, weight) centroids plus a small unsorted intake; at
+  * compression, centroids are rebuilt greedily left-to-right with weight
+  * cap ceil(total/k). It participates in partial aggregation
+  * (ObjectHashAggregate), so a million-group aggregate carries k doubles
+  * per group through the exchange and NOTHING to the driver — the shape
+  * a 100 TB grouped quantile needs.
+  *
+  * Accuracy: a centroid spans ≤ ceil(total/k)+max_input_weight ranks, so a
+  * quantile estimate's true rank is within ~2/k of the target (heavy
+  * duplicates sit in their own exact-valued centroid and cost nothing).
+  * Merge order across partitions shifts WHICH ranks the centroids cut at
+  * — estimates vary inside the bound but never outside it, which is what
+  * the error-gated queries/specs assert.
+  *
+  * Reference analogue: vega has no quantile machinery at all (SURVEY
+  * §2.9); this extends the approx family (count_approx etc.,
+  * src/partial/) to rank statistics.
+  */
+case class QuantileSketch(
+    valueExpr: Expression,
+    kExpr: Expression,
+    psExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[QuantileSketch.Buffer] {
+
+  import QuantileSketch.Buffer
+
+  private lazy val k: Int = GraftFunctions.intArg(kExpr)
+  private lazy val ps: Array[Double] = {
+    val arr = psExpr.eval().asInstanceOf[ArrayData]
+    arr.toDoubleArray()
+  }
+
+  override def children: Seq[Expression] = Seq(valueExpr, kExpr, psExpr)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_qsketch"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (valueExpr.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a double value column, got ${valueExpr.dataType.catalogString}")
+    else if (!kExpr.foldable || !psExpr.foldable)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName k and quantiles must be literals")
+    else if (k < 16)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName needs k >= 16, got $k")
+    else if (ps.isEmpty || ps.exists(p => p < 0.0 || p > 1.0))
+      TypeCheckResult.TypeCheckFailure(s"$prettyName quantiles must be in [0, 1]")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def createAggregationBuffer(): Buffer = new Buffer(k)
+
+  override def update(buf: Buffer, input: InternalRow): Buffer = {
+    val v = valueExpr.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[Double], 1.0)
+    buf
+  }
+
+  override def merge(buf: Buffer, other: Buffer): Buffer = { buf.absorb(other); buf }
+
+  override def eval(buf: Buffer): Any =
+    new GenericArrayData(ps.map(buf.quantile))
+
+  override def serialize(buf: Buffer): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): Buffer = Buffer.fromBytes(k, bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): QuantileSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): QuantileSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): QuantileSketch =
+    copy(valueExpr = newChildren(0), kExpr = newChildren(1), psExpr = newChildren(2))
+}
+
+object QuantileSketch {
+
+  /** Centroid summary: sorted (value, weight) pairs ≤ k entries, plus an
+    * unsorted intake of single values compressed in batches of 2k.
+    */
+  final class Buffer(k: Int) {
+    // parallel arrays, sorted by value after compress()
+    private[QuantileSketch] var cVal = new Array[Double](0)
+    private[QuantileSketch] var cW = new Array[Double](0)
+    private val intake = new Array[Double](2 * k)
+    private var intakeN = 0
+    private[QuantileSketch] var total = 0.0
+
+    def add(v: Double, w: Double): Unit = {
+      if (w == 1.0 && intakeN < intake.length) {
+        intake(intakeN) = v; intakeN += 1; total += 1.0
+        if (intakeN == intake.length) compress(Array.empty, Array.empty)
+      } else compress(Array(v), Array(w)) // compress re-derives total itself
+    }
+
+    def absorb(other: Buffer): Unit = {
+      other.compress(Array.empty, Array.empty)
+      compress(other.cVal, other.cW) // re-derives total from all weights
+    }
+
+    /** Rebuild centroids from (current centroids + intake + extra pairs),
+      * greedy left-to-right with weight cap ceil(total/k). A single input
+      * pair heavier than the cap keeps its own exact-valued centroid.
+      */
+    private def compress(xv: Array[Double], xw: Array[Double]): Unit = {
+      val n = cVal.length + intakeN + xv.length
+      if (n == 0) return
+      val vs = new Array[Double](n)
+      val ws = new Array[Double](n)
+      System.arraycopy(cVal, 0, vs, 0, cVal.length)
+      System.arraycopy(cW, 0, ws, 0, cVal.length)
+      var i = 0
+      while (i < intakeN) {
+        vs(cVal.length + i) = intake(i); ws(cVal.length + i) = 1.0; i += 1
+      }
+      i = 0
+      while (i < xv.length) {
+        vs(cVal.length + intakeN + i) = xv(i)
+        ws(cVal.length + intakeN + i) = xw(i)
+        i += 1
+      }
+      intakeN = 0
+      // sort pairs by value (indices sorted, then gather)
+      val idx = Array.range(0, n).sortBy(vs)
+      val tw = ws.sum
+      total = tw // authoritative: includes weighted pairs
+      val cap = math.max(1.0, math.ceil(tw / k))
+      // sized n: every input pair opens at most one bucket, so overflow is
+      // impossible by construction (adversarial heavy/light interleavings
+      // can exceed k buckets, but never n; the summary stays ≤ ~2k because
+      // n ≤ |centroids| + |intake| + |extra| ≤ 3k and re-compression with a
+      // larger cap re-tightens it)
+      val outV = new Array[Double](n)
+      val outW = new Array[Double](n)
+      var out = -1
+      i = 0
+      while (i < n) {
+        val v = vs(idx(i)); val w = ws(idx(i))
+        if (out >= 0 && outV(out) == v) {
+          outW(out) += w // exact duplicates always merge, cap-exempt
+        } else if (out >= 0 && outW(out) + w <= cap) {
+          // weighted mean keeps the centroid inside its span
+          val nw = outW(out) + w
+          outV(out) = outV(out) + (v - outV(out)) * (w / nw)
+          outW(out) = nw
+        } else {
+          out += 1
+          outV(out) = v; outW(out) = w
+        }
+        i += 1
+      }
+      cVal = java.util.Arrays.copyOf(outV, out + 1)
+      cW = java.util.Arrays.copyOf(outW, out + 1)
+    }
+
+    /** Rank-based quantile: centroid i's members occupy ranks
+      * (cum, cum + w_i]; a target rank INSIDE a centroid returns its value
+      * (a plateau — exact for merged duplicates, the heavy-centroid case
+      * midpoint interpolation gets badly wrong), and a target in the unit
+      * gap between centroid i's last member and centroid i+1's first
+      * interpolates linearly. With all-unit weights this reproduces the
+      * type-7 `lower + (upper - lower) * frac` percentile EXACTLY, so
+      * groups smaller than k are answered exactly, not approximately.
+      */
+    def quantile(p: Double): Double = {
+      compress(Array.empty, Array.empty)
+      if (cVal.isEmpty) return Double.NaN
+      if (cVal.length == 1) return cVal(0)
+      val r = p * (total - 1.0) + 1.0 // 1-based target rank, type 7
+      var cum = 0.0
+      var i = 0
+      while (i < cVal.length) {
+        if (r <= cum + cW(i)) {
+          return if (r >= cum + 1.0 || i == 0) cVal(i)
+          else cVal(i - 1) + (cVal(i) - cVal(i - 1)) * (r - cum)
+        }
+        cum += cW(i)
+        i += 1
+      }
+      cVal(cVal.length - 1)
+    }
+
+    def toBytes: Array[Byte] = {
+      compress(Array.empty, Array.empty)
+      val bb = ByteBuffer.allocate(4 + cVal.length * 16)
+      bb.putInt(cVal.length)
+      var i = 0
+      while (i < cVal.length) { bb.putDouble(cVal(i)); bb.putDouble(cW(i)); i += 1 }
+      bb.array()
+    }
+  }
+
+  object Buffer {
+    def fromBytes(k: Int, bytes: Array[Byte]): Buffer = {
+      val bb = ByteBuffer.wrap(bytes)
+      val n = bb.getInt
+      val vs = new Array[Double](n)
+      val ws = new Array[Double](n)
+      var i = 0
+      var tw = 0.0
+      while (i < n) { vs(i) = bb.getDouble; ws(i) = bb.getDouble; tw += ws(i); i += 1 }
+      // restore arrays directly (serialized form is already sorted,
+      // compressed centroids) — re-adding pair by pair would compress once
+      // per centroid, O(k² log k) per deserialized partial
+      val buf = new Buffer(k)
+      buf.cVal = vs
+      buf.cW = ws
+      buf.total = tw
+      buf
+    }
+  }
+}

@@ -100,6 +100,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_project",
       exprs => RandomProjection(exprs(0), intArg(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_qsketch",
+      exprs => QuantileSketch(exprs(0), exprs(1), exprs(2))
+        .toAggregateExpression(), "built-in")
     // mark registered only once every registration succeeded — a partial
     // failure (session shutting down, registry error) must stay retryable
     registered.add(spark)
@@ -125,6 +129,11 @@ object GraftFunctions {
     call_function("graft_topk", id, score, org.apache.spark.sql.functions.lit(k))
   def graft_project(v: Column, outDim: Int): Column =
     call_function("graft_project", v, org.apache.spark.sql.functions.lit(outDim))
+  def graft_qsketch(v: Column, k: Int, ps: Seq[Double]): Column =
+    call_function("graft_qsketch", v,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.array(
+        ps.map(p => org.apache.spark.sql.functions.lit(p)): _*))
 }
 
 /** Cluster-wide injection point: SparkSession.builder()
@@ -158,5 +167,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => TopKByScore(exprs(0), exprs(1), ia(exprs(2))))
     inject("graft_project", classOf[RandomProjection],
       exprs => RandomProjection(exprs(0), ia(exprs(1))))
+    inject("graft_qsketch", classOf[QuantileSketch],
+      exprs => QuantileSketch(exprs(0), exprs(1), exprs(2)).toAggregateExpression())
   }
 }

@@ -14,6 +14,45 @@ object ApproxQueries {
 
   val all: Seq[Q] = Seq(
 
+    // Mergeable grouped quantile sketch (graft_qsketch) over a
+    // HIGH-cardinality key — the regime Percentiles.exact refuses (its
+    // driver-side rank locator is for few huge groups). One partial-
+    // aggregated pass, k doubles per group through the exchange, nothing
+    // on the driver. GATED on the sketch's actual contract: for every
+    // group, the TRUE rank of each estimate (one distributed verify pass)
+    // must sit within the sketch's rank-error bound of the target.
+    Q.rowsOnly("x_grouped_quantiles") { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions.graft_qsketch
+      val k = 128
+      val li = Tables(s, dir, "lineitem")
+      val est = li.groupBy("l_partkey")
+        .agg(graft_qsketch(col("l_extendedprice").cast("double"), k,
+          Seq(0.5, 0.9)).as("qs"))
+        .select(col("l_partkey"),
+          element_at(col("qs"), 1).as("p50"), element_at(col("qs"), 2).as("p90"))
+      val ranks = li
+        .select(col("l_partkey"), col("l_extendedprice").cast("double").as("v"))
+        .join(est, "l_partkey")
+        .groupBy("l_partkey")
+        .agg((sum(when(col("v") <= col("p50"), 1.0).otherwise(0.0))
+          / count(lit(1))).as("r50"),
+          (sum(when(col("v") <= col("p90"), 1.0).otherwise(0.0))
+            / count(lit(1))).as("r90"),
+          count(lit(1)).as("n"))
+      // bound: ~2/k from centroid width, +1/n rank granularity (a group of
+      // 3 values can only realize ranks at thirds)
+      val bound = lit(6.0 / k) + lit(1.0) / col("n")
+      val summary = ranks.agg(
+        count(lit(1)).as("n_groups"),
+        round(max(abs(col("r50") - 0.5)), 4).as("max_err50"),
+        round(max(abs(col("r90") - 0.9)), 4).as("max_err90"),
+        sum(when(abs(col("r50") - 0.5) > bound
+          || abs(col("r90") - 0.9) > bound, 1L).otherwise(0L)).as("n_violations"))
+      Gate(summary, col("n_groups") > 100 && col("n_violations") === 0,
+        "grouped quantile sketch rank error outside bound")
+    },
+
     // R1: sample(withReplacement=false, fraction) (partitionwise_sampled_rdd.rs)
     // GATED: the Bernoulli sample must land near the requested fraction —
     // a broken sampler (all rows / no rows) throws.
