@@ -113,6 +113,20 @@ object Stress {
         .clusters(edges, "a", "b").count())
     }
 
+    // grouped quantile sketch at true high cardinality: nDocs rows across
+    // nDocs/10 groups — the regime the exact rank locator refuses. The
+    // exchange carries ~k doubles per group; the driver sees one row.
+    time(s"graft_qsketch p50/p99 over ${nDocs / 10} groups") {
+      functions.GraftFunctions.register(spark)
+      val vals = spark.range(nDocs.toLong * 5)
+        .select(pmod(col("id"), lit(nDocs / 10)).as("g"),
+          (xxhash64(col("id")) % 10000).cast("double").as("v"))
+      println("QSKETCH_GROUPS=" + vals.groupBy("g")
+        .agg(functions.GraftFunctions
+          .graft_qsketch(col("v"), 128, Seq(0.5, 0.99)).as("qs"))
+        .where(element_at(col("qs"), 1).isNotNull).count())
+    }
+
     // hot-key spill join: ONE key owns half the right side; per-key heap
     // capped far below it, so most of the group streams from spill
     time(s"spill join, ${nDocs / 2}-row hot key @10k heap bound") {

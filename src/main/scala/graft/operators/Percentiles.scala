@@ -27,11 +27,12 @@ import org.apache.spark.sql.types._
   *
   * Skewed distributions are handled by ONE level of refinement: a candidate
   * bucket holding more than `hotBucketFraction` of its group's mass is
-  * re-histogrammed over its own value extent (buckets² effective resolution,
-  * ~67M sub-buckets at the default 8192), and a bucket whose values are all
+  * re-histogrammed over its own value extent at the full `buckets`
+  * resolution (effective resolution = pass-1 buckets × `buckets` — up to
+  * ~67M cells at the 8192 default), and a bucket whose values are all
   * IDENTICAL is answered directly from its extent — no sort at all. Only a
   * distribution that packs >hotBucketFraction of a group inside one
-  * buckets²-level cell (values identical up to ~1e-8 of the group's range
+  * refined cell (values identical up to ~1e-8 of the group's range
   * but not equal) still degrades pass 2 toward a single-reducer sort.
   *
   * The driver holds per-group stats and the candidate-bucket histogram, so

@@ -946,11 +946,15 @@ object PipelineQueries {
       val tok2 = docs.select(col("doc_id"),
         explode(split(lower(col("text")), " ")).as("t"))
         .where(col("t") =!= "")
-      val dl = tok2.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      // ONE tokenize+count shuffle feeds everything: doc lengths are the
+      // per-doc sum of term counts, query-term tf is a filter of it, df an
+      // aggregate of that — the corpus is exploded once, not three times.
+      val tfAll = tok2.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+      val dl = tfAll.groupBy("doc_id").agg(sum("tf").as("dl"))
       val stats = dl.agg((sum("dl").cast("double") / count(lit(1))).as("avgdl"))
       val n = docs.agg(count(lit(1)).as("n"))
-      val tf = tok2.where(col("t").isin("spark", "vector", "stream"))
-        .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      val tf = tfAll.where(col("t").isin("spark", "vector", "stream"))
       val dfq = tf.groupBy("t").agg(count(lit(1)).as("df"))
       val sc = tf.join(broadcast(dfq), "t")
         .join(dl, "doc_id")
