@@ -1042,6 +1042,60 @@ object PipelineQueries {
       } finally deleteRecursively(tmp)
     },
 
+    // Bigram language-model scoring — the classic LM-quality filter: train
+    // add-1-smoothed bigram counts on the corpus, score every document by
+    // total log-probability. Exact-hash floats via INTEGER QUANTIZATION:
+    // each bigram's ln((c2+1)/(c1+V)) is bit-identical in both engines
+    // (integer inputs, correctly rounded ops, Math.log == libm), and
+    // floor(lp * 1e6) as BIGINT makes the PER-DOC SUM an integer sum —
+    // order-insensitive, so distributed aggregation order can't flip a
+    // digit (a double sum over a doc's bigrams would be nondeterministic
+    // in the last ulp). LM tables are vocabulary-sized: their joins stay
+    // unhinted (AQE broadcasts while they fit); the per-doc window is
+    // bounded by doc length, never corpus size.
+    Q("x_lm_score",
+      """WITH raw AS (SELECT doc_id, string_split(lower(text), ' ') AS ts
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(ts) AS t, generate_subscripts(ts, 1) AS pos
+        |  FROM raw),
+        |tok2 AS (SELECT * FROM tok WHERE t <> ''),
+        |bg AS (SELECT doc_id, t AS w1,
+        |  lead(t) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM tok2),
+        |bg2 AS (SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg2 GROUP BY w1, w2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg2 GROUP BY w1),
+        |v AS (SELECT count(DISTINCT t) AS v FROM tok2),
+        |sc AS (SELECT b.doc_id,
+        |  CAST(floor(ln((c2.c2 + 1.0) / (c1.c1 + v.v)) * 1000000) AS BIGINT) AS lp
+        |  FROM bg2 b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |CAST(sum(lp) AS BIGINT) AS logprob_scaled
+        |FROM sc WHERE doc_id < 100 GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val tok2 = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), " ")).as(Seq("pos", "t")))
+        .where(col("t") =!= "")
+      val bg2 = tok2
+        .select(col("doc_id"), col("pos"), col("t").as("w1"),
+          lead(col("t"), 1).over(w).as("w2"))
+        .where(col("w2").isNotNull)
+        .select("doc_id", "w1", "w2")
+      val c2 = bg2.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val c1 = bg2.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val v = tok2.agg(countDistinct("t").as("v"))
+      val sc = bg2.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .crossJoin(broadcast(v))
+        .withColumn("lp", floor(
+          log((col("c2") + lit(1.0)) / (col("c1") + col("v"))) * lit(1000000))
+          .cast("long"))
+      sc.where(col("doc_id") < 100)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("logprob_scaled"))
+        .orderBy("doc_id")
+    },
+
     // STREAMING windowed aggregation, driver-visible: the batch twin is
     // x_event_window; this runs the same tumbling-hour aggregate through a
     // real watermark + append-mode stream (two time-split micro-batches,

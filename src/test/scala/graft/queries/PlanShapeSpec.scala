@@ -1,0 +1,59 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Plan-shape assertions: the 100 TB contract is about WHICH plan runs,
+  * not just the small-SF result — a regression that silently swaps a
+  * broadcast join for a cartesian product, or un-pushes a scan filter,
+  * would stay green on every value-checking gate. These specs pin the
+  * plan properties the queries were designed around.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, sf0001)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q6: every predicate reaches the parquet scan") {
+    val p = plan("q6_revenue_forecast")
+    assert(p.contains("PushedFilters:"), "no pushdown section in scan")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("IsNotNull(l_shipdate"),
+      s"shipdate range not pushed:\n$p")
+    // column pruning: the scan must not read join keys the query never uses
+    assert(!p.contains("l_partkey"), "scan reads l_partkey — pruning regressed")
+  }
+
+  test("q8: all seven dimension joins broadcast; no nested-loop anywhere") {
+    val p = plan("q8_market_share")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 5, s"expected >=5 broadcast joins, found $broadcasts")
+    assert(!p.contains("CartesianProduct"), "cartesian product in q8 plan")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "nested-loop join in q8 plan")
+  }
+
+  test("q19: OR-of-conjunctions keeps the single broadcast join") {
+    val p = plan("q19_or_predicates")
+    assert(p.contains("BroadcastHashJoin"), "part join not broadcast")
+    assert(!p.contains("SortMergeJoin"), "OR predicate degraded q19 to SMJ")
+    assert(!p.contains("CartesianProduct"), "OR predicate degraded q19 to cartesian")
+  }
+
+  test("ANN top-k paths carry no per-query Window") {
+    // the round-1 scale-killer: Window.partitionBy(qid) funnels the whole
+    // scored corpus into one partition per query; graft_topk keeps the
+    // exchange at O(partitions x k)
+    for (q <- Seq("x_ann_bruteforce")) {
+      val p = plan(q)
+      assert(p.contains("graft_topk"), s"$q lost the bounded-heap aggregate")
+      assert(!p.contains("Window"), s"$q re-grew a Window:\n$p")
+    }
+  }
+
+  test("q1: partial aggregation before the exchange") {
+    val p = plan("q1_agg")
+    // two HashAggregates (partial + final) around one shuffle
+    val aggs = "HashAggregate".r.findAllIn(p).length
+    assert(aggs >= 2, s"expected partial+final aggregate, found $aggs")
+  }
+}
