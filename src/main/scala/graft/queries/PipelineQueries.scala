@@ -1042,6 +1042,39 @@ object PipelineQueries {
       } finally deleteRecursively(tmp)
     },
 
+    // Sequence packing — the training-prep step that concatenates documents
+    // into fixed token-budget bins (one bin ≈ one training sequence):
+    // deterministic sequential packing via a running token sum PER SOURCE
+    // SHARD, bin = floor(tokens-before / budget). At 100 TB the window
+    // partitions by shard (a shard is one partition's stream — the same
+    // sequential pass a real packer makes); a GLOBAL ordered window would
+    // serialize the corpus through one task and is exactly what this shape
+    // avoids. All-integer outputs; floor() is explicit on both sides
+    // because DuckDB's double->BIGINT cast ROUNDS where Spark truncates.
+    Q("x_seq_pack",
+      """WITH t AS (SELECT doc_id, source,
+        |  len(list_filter(string_split(text, ' '), x -> x <> '')) AS tc
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, tc, sum(tc) OVER (PARTITION BY source
+        |  ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t),
+        |b AS (SELECT source, tc,
+        |  CAST(floor((cum - tc) / 512.0) AS BIGINT) AS bin FROM c)
+        |SELECT source, bin, count(*) AS n_docs,
+        |CAST(sum(tc) AS BIGINT) AS total_tokens
+        |FROM b GROUP BY source, bin ORDER BY source, bin""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(filter(split(col("text"), " "), x => x =!= "")).cast("long").as("tc"))
+        .withColumn("cum", sum("tc").over(w))
+        .withColumn("bin", floor((col("cum") - col("tc")) / lit(512.0)).cast("long"))
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("tc").as("total_tokens"))
+        .orderBy("source", "bin")
+    },
+
     // Bigram language-model scoring — the classic LM-quality filter: train
     // add-1-smoothed bigram counts on the corpus, score every document by
     // total log-probability. Exact-hash floats via INTEGER QUANTIZATION:
