@@ -62,9 +62,27 @@ case class QuantileSketch(
         s"$prettyName requires a double value column, got ${valueExpr.dataType.catalogString}")
     else if (!kExpr.foldable || !psExpr.foldable)
       TypeCheckResult.TypeCheckFailure(s"$prettyName k and quantiles must be literals")
+    // type guards BEFORE touching the lazy k/ps vals: SQL spells like
+    // array(0.5, 0.9) parse as DECIMAL literals, and evaluating them
+    // through toDoubleArray would throw a raw ClassCastException out of
+    // analysis instead of this readable failure
+    else if (!Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(kExpr.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName k must be an integer literal, got ${kExpr.dataType.catalogString}")
+    else if (!(psExpr.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName quantiles must be array<double> (write 0.5D, not 0.5 — " +
+          s"bare decimals parse as DECIMAL), got ${psExpr.dataType.catalogString}")
     else if (k < 16)
       TypeCheckResult.TypeCheckFailure(s"$prettyName needs k >= 16, got $k")
-    else if (ps.isEmpty || ps.exists(p => p < 0.0 || p > 1.0))
+    // NaN comparisons are all false, so `p < 0 || p > 1` alone lets NaN
+    // through — and quantile(NaN) would fall off the rank loop and
+    // silently return the max
+    else if (ps.isEmpty || ps.exists(p => p.isNaN || p < 0.0 || p > 1.0))
       TypeCheckResult.TypeCheckFailure(s"$prettyName quantiles must be in [0, 1]")
     else TypeCheckResult.TypeCheckSuccess
 
