@@ -77,10 +77,15 @@ object CoreQueries {
     // vega ported (rdd.rs:559-620).
     Q("a6_take",
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber LIMIT 5""".stripMargin) { (s, dir) =>
+        |ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 5""".stripMargin) { (s, dir) =>
+      // sort on ALL output columns: (l_orderkey, l_linenumber) is NOT
+      // unique in the fixtures (118k duplicate pairs at sf0.1), so a
+      // 2-column sort under-determines which row the LIMIT cuts at and
+      // Spark/DuckDB may break the tie differently; with every selected
+      // column in the key, remaining ties are identical rows
       Tables(s, dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_quantity")
-        .orderBy("l_orderkey", "l_linenumber").limit(5)
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity").limit(5)
     },
 
     // A7: first() (rdd.rs:534-543)
