@@ -104,6 +104,19 @@ object GraftFunctions {
       "graft_qsketch",
       exprs => QuantileSketch(exprs(0), exprs(1), exprs(2))
         .toAggregateExpression(), "built-in")
+    // Spark's own runtime-filter expressions, surfaced for EXPLICIT
+    // semi-join prefilters (Catalyst injects them only under its own
+    // InjectRuntimeFilter heuristics; a pipeline author building a
+    // fact-table prefilter wants them on demand)
+    reg.createOrReplaceTempFunction(
+      "graft_bloom_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+        .toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
     // mark registered only once every registration succeeded — a partial
     // failure (session shutting down, registry error) must stay retryable
     registered.add(spark)
@@ -134,6 +147,12 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(k),
       org.apache.spark.sql.functions.array(
         ps.map(p => org.apache.spark.sql.functions.lit(p)): _*))
+  def graft_bloom_agg(v: Column, estItems: Long, numBits: Long): Column =
+    call_function("graft_bloom_agg", v,
+      org.apache.spark.sql.functions.lit(estItems),
+      org.apache.spark.sql.functions.lit(numBits))
+  def graft_might_contain(bloom: Column, v: Column): Column =
+    call_function("graft_might_contain", bloom, v)
 }
 
 /** Cluster-wide injection point: SparkSession.builder()

@@ -1042,6 +1042,40 @@ object PipelineQueries {
       } finally deleteRecursively(tmp)
     },
 
+    // Bloom-prefiltered semi join — the 100 TB shuffle-reduction pattern
+    // made explicit: build a bloom filter over the (small) qualifying-key
+    // set, broadcast it, and drop non-matching fact rows AT THE SCAN,
+    // before they reach the join exchange. Catalyst's InjectRuntimeFilter
+    // does this only under its own heuristics; graft_bloom_agg /
+    // graft_might_contain (Spark's own runtime-filter expressions,
+    // registered) put it in the pipeline author's hands. Correctness does
+    // NOT depend on the bloom: false positives are removed by the exact
+    // semi join behind it, so the result equals the plain semi join and
+    // the oracle is FULL, not rows-only.
+    Q("x_bloom_prefilter",
+      """WITH big AS (SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+        |SELECT count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT l_orderkey FROM big)""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions.{graft_bloom_agg, graft_might_contain}
+      val li = Tables(s, dir, "lineitem")
+      val big = li.groupBy("l_orderkey").agg(sum("l_quantity").as("q"))
+        .where(col("q") > 250).select(col("l_orderkey").as("big_key"))
+        .localCheckpoint(true) // feeds both the bloom build and the exact join
+      // materialize the (100 KB) bloom on the driver and push it as a
+      // literal — might_contain requires a constant/scalar-subquery bloom,
+      // which is also how Catalyst's own runtime filters ship it to the
+      // scan side
+      val bloomBytes = big.agg(
+        graft_bloom_agg(xxhash64(col("big_key")), 100000L, 800000L).as("bf"))
+        .first().getAs[Array[Byte]]("bf")
+      li.where(graft_might_contain(lit(bloomBytes), xxhash64(col("l_orderkey"))))
+        .join(big, col("l_orderkey") === col("big_key"), "left_semi")
+        .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("sum_qty"))
+    },
+
     // Sequence packing — the training-prep step that concatenates documents
     // into fixed token-budget bins (one bin ≈ one training sequence):
     // deterministic sequential packing via a running token sum PER SOURCE
