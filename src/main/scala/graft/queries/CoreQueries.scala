@@ -383,11 +383,20 @@ object CoreQueries {
 
     // P7: map_values(f) — value transform that keeps the key partitioning
     // (pair_rdd.rs:82-91); relational: keyed aggregate then value expr.
+    // Cents-exact mean: c_acctbal carries 2-decimal granularity, so the
+    // integer-cents sum is exact and ORDER-FREE (a double avg()'s partial
+    // accumulation order is not), and the division chain is bit-identical
+    // in both engines — no rounding, no half-cent repr lottery (round()
+    // diverged between Spark and DuckDB at sf0.001: exact-binary vs
+    // shortest-decimal-repr rounding).
     Q("p7_map_values",
-      """SELECT c_nationkey, round(avg(c_acctbal), 2) AS avg_bal FROM customer
-        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, dir) =>
+      """SELECT c_nationkey,
+        |CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE)
+        |  / 100.0 / count(*) AS avg_bal
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, dir) =>
       Tables(s, dir, "customer").groupBy("c_nationkey")
-        .agg(round(avg("c_acctbal"), 2).as("avg_bal"))
+        .agg((sum(round(col("c_acctbal") * 100, 0).cast("long")).cast("double")
+          / lit(100.0) / count(lit(1))).as("avg_bal"))
         .orderBy("c_nationkey")
     },
 

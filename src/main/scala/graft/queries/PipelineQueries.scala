@@ -619,14 +619,21 @@ object PipelineQueries {
     // Exact percentiles (linear interpolation in both engines) — sort+window
     // plan (operators.Percentiles), not the builtin `percentile` aggregate
     // whose per-group value buffer is the dataset itself at 100 TB.
+    // UNROUNDED outputs on purpose: the interpolation `lower + (upper -
+    // lower) * frac` is bit-identical to DuckDB's quantile_cont (see
+    // Percentiles scaladoc), so raw doubles hash-match exactly — while
+    // round(x, 2) does NOT: Spark rounds the exact binary value and DuckDB
+    // the shortest decimal repr, which disagree whenever the value's repr
+    // lands on a half-cent (52724.244999999995 prints as "52724.245" ->
+    // DuckDB .25, Spark .24; struck at sf0.001). Rounding here traded a
+    // bit-exact value for a boundary lottery.
     Q("x_percentiles",
-      """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-        |round(quantile_cont(l_extendedprice, 0.9), 2) AS p90
+      """SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS p50,
+        |quantile_cont(l_extendedprice, 0.9) AS p90
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       graft.operators.Percentiles.exact(
         Tables(s, dir, "lineitem"), "l_returnflag", "l_extendedprice", Seq(0.5, 0.9))
-        .select(col("l_returnflag"),
-          round(col("p50"), 2).as("p50"), round(col("p90"), 2).as("p90"))
+        .select(col("l_returnflag"), col("p50"), col("p90"))
         .orderBy("l_returnflag")
     },
 
