@@ -65,11 +65,18 @@ object CoreQueries {
     },
 
     // A5: aggregate(init, seq, comb) with result type != item type (rdd.rs:339-350)
+    // Cents-exact mean, DECIMAL-summed: the integer-cents sum is exact and
+    // order-free (double accumulation order differs between engines and
+    // across partitionings), decimal(38) gives it 100 TB headroom (a long
+    // cents sum overflows around 9e15), and the division chain on the
+    // exact value is bit-identical — no round(), no half-cent repr lottery.
     Q("a5_aggregate_avg",
-      """SELECT round(sum(l_extendedprice) / count(*), 2) AS avg_price,
+      """SELECT CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+        |  / 100.0 / count(*) AS avg_price,
         |count(*) AS n FROM lineitem""".stripMargin) { (s, dir) =>
       Tables(s, dir, "lineitem").agg(
-        round(sum("l_extendedprice") / count(lit(1)), 2).as("avg_price"),
+        (sum(round(col("l_extendedprice") * 100, 0).cast("decimal(38,0)"))
+          .cast("double") / lit(100.0) / count(lit(1))).as("avg_price"),
         count(lit(1)).as("n"))
     },
 

@@ -22,16 +22,29 @@ object RelationalQueries {
     // G1: combine_by_key — THE vega shuffle aggregate (pair_rdd.rs:20-33,
     // dependency.rs:164-230). Flagship TPC-H-Q1-style pricing summary;
     // also mirrors the reference's examples/file_read.rs aggregation.
+    // The avg columns are cents-exact and UNROUNDED: a double avg()'s
+    // accumulation order differs between engines, and round() itself
+    // diverges when a value's shortest repr lands on a half-cent (Spark
+    // rounds the exact binary value, DuckDB the decimal repr). Integer
+    // cents summed as decimal(38) are exact, order-free, 100 TB-safe, and
+    // the division chain is bit-identical. The sum columns keep round():
+    // a sum of cent-multiples sits within ~1e-9 of a cent, never near a
+    // .005 boundary.
     Q("q1_agg",
       """SELECT l_returnflag, l_linestatus,
         |round(sum(l_quantity), 2) AS sum_qty,
         |round(sum(l_extendedprice), 2) AS sum_base_price,
         |round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |round(avg(l_quantity), 2) AS avg_qty,
-        |round(avg(l_extendedprice), 2) AS avg_price,
+        |CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE)
+        |  / 100.0 / count(*) AS avg_qty,
+        |CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+        |  / 100.0 / count(*) AS avg_price,
         |count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      def centsAvg(c: String) =
+        sum(round(col(c) * 100, 0).cast("decimal(38,0)")).cast("double") /
+          lit(100.0) / count(lit(1))
       Tables(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -39,8 +52,8 @@ object RelationalQueries {
           round(sum("l_extendedprice"), 2).as("sum_base_price"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
             .as("sum_disc_price"),
-          round(avg("l_quantity"), 2).as("avg_qty"),
-          round(avg("l_extendedprice"), 2).as("avg_price"),
+          centsAvg("l_quantity").as("avg_qty"),
+          centsAvg("l_extendedprice").as("avg_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
@@ -128,11 +141,16 @@ object RelationalQueries {
     },
 
     // G4: group_by(f) (rdd.rs:957-1016)
+    // cents-exact order-free mean, same rationale as q1's avg columns
     Q("g4_group_by",
-      """SELECT c_mktsegment, count(*) AS n, round(avg(c_acctbal), 2) AS avg_bal
+      """SELECT c_mktsegment, count(*) AS n,
+        |CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE)
+        |  / 100.0 / count(*) AS avg_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
       Tables(s, dir, "customer").groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n"), round(avg("c_acctbal"), 2).as("avg_bal"))
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("c_acctbal") * 100, 0).cast("decimal(38,0)"))
+            .cast("double") / lit(100.0) / count(lit(1))).as("avg_bal"))
         .orderBy("c_mktsegment")
     },
 
@@ -379,21 +397,33 @@ object RelationalQueries {
     // fact-dim join. part is broadcast here; at true TPC-H scale part grows
     // with SF, so the fallback is the shuffle hash join AQE would pick — the
     // query shape (single agg, no distinct) is unchanged either way.
+    // The ratio is computed over EXACT integer sums: price and discount
+    // both carry 2-decimal granularity, so price_cents × (1-disc)_cents is
+    // an exact integer of 1e-4 currency units (≤ ~1.1e9/row), summed as
+    // decimal(38) — order-free and overflow-free at 100 TB. The division
+    // of the two exact values is bit-identical in both engines, so the
+    // share is emitted UNROUNDED (round() diverges on half-boundary reprs).
     Q("q14_promo_share",
-      """SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
-        |  THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-        |  / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+      """SELECT 100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+        |  THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |     * CAST(round((1 - l_discount) * 100, 0) AS BIGINT)
+        |  ELSE 0 END) AS DOUBLE)
+        |  / CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |     * CAST(round((1 - l_discount) * 100, 0) AS BIGINT)) AS DOUBLE)
+        |  AS promo_revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin) { (s, dir) =>
       val l = Tables(s, dir, "lineitem")
         .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
           && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
-      val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val discE4 = round(col("l_extendedprice") * 100, 0).cast("long") *
+        round((lit(1) - col("l_discount")) * 100, 0).cast("long")
       l.join(broadcast(Tables(s, dir, "part")), col("l_partkey") === col("p_partkey"))
-        .agg(round(lit(100.0)
-          * sum(when(col("p_type").like("PROMO%"), disc).otherwise(lit(0.0)))
-          / sum(disc), 4).as("promo_revenue"))
+        .agg((lit(100.0)
+          * sum(when(col("p_type").like("PROMO%"), discE4).otherwise(lit(0L))
+            .cast("decimal(38,0)")).cast("double")
+          / sum(discE4.cast("decimal(38,0)")).cast("double")).as("promo_revenue"))
     },
 
     // TPC-H Q17-style: small-quantity orders vs the per-part average — the
@@ -575,10 +605,12 @@ object RelationalQueries {
     // lineitem⨝orders on the order key and the final year aggregate.
     Q("q8_market_share",
       """SELECT CAST(o_year AS INTEGER) AS o_year,
-        |round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
-        |  / sum(volume), 4) AS mkt_share
+        |CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume_e4 ELSE 0 END) AS DOUBLE)
+        |  / CAST(sum(volume_e4) AS DOUBLE) AS mkt_share
         |FROM (SELECT year(o_orderdate) AS o_year,
-        |  l_extendedprice * (1 - l_discount) AS volume, n2.n_name AS nation
+        |  CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |    * CAST(round((1 - l_discount) * 100, 0) AS BIGINT) AS volume_e4,
+        |  n2.n_name AS nation
         |  FROM part JOIN lineitem ON p_partkey = l_partkey
         |  JOIN supplier ON s_suppkey = l_suppkey
         |  JOIN orders ON l_orderkey = o_orderkey
@@ -588,7 +620,10 @@ object RelationalQueries {
         |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
         |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY') t
         |GROUP BY o_year ORDER BY o_year""".stripMargin) { (s, dir) =>
-      val volume = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      // share of exact integer volume sums (1e-4 currency units,
+      // decimal(38)-summed), emitted unrounded — same rationale as q14
+      val volumeE4 = round(col("l_extendedprice") * 100, 0).cast("long") *
+        round((lit(1) - col("l_discount")) * 100, 0).cast("long")
       val econParts = Tables(s, dir, "part").where(col("p_type") === "ECONOMY")
         .select("p_partkey")
       val custNation = Tables(s, dir, "nation")
@@ -607,9 +642,9 @@ object RelationalQueries {
           col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
         .groupBy(year(col("o_orderdate")).as("o_year"))
-        .agg(round(
-          sum(when(col("nation") === "NATION_3", volume).otherwise(lit(0.0)))
-            / sum(volume), 4).as("mkt_share"))
+        .agg((sum(when(col("nation") === "NATION_3", volumeE4).otherwise(lit(0L))
+          .cast("decimal(38,0)")).cast("double")
+          / sum(volumeE4.cast("decimal(38,0)")).cast("double")).as("mkt_share"))
         .orderBy("o_year")
     },
 
