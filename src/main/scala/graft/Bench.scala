@@ -13,6 +13,43 @@ import org.apache.spark.sql.SparkSession
   * as `BENCH-FULL` lines and written to target/bench_full.json for humans.
   */
 object Bench {
+
+  /** Locale-pinned formatting: the f interpolator uses the JVM default
+    * locale, and a comma-decimal locale (de_DE etc.) would print 92,31 —
+    * invalid JSON, reintroducing the parsed:null failure this file fixes.
+    */
+  private[graft] def fmt(pattern: String, d: Double): String =
+    String.format(java.util.Locale.ROOT, pattern, Double.box(d))
+
+  /** Build the official line: slowest queries first, packed into `budget`
+    * chars. The pack stops at the FIRST entry that doesn't fit, so the
+    * kept set is a true prefix of the slowest-sorted list — otherwise a
+    * skipped long-named slow query with a shorter fast one appended after
+    * it would break the value ≈ sum(queries) + rest invariant the line
+    * promises. Exposed for BenchLineSpec.
+    */
+  private[graft] def officialLine(results: Seq[(String, Double)], sfDir: String,
+      budget: Int = 1600): String = {
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    def ent(kv: (String, Double)): String = s""""${kv._1}":${fmt("%.2f", kv._2)}"""
+    val bySlowest = results.sortBy(-_._2)
+    val head = s"""{"metric":"total","value":${fmt("%.2f", total)},"unit":"sec","n":${results.size},"""
+    val tail0 = s""","sf":"$sfDir"}"""
+    var used = head.length + tail0.length + """"queries":{}""".length + 60
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var full = false
+    bySlowest.foreach { kv =>
+      if (!full) {
+        val len = ent(kv).length + 1
+        if (used + len <= budget) { kept += kv; used += len } else full = true
+      }
+    }
+    val omitted = results.size - kept.size
+    val rest = bySlowest.drop(kept.size).map(_._2).sum
+    val qs = kept.sortBy(_._1).map(ent).mkString("{", ",", "}")
+    head + s""""omitted":$omitted,"rest":${fmt("%.2f", rest)},"queries":$qs""" + tail0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -39,11 +76,6 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // Locale-pinned formatting: the f interpolator uses the JVM default
-    // locale, and a comma-decimal locale (de_DE etc.) would print 92,31 —
-    // invalid JSON, reintroducing the parsed:null failure this file fixes.
-    def fmt(pattern: String, d: Double): String =
-      String.format(java.util.Locale.ROOT, pattern, Double.box(d))
     // Full-precision detail: one line per query (scrolls out of the tail
     // buffer by design) plus a JSON file for offline inspection.
     results.foreach { case (k, v) => println(s"BENCH-FULL $k ${fmt("%.4f", v)}") }
@@ -54,30 +86,7 @@ object Bench {
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, fullJson.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    // Official line: slowest queries first, packed into the budget. The
-    // pack stops at the FIRST entry that doesn't fit, so `kept` is a true
-    // prefix of bySlowest — otherwise a skipped long-named slow query with
-    // a shorter fast one appended after it would break the
-    // value == sum(queries) + rest invariant the line promises.
-    def ent(kv: (String, Double)): String = s""""${kv._1}":${fmt("%.2f", kv._2)}"""
-    val bySlowest = results.sortBy(-_._2)
-    val budget = 1600
-    val head = s"""{"metric":"total","value":${fmt("%.2f", total)},"unit":"sec","n":${results.size},"""
-    val tail0 = s""","sf":"$sfDir"}"""
-    var used = head.length + tail0.length + """"queries":{}""".length + 60
-    val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-    var full = false
-    bySlowest.foreach { kv =>
-      if (!full) {
-        val len = ent(kv).length + 1
-        if (used + len <= budget) { kept += kv; used += len } else full = true
-      }
-    }
-    val omitted = results.size - kept.size
-    val rest = bySlowest.drop(kept.size).map(_._2).sum
-    val qs = kept.sortBy(_._1).map(ent).mkString("{", ",", "}")
-    val line = head +
-      s""""omitted":$omitted,"rest":${fmt("%.2f", rest)},"queries":$qs""" + tail0
+    val line = officialLine(results, sfDir)
     spark.stop()
     println(line)
   }
