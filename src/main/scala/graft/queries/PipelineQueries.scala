@@ -1049,6 +1049,39 @@ object PipelineQueries {
       } finally deleteRecursively(tmp)
     },
 
+    // Deterministic per-group sampling — "bottom-k by portable hash": each
+    // group keeps the k rows with the smallest md5-derived priority. Fully
+    // reproducible (no RNG state, append-stable: a row's priority never
+    // changes) AND fully oracled — the 13-hex-digit priority is a 52-bit
+    // integer both engines compute identically. The Spark plan is the
+    // graft_topk bounded heap through partial aggregation (O(groups × k)
+    // exchange); the window+row_number form the oracle uses would shuffle
+    // the whole table into one partition per group at scale.
+    Q("x_group_sample",
+      """WITH pr AS (SELECT c_mktsegment, c_custkey,
+        |  CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 13))
+        |    AS BIGINT) AS prio
+        |  FROM customer),
+        |rk AS (SELECT c_mktsegment, c_custkey, row_number() OVER
+        |  (PARTITION BY c_mktsegment ORDER BY prio, c_custkey) AS r FROM pr)
+        |SELECT c_mktsegment, c_custkey FROM rk WHERE r <= 5
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions.graft_topk
+      // 13 hex digits = 52 bits: exact in a double, so the negated score
+      // the heap ranks on is bit-identical to the oracle's integer order
+      val prio = conv(substring(md5(col("c_custkey").cast("string")
+        .cast("binary")), 1, 13), 16, 10).cast("long")
+      Tables(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"),
+          (-prio.cast("double")).as("score"))
+        .groupBy("c_mktsegment")
+        .agg(graft_topk(col("c_custkey"), col("score"), 5).as("sample"))
+        .select(col("c_mktsegment"),
+          explode(col("sample").getField("vid")).as("c_custkey"))
+        .orderBy("c_mktsegment", "c_custkey")
+    },
+
     // Bloom-prefiltered semi join — the 100 TB shuffle-reduction pattern
     // made explicit: build a bloom filter over the (small) qualifying-key
     // set, broadcast it, and drop non-matching fact rows AT THE SCAN,
