@@ -500,6 +500,120 @@ object CoreQueries {
         Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
           .forEach(p => { Files.deleteIfExists(p); () })
       }
+    },
+
+    // Extension: range-sorted write — repartitionByRange + sortWithinPartitions
+    // produces globally range-partitioned, locally sorted files: the layout
+    // that makes parquet min/max stats actually skip data on the sort key.
+    // Gated: per-file (min, max) shipdate ranges must be pairwise disjoint
+    // (the property data-skipping relies on); oracled: the read-back
+    // aggregate must match the source exactly.
+    Q("x_sorted_write",
+      """SELECT l_returnflag, count(*) AS n,
+        |CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE)
+        |  / 100.0 AS total_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val tmp = Tmp.dir("graft-sortw")
+      Tables(s, dir, "lineitem")
+        .select("l_shipdate", "l_returnflag", "l_quantity")
+        .repartitionByRange(8, col("l_shipdate"))
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite").parquet(tmp.toString)
+      val back = s.read.parquet(tmp.toString)
+      val ranges = back.groupBy(input_file_name().as("f"))
+        // epoch micros: timestamp row values are java.time types under the
+        // java8 datetime API — longs compare portably
+        .agg(min(unix_micros(col("l_shipdate").cast("timestamp"))).as("lo"),
+          max(unix_micros(col("l_shipdate").cast("timestamp"))).as("hi"))
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      Gate.check(ranges.length >= 2,
+        s"only ${ranges.length} output file(s) — range attestation is vacuous")
+      ranges.sliding(2).foreach {
+        case Array((_, prevHi), (curLo, _)) =>
+          // RangePartitioner puts equal keys in one partition, so adjacent
+          // file ranges may touch at a boundary but never interleave
+          Gate.check(prevHi <= curLo,
+            s"file ranges overlap: prev hi $prevHi > next lo $curLo")
+        case _ => ()
+      }
+      back.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("l_quantity") * 100, 0).cast("bigint"))
+            .cast("double") / 100.0).as("total_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // Extension: small-file compaction — the №1 operational chore of any
+    // long-running ingest: micro-batches leave thousands of tiny files;
+    // compaction rewrites them into few large ones WITHOUT changing a row.
+    // Gated on the file counts (before >= 32, after <= 4) and oracled on
+    // the values surviving the rewrite bit-exactly.
+    Q("x_compaction",
+      """SELECT event_type, count(*) AS n,
+        |sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val tmp = Tmp.dir("graft-compact")
+      val small = tmp.resolve("small").toString
+      val compacted = tmp.resolve("compacted").toString
+      // simulate a micro-batch landing zone: 64 small files
+      Tables(s, dir, "events").select("event_type", "props")
+        .repartition(64).write.mode("overwrite").parquet(small)
+      val nSmall = s.read.parquet(small).inputFiles.length
+      s.read.parquet(small).repartition(4)
+        .write.mode("overwrite").parquet(compacted)
+      val nBig = s.read.parquet(compacted).inputFiles.length
+      Gate.check(nSmall >= 32 && nBig <= 4,
+        s"compaction file counts off: $nSmall small -> $nBig compacted")
+      s.read.parquet(compacted)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(get_json_object(col("props"), "$.k").cast("bigint")).as("sum_k"))
+        .orderBy("event_type")
+    },
+
+    // Extension: semi-structured extraction — events.props is a JSON string;
+    // parse with an EXPLICIT schema via from_json (schema inference over a
+    // string column is a full extra scan at 100 TB) and aggregate the
+    // extracted field. from_json with a literal schema is a codegen'd
+    // expression — stays inside WholeStageCodegen, no UDF.
+    Q("x_json_extract",
+      """SELECT event_type,
+        |sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"), "k BIGINT", Map.empty[String, String])
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
+    // Extension: ORC roundtrip — the other columnar format Spark ships a
+    // native vectorized reader for. Write a pruned projection, read back,
+    // aggregate; the oracle computes the same result from the parquet
+    // source, so a value corrupted anywhere in the ORC write/read path
+    // fails the hash compare.
+    Q("x_orc_roundtrip",
+      """SELECT o_orderpriority, count(*) AS n,
+        |CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+        |  / 100.0 AS total_price
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val out = Tmp.dir("graft-orc").toString + "/orders"
+      Tables(s, dir, "orders")
+        .where(col("o_orderstatus") === "F")
+        .select("o_orderpriority", "o_totalprice")
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("double") / 100.0).as("total_price"))
+        .orderBy("o_orderpriority")
     }
   )
 }

@@ -1280,6 +1280,76 @@ object PipelineQueries {
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
         .orderBy("user_id")
+    },
+
+    // Incremental (cross-batch) dedup — the shape every continuously-fed
+    // corpus needs: drop an incoming doc if its fingerprint exists in the
+    // HISTORICAL corpus (anti-join) or earlier in its own batch (keep-first).
+    // At 100 TB the history fingerprint set is itself huge, so this is a
+    // shuffle anti-join on the fingerprint — NOT a broadcast (see
+    // x_bloom_prefilter for the scan-side filter that cuts the exchange).
+    Q("x_incremental_dedup",
+      """WITH hist AS (SELECT DISTINCT md5(lower(text)) AS fp
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |inc AS (SELECT doc_id, md5(lower(text)) AS fp
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |novel AS (SELECT inc.fp FROM inc LEFT JOIN hist ON inc.fp = hist.fp
+        |  WHERE hist.fp IS NULL GROUP BY inc.fp)
+        |SELECT (SELECT count(*) FROM inc) AS n_incoming,
+        |  count(*) AS n_new FROM novel""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.fingerprintMd5(col("text")).as("fp"))
+      val hist = docs.where(col("doc_id") % 5 =!= 0).select("fp").distinct()
+      val inc = docs.where(col("doc_id") % 5 === 0)
+      val novel = inc.join(hist, Seq("fp"), "left_anti")
+        .groupBy("fp").agg(min("doc_id")) // keep-first within the batch
+      inc.agg(count(lit(1)).as("n_incoming"))
+        .crossJoin(novel.agg(count(lit(1)).as("n_new")))
+    },
+
+    // SCD type-2 interval construction from a changelog: each change opens
+    // a validity interval that the NEXT change (in (ts, event_id) order)
+    // closes; the latest row stays open (null valid_to). One shuffle on the
+    // entity key; tie-safe via event_id.
+    Q("x_scd2",
+      """SELECT user_id, ts AS valid_from,
+        |lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |  AS valid_to,
+        |event_type AS state
+        |FROM events ORDER BY user_id, valid_from""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("ts").as("valid_from"),
+          lead(col("ts"), 1).over(w).as("valid_to"),
+          col("event_type").as("state"))
+        .orderBy("user_id", "valid_from")
+    },
+
+    // Vocabulary build: corpus-wide term frequencies -> top-k vocabulary
+    // with contiguous frequency-ranked ids (the tokenizer-training
+    // precursor). The count is a partial/final aggregate; the top-k cut is
+    // TakeOrderedAndProject (never a global sort); only the k surviving
+    // terms pass through the single-partition ranking window — k rows by
+    // definition, not corpus-sized.
+    Q("x_vocab_build",
+      """WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |cnt AS (SELECT term, count(*) AS n FROM tok WHERE term <> ''
+        |  GROUP BY term),
+        |top AS (SELECT term, n FROM cnt ORDER BY n DESC, term LIMIT 1000)
+        |SELECT row_number() OVER (ORDER BY n DESC, term) AS token_id,
+        |  term, n FROM top ORDER BY token_id""".stripMargin) { (s, dir) =>
+      val counts = Tables(s, dir, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("term"))
+        .where(col("term") =!= "")
+        .groupBy("term").agg(count(lit(1)).as("n"))
+      counts.orderBy(col("n").desc, col("term")).limit(1000)
+        .withColumn("token_id", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("n").desc, col("term"))))
+        .select("token_id", "term", "n")
+        .orderBy("token_id")
     }
   )
 }

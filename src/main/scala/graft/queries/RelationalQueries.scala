@@ -885,6 +885,180 @@ object RelationalQueries {
       cand.join(broadcast(nat5Supp), col("l_suppkey") === col("s_suppkey"))
         .groupBy("s_name").agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
+    },
+
+    // Extension: window FRAMES — trailing ROWS frame plus a RANGE frame in
+    // one pass over the per-customer order history. The trailing sum is
+    // cents-exact (integer cents summed, divided once) so frame-order float
+    // accumulation can't diverge between engines; the RANGE count includes
+    // order-date peers identically in both. One shuffle on o_custkey feeds
+    // both frames (same partitioning + ordering -> one Window exec).
+    Q("w2_rolling_frames",
+      """SELECT o_custkey, o_orderkey,
+        |CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+        |  AS trailing3_price,
+        |count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+        |        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  AS orders_to_date
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val rows3 = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey").rowsBetween(-2, 0)
+      val toDate = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          (sum(round(col("o_totalprice") * 100, 0).cast("bigint")).over(rows3)
+            .cast("double") / 100.0).as("trailing3_price"),
+          count(lit(1)).over(toDate).as("orders_to_date"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // Extension: lag/lead — days since a customer's previous order and the
+    // next order's key, the classic sessionized-history shape. DATE-cast on
+    // both sides: DuckDB's date_diff on raw timestamps counts full 24h
+    // periods, Spark's datediff counts calendar-date boundaries.
+    Q("w3_lag_lead",
+      """SELECT o_custkey, o_orderkey,
+        |date_diff('day',
+        |  CAST(lag(o_orderdate) OVER w AS DATE),
+        |  CAST(o_orderdate AS DATE)) AS gap_days,
+        |lead(o_orderkey) OVER w AS next_orderkey
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate").cast("date"),
+            lag(col("o_orderdate"), 1).over(w).cast("date")).as("gap_days"),
+          lead(col("o_orderkey"), 1).over(w).as("next_orderkey"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // Extension: pivot — long-to-wide with EXPLICIT pivot values. Listing
+    // the values matters at scale: without them Spark runs an extra
+    // distinct job over the pivot column before it can even plan.
+    Q("x_pivot",
+      """SELECT l_returnflag,
+        |count(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
+        |count(*) FILTER (WHERE l_linestatus = 'O') AS n_o,
+        |CAST(coalesce(sum(CAST(round(l_quantity * 100, 0) AS BIGINT))
+        |  FILTER (WHERE l_linestatus = 'F'), 0) AS DOUBLE) / 100.0 AS qty_f,
+        |CAST(coalesce(sum(CAST(round(l_quantity * 100, 0) AS BIGINT))
+        |  FILTER (WHERE l_linestatus = 'O'), 0) AS DOUBLE) / 100.0 AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val cents = round(col("l_quantity") * 100, 0).cast("bigint")
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)).as("n"), sum(cents).as("qc"))
+        .select(col("l_returnflag"),
+          coalesce(col("F_n"), lit(0L)).as("n_f"),
+          coalesce(col("O_n"), lit(0L)).as("n_o"),
+          (coalesce(col("F_qc"), lit(0L)).cast("double") / 100.0).as("qty_f"),
+          (coalesce(col("O_qc"), lit(0L)).cast("double") / 100.0).as("qty_o"))
+        .orderBy("l_returnflag")
+    },
+
+    // Extension: CUBE + grouping_id — all 2^k aggregation granularities in
+    // one shuffle (Expand feeds a single partial/final HashAggregate; at
+    // 100 TB that's one pass instead of 2^k groupBys). Spark's
+    // grouping_id() and DuckDB's GROUPING(a, b) use the same bitmask
+    // (first listed column = high bit) — verified, not assumed.
+    Q("x_cube",
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |coalesce(l_linestatus, 'ALL') AS ls,
+        |GROUPING(l_returnflag, l_linestatus) AS gid, count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, rf, ls""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("gid"), col("n"))
+        .orderBy("gid", "rf", "ls")
+    },
+
+    // Extension: schema-evolution union — unionByName with
+    // allowMissingColumns, the shape every long-lived ingest pipeline hits
+    // when a column is added mid-stream. Spark aligns by NAME and fills
+    // missing columns with NULL; positional union would silently mis-bind.
+    Q("x_union_by_name",
+      """SELECT coalesce(seg, 'UNKNOWN') AS seg, count(*) AS n,
+        |CAST(sum(CAST(round(bal * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+        |  AS total_bal
+        |FROM (
+        |  SELECT c_mktsegment AS seg, c_acctbal AS bal FROM customer
+        |    WHERE c_custkey % 2 = 0
+        |  UNION ALL
+        |  SELECT NULL AS seg, c_acctbal AS bal FROM customer
+        |    WHERE c_custkey % 2 = 1)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val cust = Tables(s, dir, "customer")
+      // "v1 schema": bal only, columns in a different order than v2
+      val v1 = cust.where(col("c_custkey") % 2 === 1)
+        .select(col("c_acctbal").as("bal"))
+      // "v2 schema": adds seg
+      val v2 = cust.where(col("c_custkey") % 2 === 0)
+        .select(col("c_mktsegment").as("seg"), col("c_acctbal").as("bal"))
+      v2.unionByName(v1, allowMissingColumns = true)
+        .groupBy(coalesce(col("seg"), lit("UNKNOWN")).as("seg"))
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("bal") * 100, 0).cast("bigint")).cast("double")
+            / 100.0).as("total_bal"))
+        .orderBy("seg")
+    },
+
+    // Extension: changelog compaction (CDC latest-wins) — newest record per
+    // key via max_by over a (ts, event_id) ordering struct: ONE shuffle with
+    // partial aggregation, carrying one row per key per map task. The
+    // window row_number()=1 alternative shuffles and sorts EVERY change
+    // record — at 100 TB of changelog that's the difference between an
+    // aggregate-sized exchange and a full-data sort. Tie-safe: event_id
+    // breaks equal timestamps deterministically.
+    Q("x_cdc_latest",
+      """SELECT user_id, last_ts, last_type, last_value FROM (
+        |  SELECT user_id, ts AS last_ts, event_type AS last_type,
+        |    value AS last_value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy("user_id")
+        .agg(max_by(
+          struct(col("ts"), col("event_type"), col("value")),
+          struct(col("ts"), col("event_id"))).as("last"))
+        .select(col("user_id"), col("last.ts").as("last_ts"),
+          col("last.event_type").as("last_type"),
+          col("last.value").as("last_value"))
+        .orderBy("user_id")
+    },
+
+    // Extension: driver-visible salted skew join (operators.Skew; spec'd in
+    // SkewSpec, surfaced here so the scoreboard covers it). event_type has
+    // ~5 values over 80k rows — every key is a hot key, the regime where
+    // AQE's partition-splitting can't help because a single KEY (not a
+    // single partition) is the unit of skew. Salting splits each key across
+    // 8 reducers; the oracle is the plain (unsalted) join, proving
+    // equivalence.
+    Q("x_skew_join",
+      """SELECT e.event_type, count(*) AS n, max(d.n_type) AS n_type
+        |FROM events e JOIN (
+        |  SELECT event_type, count(*) AS n_type FROM events GROUP BY 1) d
+        |ON e.event_type = d.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin) { (s, dir) =>
+      val events = Tables(s, dir, "events")
+      val dim = events.groupBy("event_type")
+        .agg(count(lit(1)).as("n_type"))
+      graft.operators.Skew.saltedJoin(events, dim, "event_type", 8)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), max("n_type").as("n_type"))
+        .orderBy("event_type")
     }
   )
 }

@@ -56,4 +56,22 @@ class PlanShapeSpec extends SparkSpec {
     val aggs = "HashAggregate".r.findAllIn(p).length
     assert(aggs >= 2, s"expected partial+final aggregate, found $aggs")
   }
+
+  test("x_cdc_latest: compaction is an aggregate, never a window sort") {
+    // the whole point of max_by over row_number()=1: partial aggregation
+    // shrinks each map task to one row per key BEFORE the exchange; a
+    // Window plan would shuffle and sort every change record
+    val p = plan("x_cdc_latest")
+    assert(!p.contains("Window"), s"compaction re-grew a Window:\n$p")
+    val aggs = "ObjectHashAggregate|HashAggregate|SortAggregate".r.findAllIn(p).length
+    assert(aggs >= 2, s"expected partial+final aggregate, found $aggs")
+  }
+
+  test("w2: both frames share one Window exec (one shuffle, one sort)") {
+    // same partitioning and compatible ordering -> Catalyst fuses the ROWS
+    // and RANGE frames; two Window nodes would mean a second sort pass
+    val p = plan("w2_rolling_frames")
+    val windows = "Window ".r.findAllIn(p).length
+    assert(windows <= 2, s"rolling frames split across $windows Window execs:\n$p")
+  }
 }
