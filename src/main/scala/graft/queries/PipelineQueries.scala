@@ -953,15 +953,19 @@ object PipelineQueries {
       val tok2 = docs.select(col("doc_id"),
         explode(split(lower(col("text")), " ")).as("t"))
         .where(col("t") =!= "")
-      // ONE tokenize+count shuffle feeds everything: doc lengths are the
-      // per-doc sum of term counts, query-term tf is a filter of it, df an
-      // aggregate of that — the corpus is exploded once, not three times.
-      val tfAll = tok2.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-        .localCheckpoint(true)
-      val dl = tfAll.groupBy("doc_id").agg(sum("tf").as("dl"))
+      // Two passes over the corpus, both with AGGREGATE-SIZED exchanges:
+      // doc lengths partial-aggregate to one row per (doc, map task), and
+      // the query-term filter runs BEFORE its tokenize shuffle, so only
+      // 3-term counts ride that exchange. The previous shape shared one
+      // tokenize via localCheckpoint of the full (doc, term, tf) corpus —
+      // a corpus-sized materialization to save a cheap rescan, measured
+      // at sf0.1: 6.0s -> 3.1s cold-plan, 0.9s warm — and exactly the
+      // intermediate you cannot afford at 100 TB.
+      val dl = tok2.groupBy("doc_id").agg(count(lit(1)).as("dl"))
       val stats = dl.agg((sum("dl").cast("double") / count(lit(1))).as("avgdl"))
       val n = docs.agg(count(lit(1)).as("n"))
-      val tf = tfAll.where(col("t").isin("spark", "vector", "stream"))
+      val tf = tok2.where(col("t").isin("spark", "vector", "stream"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
       val dfq = tf.groupBy("t").agg(count(lit(1)).as("df"))
       val sc = tf.join(broadcast(dfq), "t")
         .join(dl, "doc_id")
@@ -1350,6 +1354,96 @@ object PipelineQueries {
             .orderBy(col("n").desc, col("term"))))
         .select("token_id", "term", "n")
         .orderBy("token_id")
+    },
+
+    // MERGE-style upsert (the batch CDC apply): base table + changeset of
+    // updates/deletes/inserts, reconciled in ONE full-outer shuffle join on
+    // the key — no per-row lookups, no driver loop. A small changeset would
+    // broadcast; this one is ~10% of the base, so the shuffle join is the
+    // honest 100 TB plan. Deletes drop, updates win over base, inserts pass
+    // through, untouched base rows survive — all checked by the oracle.
+    Q("x_merge_upsert",
+      """WITH upd AS (SELECT o_orderkey, o_totalprice + 100 AS price, 'U' AS op
+        |  FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 20 <> 0),
+        |del AS (SELECT o_orderkey, CAST(NULL AS DOUBLE) AS price, 'D' AS op
+        |  FROM orders WHERE o_orderkey % 20 = 0),
+        |ins AS (SELECT o_orderkey + 100000000 AS o_orderkey,
+        |  o_totalprice AS price, 'I' AS op
+        |  FROM orders WHERE o_orderkey % 30 = 0),
+        |chg AS (SELECT * FROM upd UNION ALL SELECT * FROM del
+        |  UNION ALL SELECT * FROM ins),
+        |merged AS (
+        |  SELECT coalesce(c.o_orderkey, b.o_orderkey) AS k,
+        |    CASE WHEN c.op = 'D' THEN NULL
+        |         WHEN c.op IS NOT NULL THEN c.price
+        |         ELSE b.o_totalprice END AS price,
+        |    CASE WHEN c.op = 'D' THEN 0 ELSE 1 END AS keep
+        |  FROM orders b FULL OUTER JOIN chg c ON b.o_orderkey = c.o_orderkey)
+        |SELECT count(*) AS n_rows,
+        |CAST(sum(CAST(round(price * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+        |  AS total_price
+        |FROM merged WHERE keep = 1""".stripMargin) { (s, dir) =>
+      val base = Tables(s, dir, "orders")
+      val upd = base.where(col("o_orderkey") % 10 === 0 && col("o_orderkey") % 20 =!= 0)
+        .select(col("o_orderkey"), (col("o_totalprice") + 100).as("price"),
+          lit("U").as("op"))
+      val del = base.where(col("o_orderkey") % 20 === 0)
+        .select(col("o_orderkey"), lit(null).cast("double").as("price"),
+          lit("D").as("op"))
+      val ins = base.where(col("o_orderkey") % 30 === 0)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          col("o_totalprice").as("price"), lit("I").as("op"))
+      val chg = upd.unionByName(del).unionByName(ins)
+        .withColumnRenamed("o_orderkey", "c_key")
+      base.join(chg, col("o_orderkey") === col("c_key"), "full_outer")
+        .select(
+          when(col("op") === "D", lit(null).cast("double"))
+            .when(col("op").isNotNull, col("price"))
+            .otherwise(col("o_totalprice")).as("price"),
+          when(col("op") === "D", lit(0)).otherwise(lit(1)).as("keep"))
+        .where(col("keep") === 1)
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(round(col("price") * 100, 0).cast("bigint")).cast("double")
+            / 100.0).as("total_price"))
+    },
+
+    // Context-window chunking: split each document's token sequence into
+    // fixed-size windows (64 tokens) with overlap (stride 48) — the
+    // training-data prep step between cleaning and tokenization. Spark
+    // side MATERIALIZES every chunk (slice of the bound token array per
+    // posexploded window index); the oracle checks the closed-form chunk
+    // count and coverage arithmetic per source. The token array is bound
+    // as a column BEFORE the per-chunk slice — an unbound split() inside
+    // the lambda would re-tokenize per chunk (the HOF re-eval gotcha).
+    Q("x_chunk_windows",
+      """WITH dl AS (SELECT source,
+        |  len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+        |    AS dl FROM documents),
+        |ck AS (SELECT source, dl,
+        |  CASE WHEN dl <= 64 THEN 1
+        |       ELSE 1 + CAST(ceil((dl - 64) / 48.0) AS BIGINT) END AS n
+        |  FROM dl WHERE dl > 0)
+        |SELECT source, sum(n) AS n_chunks,
+        |  sum(64 * (n - 1) + (dl - 48 * (n - 1))) AS chunk_tokens
+        |FROM ck GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val chunkSize = 64
+      val stride = 48
+      val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+      val withToks = Tables(s, dir, "documents")
+        .select(col("source"), toks.as("toks"))
+        .withColumn("dl", size(col("toks")))
+        .where(col("dl") > 0)
+        .withColumn("n", when(col("dl") <= chunkSize, lit(1L))
+          .otherwise(lit(1L) + ceil((col("dl") - chunkSize) / lit(stride.toDouble))
+            .cast("long")))
+      withToks
+        .select(col("source"), col("toks"),
+          posexplode(expr("sequence(0, n - 1)")).as(Seq("i", "_")))
+        .withColumn("chunk", expr(s"slice(toks, i * $stride + 1, $chunkSize)"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(size(col("chunk"))).cast("long").as("chunk_tokens"))
+        .orderBy("source")
     }
   )
 }
