@@ -13,7 +13,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def registry: Seq[Q] =
-    CoreQueries.all ++ RelationalQueries.all ++ ApproxQueries.all ++ PipelineQueries.all
+    CoreQueries.all ++ RelationalQueries.all ++ ApproxQueries.all ++
+      PipelineQueries.all ++ CorpusQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

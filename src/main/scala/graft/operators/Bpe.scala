@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Byte-pair-encoding merge training over a distributed word-frequency
+  * table (Sennrich et al. 2016, "Neural Machine Translation of Rare Words
+  * with Subword Units" — the standard subword-tokenizer precursor for LLM
+  * training data).
+  *
+  * Scale shape: after the initial corpus word-count, training never touches
+  * the corpus again — each merge iteration shuffles only the DISTINCT-WORD
+  * table (vocabulary-sized: millions of rows at 100 TB, not trillions),
+  * counts adjacent symbol pairs weighted by word frequency, picks the
+  * argmax on the driver (a single row via TakeOrdered, never a global
+  * sort), and applies the merge with a narrow map. k merges = k
+  * bounded-size shuffles; no corpus-wide pass, no driver-side corpus state.
+  *
+  * Reference scope: vega (rajasekarv/vega) has no tokenizer-training
+  * surface; this is a builder-prompt pipeline extension.
+  */
+object Bpe {
+
+  /** One learned merge: adjacent pair (left, right) and its corpus-weighted
+    * count at selection time.
+    */
+  final case class Merge(left: String, right: String, weight: Long)
+
+  /** A distinct word, its current symbolization, and its corpus frequency. */
+  final case class WordSyms(word: String, syms: Seq[String], freq: Long)
+
+  /** Left-to-right non-overlapping replacement of one adjacent pair. */
+  private[graft] def applyMerge(syms: Seq[String], l: String, r: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r)
+        i += 2
+      } else {
+        out += syms(i)
+        i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Train up to `k` merges; stops early when no adjacent pair remains.
+    * Deterministic: pair counts are exact integers and ties break on
+    * (left, right) lexicographic order. Pair occurrences are counted
+    * overlapping (symbols zip symbols.tail), as in the reference
+    * algorithm; the applied merge is non-overlapping left-to-right.
+    *
+    * Returns the merge table and the final per-word symbolization.
+    *
+    * The loop runs on RDDs by design, not oversight: each iteration of a
+    * Dataset version builds a FRESH typed plan, and 12 rounds of Catalyst
+    * analysis + whole-stage-codegen compilation measured 19s against
+    * microseconds of actual data work — iterative small-state algorithms
+    * are the documented case where the RDD API beats DataFrames. One Spark
+    * job per merge: the pair-count/argmax action also materializes the
+    * current state's persist (built from the PREVIOUS state's still-live
+    * cache), and only then is the previous state unpersisted — lineage
+    * never grows past one step. `numPartitions` sizes the loop's state to
+    * the vocabulary (distinct words), orders of magnitude smaller than
+    * the corpus — at the corpus scan's width every tiny iteration pays
+    * full-width task launch.
+    */
+  def train(spark: SparkSession, words: Dataset[(String, Long)], k: Int,
+      numPartitions: Option[Int] = None): (Seq[Merge], RDD[WordSyms]) = {
+    val base = words.rdd.map { case (w, f) => WordSyms(w, w.map(_.toString), f) }
+    var cur: RDD[WordSyms] = numPartitions.fold(base)(base.coalesce(_)).persist()
+    var prev: Option[RDD[WordSyms]] = None
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    implicit val bestOrd: Ordering[((String, String), Long)] =
+      Ordering.by { case ((a, b), n) => (-n, a, b) }
+    var done = false
+    while (merges.length < k && !done) {
+      val best = cur
+        .flatMap(w =>
+          if (w.syms.length < 2) Iterator.empty
+          else w.syms.iterator.zip(w.syms.iterator.drop(1))
+            .map(p => (p, w.freq)))
+        .reduceByKey(_ + _)
+        .takeOrdered(1)
+      // cur's cache blocks exist now; the state it was derived from is free.
+      prev.foreach(_.unpersist(false))
+      if (best.isEmpty) done = true
+      else {
+        val ((l, r), n) = best(0)
+        merges += Merge(l, r, n)
+        val next = cur.map(w => WordSyms(w.word, applyMerge(w.syms, l, r), w.freq)).persist()
+        prev = Some(cur)
+        cur = next
+      }
+    }
+    // Materialize the final state before releasing its parent, so the
+    // returned RDD serves from cache instead of replaying the last map.
+    prev.foreach { p => cur.count(); p.unpersist(false) }
+    (merges.toSeq, cur)
+  }
+}

@@ -1,0 +1,171 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Bpe
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation extensions beyond PipelineQueries: global ordinal
+  * assignment, cross-document span-level dedup, URL parsing, one-pass
+  * profiling, and BPE tokenizer-merge training. All DuckDB-oracled except
+  * BPE (iterative argmax is not SQL-expressible; it is self-GATING
+  * instead — lossless round-trip, monotone compression, non-increasing
+  * merge weights — so a broken kernel turns the driver entry red).
+  */
+object CorpusQueries {
+
+  def all: Seq[Q] = Seq(
+
+    // Global contiguous row ids WITHOUT the row_number()-over-everything
+    // anti-pattern: a no-partition window funnels the whole table through
+    // ONE task, which is exactly what dies at 100 TB. zipWithIndex instead
+    // range-partitions + sorts locally (parallel), then runs one O(P)
+    // count job and a narrow map that adds each partition's offset —
+    // driver state is P longs, never rows. The checksum sum(rid *
+    // o_orderkey) pins EVERY key to its exact rank (any swap changes it);
+    // sum_rid = n(n-1)/2 pins contiguity.
+    Q("x_global_ids",
+      """WITH r AS (SELECT o_orderkey,
+        |  row_number() OVER (ORDER BY o_orderkey) - 1 AS rid FROM orders)
+        |SELECT count(*) AS n_rows,
+        |  CAST(sum(rid) AS BIGINT) AS sum_rid,
+        |  CAST(sum(rid * o_orderkey) AS BIGINT) AS checksum FROM r""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val sorted = Tables(s, dir, "orders").select(col("o_orderkey"))
+        .repartitionByRange(col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+      sorted.as[Long].rdd.zipWithIndex()
+        .toDF("o_orderkey", "rid")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("rid")).as("sum_rid"),
+          sum(col("rid") * col("o_orderkey")).as("checksum"))
+    },
+
+    // Cross-document repeated spans — the exact-substring form of
+    // training-data dedup (Lee et al. 2022 use suffix arrays; the
+    // shuffle-native equivalent is fingerprinted sliding windows).
+    // Every 8-token window is hashed to a fixed-width md5 (the shuffle
+    // carries 32-byte keys, not raw text) and spans seen in >1 distinct
+    // document are the dedup candidates. One corpus scan, one exchange on
+    // the fingerprint — both sides of the 100 TB story.
+    Q("x_span_dedup",
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        |  FROM documents),
+        |grams AS (SELECT doc_id, md5(array_to_string(ts[i:i+7], ' ')) AS g
+        |  FROM toks, UNNEST(range(1, len(ts) - 6)) AS u(i)
+        |  WHERE len(ts) >= 8),
+        |dup AS (SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY g
+        |  HAVING count(DISTINCT doc_id) > 1)
+        |SELECT count(*) AS n_dup_spans,
+        |  CAST(coalesce(sum(nd), 0) AS BIGINT) AS n_span_docs FROM dup""".stripMargin) { (s, dir) =>
+      val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), toks.as("ts"))
+        .where(size(col("ts")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ts) - 7), i -> md5(concat_ws(' ', slice(ts, i, 8))))"))
+          .as("g"))
+        .groupBy("g").agg(countDistinct(col("doc_id")).as("nd"))
+        .where(col("nd") > 1)
+        .agg(count(lit(1)).as("n_dup_spans"),
+          coalesce(sum(col("nd")), lit(0L)).as("n_span_docs"))
+    },
+
+    // URL parsing with the codegen'd parse_url builtin (no UDF): host,
+    // path, and a query parameter, pinned exactly by the oracle's
+    // closed-form reconstruction (min(path)/ref are exact strings — a
+    // PATH that leaked the query string or HOST that kept the scheme
+    // would hash-mismatch, not just recount).
+    Q("x_url_extract",
+      """SELECT source || '.example.com' AS host, count(*) AS n_docs,
+        |  min('/' || lang || '/' || CAST(doc_id AS VARCHAR)) AS path_min,
+        |  source AS ref_min
+        |FROM documents GROUP BY source ORDER BY host""".stripMargin) { (s, dir) =>
+      val url = concat(lit("https://"), col("source"), lit(".example.com/"),
+        col("lang"), lit("/"), col("doc_id").cast("string"),
+        lit("?ref="), col("source"))
+      Tables(s, dir, "documents")
+        .select(
+          parse_url(url, lit("HOST")).as("host"),
+          parse_url(url, lit("PATH")).as("path"),
+          parse_url(url, lit("QUERY"), lit("ref")).as("ref"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("path")).as("path_min"),
+          min(col("ref")).as("ref_min"))
+        .orderBy("host")
+    },
+
+    // One-pass dataset profiling: null counts, exact NDVs, ranges, and a
+    // cents-exact total in a SINGLE aggregate over one scan — never a
+    // per-column job loop (df.describe-style iteration reads the table
+    // once per metric; at 100 TB that multiplier is the whole cost).
+    // The two exact count(DISTINCT)s share one Expand: rows fan out
+    // x3 (one branch per distinct set + one for the plain aggregates),
+    // which is the documented price of exactness; the sketch path for
+    // wide profiles is x_approx_distinct.
+    Q("x_profile",
+      """SELECT count(*) AS n_rows,
+        |  count(l_quantity) AS qty_nn,
+        |  count(DISTINCT l_quantity) AS qty_ndv,
+        |  min(l_quantity) AS qty_min, max(l_quantity) AS qty_max,
+        |  count(DISTINCT l_returnflag) AS flag_ndv,
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  min(l_shipdate) AS ship_min, max(l_shipdate) AS ship_max
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        count(col("l_quantity")).as("qty_nn"),
+        countDistinct(col("l_quantity")).as("qty_ndv"),
+        min(col("l_quantity")).as("qty_min"),
+        max(col("l_quantity")).as("qty_max"),
+        countDistinct(col("l_returnflag")).as("flag_ndv"),
+        sum(round(col("l_extendedprice") * 100, 0).cast("bigint")).as("price_cents"),
+        min(col("l_shipdate")).as("ship_min"),
+        max(col("l_shipdate")).as("ship_max"))
+    },
+
+    // BPE merge training (operators/Bpe.scala): 12 merges over the
+    // distinct-word table. Self-gating because the iterative argmax isn't
+    // SQL-expressible: (1) LOSSLESS — every word's symbols concatenate
+    // back to the word (merging can reorder nothing, drop nothing);
+    // (2) monotone compression — weighted symbol count strictly drops per
+    // merge, so tokens_bpe < tokens_chars; (3) merge weights are
+    // non-increasing (a new pair's count is bounded by the occurrences of
+    // the symbol the previous merge created, and old pairs only lose);
+    // (4) exactly k merges trained. A broken applyMerge/argmax trips one
+    // of these and the driver entry goes red.
+    Q.rowsOnly("x_bpe_train") { (s, dir) =>
+      import s.implicits._
+      val k = 12
+      val words = Tables(s, dir, "documents")
+        .select(explode(filter(split(lower(col("text")), " "), t => t =!= "")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("f"))
+        .as[(String, Long)]
+      // The merge loop's state is the distinct-word table — tiny next to
+      // the corpus (31 words here; millions at 100 TB, still thousands of
+      // times smaller) — so the loop is coalesced to match the state, and
+      // each merge is one small RDD job (see Bpe.train on why not Dataset).
+      val (merges, vocab) = Bpe.train(s, words, k, numPartitions = Some(4))
+      val stats = vocab
+        .map(v => (if (v.syms.mkString == v.word) 0L else 1L,
+          v.freq * v.word.length, v.freq * v.syms.length, 1L))
+        .reduce((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4))
+      vocab.unpersist()
+      val (bad, tokensChars, tokensBpe, nWords) = stats
+      Gate.check(bad == 0, s"$bad words fail lossless symbol round-trip")
+      Gate.check(merges.length == k, s"trained ${merges.length} of $k merges")
+      Gate.check(merges.forall(_.weight > 0), "non-positive merge weight")
+      Gate.check(merges.iterator.zip(merges.iterator.drop(1))
+        .forall { case (a, b) => a.weight >= b.weight },
+        s"merge weights not non-increasing: ${merges.map(_.weight)}")
+      Gate.check(tokensBpe < tokensChars,
+        s"no compression: $tokensBpe >= $tokensChars")
+      Seq((merges.length.toLong, nWords, tokensChars, tokensBpe,
+        merges.head.left, merges.head.right, merges.head.weight))
+        .toDF("n_merges", "n_words", "tokens_chars", "tokens_bpe",
+          "top_left", "top_right", "top_weight")
+    }
+  )
+}

@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** BPE merge training against the hand-computed merges of the classic
+  * Sennrich et al. corpus {low:5, lower:2, newest:6, widest:3}:
+  *   pairs round 1: (e,s)=9 and (s,t)=9 tie -> lexicographic (e,s);
+  *   round 2: (es,t)=9; round 3: (l,o)=7 and (o,w)=7 tie -> (l,o).
+  */
+class BpeSpec extends SparkSpec {
+
+  test("applyMerge is left-to-right non-overlapping") {
+    assert(Bpe.applyMerge(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(Bpe.applyMerge(Seq("a", "a", "a", "a"), "a", "a") == Seq("aa", "aa"))
+    assert(Bpe.applyMerge(Seq("x", "y"), "a", "b") == Seq("x", "y"))
+    assert(Bpe.applyMerge(Seq("a", "b", "c", "a", "b"), "a", "b")
+      == Seq("ab", "c", "ab"))
+  }
+
+  test("trains the textbook merges on the Sennrich corpus, losslessly") {
+    import spark.implicits._
+    val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L)).toDS()
+    val (merges, vocab) = Bpe.train(spark, words, 3)
+    assert(merges.map(m => (m.left, m.right, m.weight))
+      == Seq(("e", "s", 9L), ("es", "t", 9L), ("l", "o", 7L)))
+    val out = vocab.collect().map(w => w.word -> w.syms).toMap
+    vocab.unpersist()
+    assert(out("newest") == Seq("n", "e", "w", "est"))
+    assert(out("widest") == Seq("w", "i", "d", "est"))
+    assert(out("low") == Seq("lo", "w"))
+    assert(out("lower") == Seq("lo", "w", "e", "r"))
+    assert(out.forall { case (w, syms) => syms.mkString == w })
+  }
+
+  test("stops early when no pair remains") {
+    import spark.implicits._
+    val words = Seq(("ab", 4L)).toDS()
+    val (merges, vocab) = Bpe.train(spark, words, 5)
+    vocab.unpersist()
+    assert(merges.map(m => (m.left, m.right, m.weight)) == Seq(("a", "b", 4L)))
+  }
+}
