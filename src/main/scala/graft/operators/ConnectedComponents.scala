@@ -41,11 +41,21 @@ object ConnectedComponents {
     */
   def clusters(pairs: DataFrame, c1: String, c2: String,
       maxRounds: Int = 30): DataFrame = {
-    def canon(e: DataFrame): DataFrame = e
+    def canon(e: DataFrame): DataFrame = orient(e).distinct()
+
+    // Canonical direction WITHOUT the dedup shuffle — for the large-star
+    // intermediate only. ls is at most |E| rows with or without dedup
+    // (each undirected edge survives the v > u filter exactly once), its
+    // duplicates are harmless to the min() aggregations that consume it,
+    // and the small-star output IS deduped — so large-star's distinct()
+    // was a full extra exchange per round buying nothing. Measured warm
+    // (second run in a session) on 200k nodes: chain-of-100 graphs (the
+    // slow-converging shape) 17.3s -> 9.9-10.9s; near-clique graphs (what
+    // LSH actually emits) 8.7s -> 6.2-6.6s.
+    def orient(e: DataFrame): DataFrame = e
       .where(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
-      .distinct()
 
     def fingerprint(e: DataFrame): (Long, Long) = {
       val r = e.agg(count(lit(1)),
@@ -82,7 +92,7 @@ object ConnectedComponents {
         edges.select(col("v").as("u"), col("u").as("v")))
       val minN = sym.groupBy("u").agg(min("v").as("mv"))
         .select(col("u"), least(col("u"), col("mv")).as("m"))
-      val ls = canon(sym.join(minN, "u")
+      val ls = orient(sym.join(minN, "u")
         .where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v")))
       // small-star over smaller-directed edges (canon keeps u > v)
