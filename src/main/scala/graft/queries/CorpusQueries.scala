@@ -126,6 +126,32 @@ object CorpusQueries {
         max(col("l_shipdate")).as("ship_max"))
     },
 
+    // Frequent items (heavy hitters) via Spark's single-pass bounded-memory
+    // sketch (Karp/Shenker/Papadimitriou counters — df.stat.freqItems):
+    // the 100 TB cardinality tool when exact per-key counts would shuffle
+    // the whole vocabulary. The sketch's contract is one-sided (every item
+    // with frequency > support appears; false positives allowed), and the
+    // gate checks exactly that contract against exact counts: a missed
+    // true heavy hitter turns the entry red.
+    Q.rowsOnly("x_freq_items") { (s, dir) =>
+      import s.implicits._
+      val support = 0.02
+      val words = Tables(s, dir, "documents")
+        .select(explode(filter(split(lower(col("text")), " "), t => t =!= "")).as("w"))
+      val n = words.count()
+      val cand = words.stat.freqItems(Seq("w"), support)
+        .collect()(0).getSeq[String](0).toSet
+      val thresh = math.ceil(n * support).toLong
+      val heavy = words.groupBy("w").agg(count(lit(1)).as("c"))
+        .where(col("c") >= thresh).collect().map(_.getString(0)).toSet
+      val missed = heavy -- cand
+      Gate.check(heavy.nonEmpty, "no true heavy hitters — attestation is vacuous")
+      Gate.check(missed.isEmpty,
+        s"freqItems missed true heavy hitters: ${missed.take(5)}")
+      Seq((n, heavy.size.toLong, cand.size.toLong))
+        .toDF("n_tokens", "n_heavy", "n_candidates")
+    },
+
     // BPE merge training (operators/Bpe.scala): 12 merges over the
     // distinct-word table. Self-gating because the iterative argmax isn't
     // SQL-expressible: (1) LOSSLESS — every word's symbols concatenate

@@ -1261,6 +1261,54 @@ object PipelineQueries {
       } finally deleteRecursively(tmp)
     },
 
+    // Stream-STATIC enrichment join — the standard streaming-ingest shape:
+    // every micro-batch of facts joins a broadcast dimension (customer ->
+    // nation here) with NO streaming state (unlike stream-stream joins,
+    // nothing is buffered or watermarked; the static side is just a
+    // broadcast each batch). Complete-mode count+cents aggregate makes the
+    // result independent of how files split into micro-batches, so the
+    // DuckDB oracle compare is exact with zero ordering choreography.
+    Q("x_stream_enrich",
+      """SELECT n.n_name AS nation, count(*) AS n,
+        |CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS BIGINT)
+        |  AS sum_cents
+        |FROM events e
+        |JOIN customer c ON e.user_id = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY 1 ORDER BY nation""".stripMargin) { (s, dir) =>
+      val tmp = Tmp.dir("graft-senrich")
+      try {
+        val src = tmp.resolve("src").toString
+        val ev = Tables(s, dir, "events")
+          .select(col("user_id"), col("value"))
+        // two files -> two micro-batches under maxFilesPerTrigger=1
+        ev.where(col("user_id") % 2 === 0).coalesce(1)
+          .write.mode("overwrite").parquet(src)
+        ev.where(col("user_id") % 2 =!= 0).coalesce(1)
+          .write.mode("append").parquet(src)
+        val dim = broadcast(Tables(s, dir, "customer")
+          .join(Tables(s, dir, "nation"),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name").as("nation")))
+        val qname = "graft_stream_enrich_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        withShufflePartitions(s, 4) {
+          val stream = s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+          val query = stream
+            .join(dim, col("user_id") === col("c_custkey"))
+            .groupBy("nation")
+            .agg(count(lit(1)).as("n"),
+              sum(round(col("value") * 100, 0).cast("bigint")).as("sum_cents"))
+            .writeStream.format("memory").queryName(qname)
+            .option("checkpointLocation", tmp.resolve("ckpt").toString)
+            .outputMode("complete").start()
+          try { query.processAllAvailable() } finally query.stop()
+        }
+        s.table(qname).orderBy("nation").localCheckpoint(true)
+      } finally deleteRecursively(tmp)
+    },
+
     // Gap-based sessions via flatMapGroupsWithState, oracled against the
     // classic gaps-and-islands SQL (ms-truncated epochs on both sides).
     Q("x_sessionize",

@@ -939,6 +939,38 @@ object RelationalQueries {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // Extension: distribution windows — ntile equal-frequency binning (the
+    // feature-bucketing step), percent_rank and cume_dist, all over ONE
+    // window spec so the plan pays a single partition+sort. Determinism by
+    // construction: the order key (o_totalprice, o_orderkey) is unique, so
+    // ntile's positional split can't straddle a tie differently per
+    // engine; percent_rank/cume_dist are peer-group functions (tie-stable
+    // regardless). The doubles are (rank-1)/(n-1)-style divisions of
+    // identical small integers — bit-identical across engines, no
+    // rounding needed. Subset filter keeps the bench collect proportionate.
+    Q("w4_ntile",
+      """WITH src AS (SELECT o_orderkey, o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 = 0)
+        |SELECT o_orderkey,
+        |  ntile(8) OVER w AS bucket,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM src
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+      Tables(s, dir, "orders")
+        .where(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"),
+          ntile(8).over(w).as("bucket"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("o_orderkey")
+    },
+
     // Extension: pivot — long-to-wide with EXPLICIT pivot values. Listing
     // the values matters at scale: without them Spark runs an extra
     // distinct job over the pivot column before it can even plan.
