@@ -74,4 +74,42 @@ class PlanShapeSpec extends SparkSpec {
     val windows = "Window ".r.findAllIn(p).length
     assert(windows <= 2, s"rolling frames split across $windows Window execs:\n$p")
   }
+
+  test("w4: all three distribution functions share one Window exec") {
+    val p = plan("w4_ntile")
+    val windows = "Window".r.findAllIn(p).length
+    assert(windows <= 2, s"ntile/percent_rank/cume_dist split across Window execs:\n$p")
+  }
+
+  test("x_global_ids: ordinal assignment never funnels rows through a Window") {
+    // zipWithIndex's whole reason to exist: a row_number() window with no
+    // partitionBy funnels every ROW through one task. (The final global
+    // aggregate's SinglePartition exchange is fine — partial aggregation
+    // reduces each partition to one row first, asserted below.)
+    val p = plan("x_global_ids")
+    assert(!p.contains("Window"), s"global ids re-grew a Window:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"checksum aggregate lost its partial phase:\n$p")
+  }
+
+  test("x_span_dedup: fingerprints aggregate partially before the exchange") {
+    val p = plan("x_span_dedup")
+    val aggs = "HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).length
+    assert(aggs >= 2, s"expected partial+final aggregate in span dedup, found $aggs:\n$p")
+  }
+
+  test("x_stream_enrich: the dimension join broadcasts (batch twin)") {
+    // the streaming plan joins each micro-batch against the same broadcast;
+    // asserting on the batch twin keeps the spec synchronous
+    import org.apache.spark.sql.functions._
+    val dim = graft.Tables(spark, sf0001, "customer")
+      .join(graft.Tables(spark, sf0001, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("nation"))
+    val p = graft.Tables(spark, sf0001, "events")
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy("nation").count()
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"enrichment join not broadcast:\n$p")
+  }
 }
