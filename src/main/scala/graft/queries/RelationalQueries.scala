@@ -200,6 +200,65 @@ object RelationalQueries {
         .orderBy("v")
     },
 
+    // Extension: MULTISET set-ops — exceptAll/intersectAll keep duplicate
+    // multiplicity (max(m-n,0) / min(m,n) per value), which is what dedup
+    // bookkeeping actually needs ("remove ONE occurrence per tombstone",
+    // not "remove the value everywhere"). vega has only the set forms
+    // (U2/U3); the multiset forms plan as a count-aggregate + generate,
+    // never a per-row join explosion.
+    Q("u4_except_all",
+      """SELECT v, count(*) AS cnt FROM
+        |(SELECT l_linenumber AS v FROM lineitem WHERE l_orderkey % 4 = 0
+        | EXCEPT ALL SELECT l_linenumber FROM lineitem WHERE l_orderkey % 8 = 0) t
+        |GROUP BY v ORDER BY v""".stripMargin) { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      li.where(col("l_orderkey") % 4 === 0).select(col("l_linenumber").as("v"))
+        .exceptAll(li.where(col("l_orderkey") % 8 === 0)
+          .select(col("l_linenumber").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("cnt"))
+        .orderBy("v")
+    },
+    Q("u5_intersect_all",
+      """SELECT v, count(*) AS cnt FROM
+        |(SELECT l_linenumber AS v FROM lineitem WHERE l_orderkey % 4 = 0
+        | INTERSECT ALL SELECT l_linenumber FROM lineitem WHERE l_orderkey % 6 = 0) t
+        |GROUP BY v ORDER BY v""".stripMargin) { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      li.where(col("l_orderkey") % 4 === 0).select(col("l_linenumber").as("v"))
+        .intersectAll(li.where(col("l_orderkey") % 6 === 0)
+          .select(col("l_linenumber").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("cnt"))
+        .orderBy("v")
+    },
+
+    // Extension: NESTED types round-trip — rows nest into per-order
+    // ARRAY<STRUCT> (canonically sorted), then explode back to flat rows.
+    // The denormalize-into-document shape is how training corpora carry
+    // grouped records (conversation turns, page sections) in one row; the
+    // oracle pins both the nesting arithmetic (order count, max/total
+    // array sizes from the pre-explode side) and the value integrity
+    // (cents-exact quantity total after re-flattening).
+    Q("x_nested_roundtrip",
+      """WITH g AS (SELECT l_orderkey, count(*) AS sz,
+        |    sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS cents
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT (SELECT count(*) FROM g) AS n_orders,
+        |  CAST((SELECT max(sz) FROM g) AS BIGINT) AS max_lines,
+        |  CAST((SELECT sum(sz) FROM g) AS BIGINT) AS n_rows,
+        |  CAST((SELECT sum(cents) FROM g) AS BIGINT) AS qty_cents""".stripMargin) { (s, dir) =>
+      val nested = Tables(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(
+          struct(col("l_linenumber"), col("l_quantity")))).as("lines"))
+      val shape = nested.agg(count(lit(1)).as("n_orders"),
+        max(size(col("lines"))).cast("long").as("max_lines"))
+      val flat = nested
+        .select(explode(col("lines")).as("ln"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("ln.l_quantity") * 100, 0).cast("bigint")).as("qty_cents"))
+      shape.crossJoin(flat)
+    },
+
     // L1: coalesce(n) — narrow shrink, no shuffle (coalesced_rdd.rs)
     Q("l1_coalesce",
       """SELECT count(*) AS n, round(sum(l_discount), 2) AS sum_disc
