@@ -246,17 +246,20 @@ object RelationalQueries {
         |  CAST((SELECT max(sz) FROM g) AS BIGINT) AS max_lines,
         |  CAST((SELECT sum(sz) FROM g) AS BIGINT) AS n_rows,
         |  CAST((SELECT sum(cents) FROM g) AS BIGINT) AS qty_cents""".stripMargin) { (s, dir) =>
-      val nested = Tables(s, dir, "lineitem")
+      // ONE pass: posexplode keeps the array size alongside each element,
+      // so shape stats (order count via the pos==0 marker, max array size)
+      // and value stats come out of a single scan+shuffle — a separate
+      // pre-explode branch would re-run the whole nesting aggregation.
+      Tables(s, dir, "lineitem")
         .groupBy("l_orderkey")
         .agg(sort_array(collect_list(
           struct(col("l_linenumber"), col("l_quantity")))).as("lines"))
-      val shape = nested.agg(count(lit(1)).as("n_orders"),
-        max(size(col("lines"))).cast("long").as("max_lines"))
-      val flat = nested
-        .select(explode(col("lines")).as("ln"))
-        .agg(count(lit(1)).as("n_rows"),
+        .select(size(col("lines")).as("sz"),
+          posexplode(col("lines")).as(Seq("i", "ln")))
+        .agg(count(when(col("i") === 0, 1)).as("n_orders"),
+          max(col("sz")).cast("long").as("max_lines"),
+          count(lit(1)).as("n_rows"),
           sum(round(col("ln.l_quantity") * 100, 0).cast("bigint")).as("qty_cents"))
-      shape.crossJoin(flat)
     },
 
     // L1: coalesce(n) — narrow shrink, no shuffle (coalesced_rdd.rs)
