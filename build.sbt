@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runs default to sbt's LoggedOutput, which prefixes every stdout
+// line with "[info] " — that turns Bench's machine-readable JSON line into
+// something a per-line json.loads can't parse. StdoutOutput pipes the
+// forked JVM's stdout through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

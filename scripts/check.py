@@ -16,7 +16,10 @@ import pandas as pd
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     df = df.sort_values(by=list(df.columns), ignore_index=True)
-    # unify numeric-ish dtypes for the comparison
+    # unify numeric-ish dtypes WITHIN a kind for the comparison — never
+    # across kinds: an int64 Spark column vs a float64 oracle column (DuckDB
+    # HUGEINT -> pandas float64) must stay distinguishable, because the
+    # driver's hash is dtype-sensitive and rejects exactly that divergence.
     for c in df.columns:
         if str(df[c].dtype).startswith(("int", "uint", "Int")):
             df[c] = df[c].astype("int64")
@@ -27,7 +30,53 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def kind(dtype) -> str:
+    """Coarse dtype kind: the driver's hash distinguishes int vs float vs
+    everything-else, so the local gate must too (r4 shipped 3 hash-fails the
+    value-only compare could not see: DuckDB sum(BIGINT) -> HUGEINT ->
+    pandas float64 vs Spark int64)."""
+    k = getattr(dtype, "kind", "O")
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "M":
+        return "datetime"
+    if k == "b":
+        return "bool"
+    return "other"
+
+
+def dtype_mismatches(g: pd.DataFrame, e: pd.DataFrame):
+    return [(c, str(g[c].dtype), str(e[c].dtype)) for c in g.columns
+            if kind(g[c].dtype) != kind(e[c].dtype)]
+
+
+def selftest() -> int:
+    """A deliberately-uncast integer-sum oracle must FAIL the gate: DuckDB
+    returns HUGEINT (-> pandas float64) while Spark would dump int64."""
+    con = duckdb.connect()
+    exp = con.execute(
+        "SELECT sum(x) AS s FROM (VALUES (5::BIGINT), (7::BIGINT)) t(x)").df()
+    got = pd.DataFrame({"s": pd.Series([12], dtype="int64")})
+    g, e = normalize(got), normalize(exp)
+    bad = dtype_mismatches(g, e)
+    if not bad:
+        print("SELFTEST FAIL: uncast HUGEINT oracle not flagged")
+        return 1
+    exp_cast = con.execute(
+        "SELECT CAST(sum(x) AS BIGINT) AS s "
+        "FROM (VALUES (5::BIGINT), (7::BIGINT)) t(x)").df()
+    if dtype_mismatches(g, normalize(exp_cast)):
+        print("SELFTEST FAIL: CAST(... AS BIGINT) oracle wrongly flagged")
+        return 1
+    print(f"SELFTEST PASS: dtype gate flags {bad} and accepts the cast form")
+    return 0
+
+
 def main() -> int:
+    if sys.argv[1:] == ["--selftest"]:
+        return selftest()
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for p in glob.glob(f"{sf_dir}/*.parquet"):
@@ -60,6 +109,11 @@ def main() -> int:
             continue
         if len(g) != len(e):
             print(f"FAIL {name} rows: spark={len(g)} duck={len(e)}")
+            n_fail += 1
+            continue
+        bad = dtype_mismatches(g, e)
+        if bad:
+            print(f"FAIL {name} dtype kind (spark vs duck): {bad}")
             n_fail += 1
             continue
         try:

@@ -43,15 +43,20 @@ object ConnectedComponents {
       maxRounds: Int = 30): DataFrame = {
     def canon(e: DataFrame): DataFrame = orient(e).distinct()
 
-    // Canonical direction WITHOUT the dedup shuffle — for the large-star
-    // intermediate only. ls is at most |E| rows with or without dedup
-    // (each undirected edge survives the v > u filter exactly once), its
-    // duplicates are harmless to the min() aggregations that consume it,
-    // and the small-star output IS deduped — so large-star's distinct()
-    // was a full extra exchange per round buying nothing. Measured warm
-    // (second run in a session) on 200k nodes: chain-of-100 graphs (the
-    // slow-converging shape) 17.3s -> 9.9-10.9s; near-clique graphs (what
-    // LSH actually emits) 8.7s -> 6.2-6.6s.
+    // Canonical direction. The large-star intermediate MUST stay deduped
+    // (canon, not orient): on clique-shaped components — exactly what
+    // minhash-LSH pair generation emits — every neighbor u of v produces
+    // the same (v, min) row, so an undeduped large-star output carries
+    // |E| ≈ n² rows per clique into the small-star join and the final
+    // distinct, where ~n distinct rows suffice. A round-4 experiment
+    // dropped this distinct on the strength of a 200k-node chain/near-
+    // clique synthetic (warm-session 17.3s -> 10s); the driver-scale bench
+    // falsified it: clique-heavy x_dedup_clusters regressed 4.0s -> 25.0s
+    // while chain-shaped x_cluster_cc (same code, no duplicate pairs) was
+    // flat — i.e. the dedup exchange costs ~nothing on chains at sf0.1 and
+    // bounds the clique blow-up, so it stays. At 100 TB the asymmetry only
+    // grows: a billion-node dup graph with large cliques would feed an
+    // |E|-row exchange where an n-row one suffices.
     def orient(e: DataFrame): DataFrame = e
       .where(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"),
@@ -92,7 +97,7 @@ object ConnectedComponents {
         edges.select(col("v").as("u"), col("u").as("v")))
       val minN = sym.groupBy("u").agg(min("v").as("mv"))
         .select(col("u"), least(col("u"), col("mv")).as("m"))
-      val ls = orient(sym.join(minN, "u")
+      val ls = canon(sym.join(minN, "u")
         .where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v")))
       // small-star over smaller-directed edges (canon keeps u > v)

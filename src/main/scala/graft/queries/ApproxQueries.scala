@@ -21,7 +21,18 @@ object ApproxQueries {
     // on the driver. GATED on the sketch's actual contract: for every
     // group, the TRUE rank of each estimate (one distributed verify pass)
     // must sit within the sketch's rank-error bound of the target.
-    Q.rowsOnly("x_grouped_quantiles") { (s, dir) =>
+    // Promoted to a full oracle (r5): the OUTPUT is the sketch's contract
+    // itself — the group count and the count of rank-bound violations,
+    // which a correct sketch makes exactly 0. DuckDB recomputes the group
+    // count and pins violations to the literal 0, so a sketch whose
+    // estimate drifts outside [fraction(v < est), fraction(v <= est)] ±
+    // bound flips n_violations to nonzero and the hash compare goes red.
+    // The sketch-internal max-error diagnostics stay gate-checked but are
+    // no longer output columns (they are sketch-dependent, not
+    // SQL-reproducible).
+    Q("x_grouped_quantiles",
+      """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_groups,
+        |CAST(0 AS BIGINT) AS n_violations FROM lineitem""".stripMargin) { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
       import graft.functions.GraftFunctions.graft_qsketch
       val k = 128
@@ -62,6 +73,7 @@ object ApproxQueries {
           .otherwise(0L)).as("n_violations"))
       Gate(summary, col("n_groups") > 100 && col("n_violations") === 0,
         "grouped quantile sketch rank error outside bound")
+        .select(col("n_groups"), col("n_violations"))
     },
 
     // R1: sample(withReplacement=false, fraction) (partitionwise_sampled_rdd.rs)

@@ -612,7 +612,7 @@ object CoreQueries {
     // the values surviving the rewrite bit-exactly.
     Q("x_compaction",
       """SELECT event_type, count(*) AS n,
-        |sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        |CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
       val tmp = Tmp.dir("graft-compact")
       val small = tmp.resolve("small").toString
@@ -640,7 +640,7 @@ object CoreQueries {
     // expression — stays inside WholeStageCodegen, no UDF.
     Q("x_json_extract",
       """SELECT event_type,
-        |sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
       Tables(s, dir, "events")

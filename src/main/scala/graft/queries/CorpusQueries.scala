@@ -28,16 +28,25 @@ object CorpusQueries {
         |  row_number() OVER (ORDER BY o_orderkey) - 1 AS rid FROM orders)
         |SELECT count(*) AS n_rows,
         |  CAST(sum(rid) AS BIGINT) AS sum_rid,
-        |  CAST(sum(rid * o_orderkey) AS BIGINT) AS checksum FROM r""".stripMargin) { (s, dir) =>
+        |  CAST(sum(((rid % 2147483647) * (o_orderkey % 2147483647)) % 2147483647)
+        |    AS BIGINT) AS checksum FROM r""".stripMargin) { (s, dir) =>
       import s.implicits._
       val sorted = Tables(s, dir, "orders").select(col("o_orderkey"))
         .repartitionByRange(col("o_orderkey"))
         .sortWithinPartitions("o_orderkey")
+      // Rank-pinning checksum, overflow-proof: each factor is reduced mod
+      // the Mersenne prime 2^31-1 BEFORE the product (each term < 2^62,
+      // never wraps a BIGINT), so Spark's wrapping long sum and DuckDB's
+      // HUGEINT sum agree at any SF — a raw sum(rid*o_orderkey) silently
+      // wraps on the Spark side around sf1 (~1.35e19 > Long.MAX) while
+      // DuckDB errors on the BIGINT cast. The term sum itself stays under
+      // Long.MAX up to ~4e9 rows (sf ~2700 for orders).
+      val p = lit(2147483647L)
       sorted.as[Long].rdd.zipWithIndex()
         .toDF("o_orderkey", "rid")
         .agg(count(lit(1)).as("n_rows"),
           sum(col("rid")).as("sum_rid"),
-          sum(col("rid") * col("o_orderkey")).as("checksum"))
+          sum(((col("rid") % p) * (col("o_orderkey") % p)) % p).as("checksum"))
     },
 
     // Cross-document repeated spans — the exact-substring form of
@@ -141,7 +150,11 @@ object CorpusQueries {
       val n = words.count()
       val cand = words.stat.freqItems(Seq("w"), support)
         .collect()(0).getSeq[String](0).toSet
-      val thresh = math.ceil(n * support).toLong
+      // Strict threshold: freqItems' one-sided contract only covers items
+      // with count STRICTLY greater than n*support, so when n*support is
+      // integral (n divisible by 50 at 2%), ceil() would wrongly include
+      // items at exactly the boundary and could redden a correct sketch.
+      val thresh = (n * support).toLong + 1
       val heavy = words.groupBy("w").agg(count(lit(1)).as("c"))
         .where(col("c") >= thresh).collect().map(_.getString(0)).toSet
       val missed = heavy -- cand
@@ -153,16 +166,33 @@ object CorpusQueries {
     },
 
     // BPE merge training (operators/Bpe.scala): 12 merges over the
-    // distinct-word table. Self-gating because the iterative argmax isn't
-    // SQL-expressible: (1) LOSSLESS — every word's symbols concatenate
-    // back to the word (merging can reorder nothing, drop nothing);
-    // (2) monotone compression — weighted symbol count strictly drops per
-    // merge, so tokens_bpe < tokens_chars; (3) merge weights are
-    // non-increasing (a new pair's count is bounded by the occurrences of
-    // the symbol the previous merge created, and old pairs only lose);
-    // (4) exactly k merges trained. A broken applyMerge/argmax trips one
-    // of these and the driver entry goes red.
-    Q.rowsOnly("x_bpe_train") { (s, dir) =>
+    // distinct-word table. Promoted to a full oracle (r5): the FIRST
+    // merge's argmax IS SQL-expressible — overlapping adjacent character
+    // pairs over the initial symbolization, corpus-frequency weighted,
+    // tie-broken on (count DESC, left, right) — so DuckDB recomputes
+    // (top_left, top_right, top_weight) along with the merge count, the
+    // vocabulary size and the weighted char total. The DEEPER iterations'
+    // invariants stay self-gating (not SQL-expressible): (1) LOSSLESS —
+    // every word's symbols concatenate back to the word; (2) monotone
+    // compression — tokens_bpe < tokens_chars (tokens_bpe is gate-checked
+    // but not an output column, since merges 2..k aren't SQL-reproducible);
+    // (3) merge weights non-increasing; (4) exactly k merges trained.
+    Q("x_bpe_train",
+      """WITH words AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
+        |    SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |      t -> t <> '')) AS w FROM documents) GROUP BY w),
+        |pairs AS (
+        |  SELECT substr(w, CAST(i AS INT), 1) AS l,
+        |    substr(w, CAST(i AS INT) + 1, 1) AS r, f
+        |  FROM words, UNNEST(range(1, length(w))) AS u(i)
+        |  WHERE length(w) >= 2),
+        |top AS (SELECT l, r, CAST(sum(f) AS BIGINT) AS n FROM pairs
+        |  GROUP BY l, r ORDER BY n DESC, l, r LIMIT 1)
+        |SELECT CAST(12 AS BIGINT) AS n_merges,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM words) AS n_words,
+        |  (SELECT CAST(sum(f * length(w)) AS BIGINT) FROM words) AS tokens_chars,
+        |  l AS top_left, r AS top_right, n AS top_weight FROM top""".stripMargin) { (s, dir) =>
       import s.implicits._
       val k = 12
       val words = Tables(s, dir, "documents")
@@ -188,9 +218,9 @@ object CorpusQueries {
         s"merge weights not non-increasing: ${merges.map(_.weight)}")
       Gate.check(tokensBpe < tokensChars,
         s"no compression: $tokensBpe >= $tokensChars")
-      Seq((merges.length.toLong, nWords, tokensChars, tokensBpe,
+      Seq((merges.length.toLong, nWords, tokensChars,
         merges.head.left, merges.head.right, merges.head.weight))
-        .toDF("n_merges", "n_words", "tokens_chars", "tokens_bpe",
+        .toDF("n_merges", "n_words", "tokens_chars",
           "top_left", "top_right", "top_weight")
     }
   )

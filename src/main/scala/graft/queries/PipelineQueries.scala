@@ -1471,8 +1471,8 @@ object PipelineQueries {
         |  CASE WHEN dl <= 64 THEN 1
         |       ELSE 1 + CAST(ceil((dl - 64) / 48.0) AS BIGINT) END AS n
         |  FROM dl WHERE dl > 0)
-        |SELECT source, sum(n) AS n_chunks,
-        |  sum(64 * (n - 1) + (dl - 48 * (n - 1))) AS chunk_tokens
+        |SELECT source, CAST(sum(n) AS BIGINT) AS n_chunks,
+        |  CAST(sum(64 * (n - 1) + (dl - 48 * (n - 1))) AS BIGINT) AS chunk_tokens
         |FROM ck GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
       val chunkSize = 64
       val stride = 48

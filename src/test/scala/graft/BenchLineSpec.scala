@@ -54,6 +54,20 @@ class BenchLineSpec extends AnyFunSuite {
     assert(math.abs(value - 1.23) <= 0.005)
   }
 
+  test("warm reruns ride the line without breaking budget or invariants") {
+    val results = (1 to 150).map(i => s"q$i" -> (if (i <= 10) 9.0 else 0.2))
+    val warm = (1 to 10).map(i => s"q$i" -> 1.1)
+    val line = Bench.officialLine(results, "/x", warm)
+    assert(line.length <= 1700, s"line ${line.length} chars")
+    val w = """"warm":\{([^}]*)\}""".r.findFirstMatchIn(line).get.group(1)
+    assert(w.split(",").length == 10, s"warm entries: $w")
+    assert(w.contains("\"q1\":1.10"))
+    val (value, n, omitted, _, qs) = fields(line)
+    assert(n == 150 && qs.size + omitted == n)
+    // warm times are a second sample, never folded into the cold total
+    assert(math.abs(value - (10 * 9.0 + 140 * 0.2)) <= 0.01 * 152)
+  }
+
   test("formatting is locale-independent") {
     val prev = java.util.Locale.getDefault
     try {

@@ -76,9 +76,12 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("w4: all three distribution functions share one Window exec") {
+    // count node HEADERS ("Window [") so the assertion can demand exactly
+    // one exec — a bare "Window" substring also matches WindowGroupLimit
+    // and would let a split ntile-vs-rank plan slip under a <=2 bound
     val p = plan("w4_ntile")
-    val windows = "Window".r.findAllIn(p).length
-    assert(windows <= 2, s"ntile/percent_rank/cume_dist split across Window execs:\n$p")
+    val windows = "Window \\[".r.findAllIn(p).length
+    assert(windows == 1, s"ntile/percent_rank/cume_dist split across $windows Window execs:\n$p")
   }
 
   test("x_global_ids: ordinal assignment never funnels rows through a Window") {
