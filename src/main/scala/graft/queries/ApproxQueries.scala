@@ -138,10 +138,13 @@ object ApproxQueries {
 
     // HLL++ approximate distinct count (the 100 TB path for cardinality —
     // exact countDistinct is a full shuffle of the distinct keys; the sketch
-    // is a fixed-size mergeable buffer). Self-attesting: the row carries the
-    // exact count AND the sketch estimate plus their relative error, which
-    // must be inside the configured rsd.
-    Q.rowsOnly("x_approx_distinct") { (s, dir) =>
+    // is a fixed-size mergeable buffer). Promoted to a full oracle (r5):
+    // DuckDB recomputes the exact cardinality and the 3x-rsd accuracy
+    // contract becomes a violation count pinned to 0; the HLL++ estimate
+    // itself stays gate-side (register-layout-dependent).
+    Q("x_approx_distinct",
+      """SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact,
+        |CAST(0 AS BIGINT) AS n_violations FROM lineitem""".stripMargin) { (s, dir) =>
       import s.implicits._
       val r = Tables(s, dir, "lineitem").agg(
         countDistinct(col("l_orderkey")).as("exact"),
@@ -150,9 +153,8 @@ object ApproxQueries {
       val relErr = math.abs(approx - exact).toDouble / exact
       Gate.check(relErr <= 0.06, // 3x rsd — generous, deterministic sketch
         s"HLL estimate $approx vs exact $exact: rel_err $relErr exceeds 3x rsd")
-      Seq((exact, approx, math.round(relErr * 10000) / 10000.0,
-        relErr <= 0.06))
-        .toDF("exact", "approx", "rel_err", "within_bound")
+      Seq((exact, if (relErr <= 0.06) 0L else 1L))
+        .toDF("exact", "n_violations")
     }
   )
 }

@@ -142,7 +142,20 @@ object CorpusQueries {
     // with frequency > support appears; false positives allowed), and the
     // gate checks exactly that contract against exact counts: a missed
     // true heavy hitter turns the entry red.
-    Q.rowsOnly("x_freq_items") { (s, dir) =>
+    // Promoted to a full oracle (r5): the token total and the TRUE heavy-
+    // hitter count (exact counts strictly above n*support) are plain SQL,
+    // and the sketch's one-sided contract — no true heavy hitter missed —
+    // becomes n_missed pinned to 0. The candidate-set size stays gate-side
+    // (sketch-internal; false positives are allowed by contract).
+    Q("x_freq_items",
+      """WITH toks AS (SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |    t -> t <> '')) AS w FROM documents),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM toks),
+        |hv AS (SELECT CAST(count(*) AS BIGINT) AS n_heavy FROM
+        |  (SELECT w, count(*) AS c FROM toks GROUP BY w) g, n
+        |  WHERE g.c > n.n_tokens * 0.02)
+        |SELECT n.n_tokens, hv.n_heavy, CAST(0 AS BIGINT) AS n_missed
+        |FROM n, hv""".stripMargin) { (s, dir) =>
       import s.implicits._
       val support = 0.02
       val words = Tables(s, dir, "documents")
@@ -154,6 +167,9 @@ object CorpusQueries {
       // with count STRICTLY greater than n*support, so when n*support is
       // integral (n divisible by 50 at 2%), ceil() would wrongly include
       // items at exactly the boundary and could redden a correct sketch.
+      // The SQL oracle states the same strict bound as c > n*0.02 — for
+      // integer c the two forms select identical sets under the same
+      // double product.
       val thresh = (n * support).toLong + 1
       val heavy = words.groupBy("w").agg(count(lit(1)).as("c"))
         .where(col("c") >= thresh).collect().map(_.getString(0)).toSet
@@ -161,8 +177,8 @@ object CorpusQueries {
       Gate.check(heavy.nonEmpty, "no true heavy hitters — attestation is vacuous")
       Gate.check(missed.isEmpty,
         s"freqItems missed true heavy hitters: ${missed.take(5)}")
-      Seq((n, heavy.size.toLong, cand.size.toLong))
-        .toDF("n_tokens", "n_heavy", "n_candidates")
+      Seq((n, heavy.size.toLong, missed.size.toLong))
+        .toDF("n_tokens", "n_heavy", "n_missed")
     },
 
     // BPE merge training (operators/Bpe.scala): 12 merges over the
