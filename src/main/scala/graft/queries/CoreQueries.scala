@@ -379,6 +379,40 @@ object CoreQueries {
         .orderBy("l_returnflag")
     },
 
+    // Typed cogroup join driven THROUGH the hot-key spill path,
+    // driver-visible: each l_returnflag group (~20k rows/key at sf0.01,
+    // ~200k at sf0.1) exceeds the 1k-element heap cap, so the right-side
+    // group provably runs through SpillableBuffer's disk path (the
+    // precondition group-size > cap is asserted from the data, and the cap
+    // is a 128th of the default — this is the stress, not the default
+    // config). The oracle then checks every value survived the
+    // serialize/spill/replay round-trip bit-exactly: a spill that drops,
+    // duplicates, or corrupts a single right row moves n_rows or sum_pk.
+    Q("x_spill_join",
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |CAST(sum(l_partkey) AS BIGINT) AS sum_pk
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val cap = 1024
+      val right = new graft.engine.PairDataflow(
+        Tables(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_partkey").cast("long"))
+          .as[(String, Long)])
+      val left = new graft.engine.PairDataflow(
+        Tables(s, dir, "lineitem").select(col("l_returnflag")).distinct()
+          .as[String].map(f => (f, 1)))
+      val minGroup = Tables(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n")).agg(min("n")).first().getLong(0)
+      Gate.check(minGroup > cap,
+        s"smallest returnflag group $minGroup <= spill cap $cap — stress is vacuous")
+      left.join(right, maxBufferedPerKey = cap).ds
+        .map { case (k, (_, pk)) => (k, pk) }
+        .toDF("l_returnflag", "l_partkey")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"), sum("l_partkey").as("sum_pk"))
+        .orderBy("l_returnflag")
+    },
+
     // P6: key_by(f) — vega emits (item, key), NOT (key, item) (rdd.rs:1059-1069)
     Q("p6_key_by",
       """SELECT n_name AS item, n_regionkey AS key FROM nation

@@ -77,6 +77,46 @@ class PipelineSpec extends SparkSpec {
       rows.filter(_.getDouble(2) >= 0.9999).map(_.getLong(0)).toSet))
   }
 
+  test("lsh top-k retrieves organic-direction neighbors at cosine 0.90") {
+    // The planted-pair fixtures perturb a vector per-dimension; this one
+    // builds ORGANIC pairs: the query is rotated from its source TOWARD A
+    // REAL CORPUS DIRECTION (Gram-Schmidt of another corpus vector), with
+    // the cosine pinned analytically at exactly 0.90 — the neighbor regime
+    // LSH is specced for. Expected recall over 8 OR-ed tables of 8 planes:
+    // p_plane = 1 - acos(0.9)/pi ~ 0.856, p_table ~ 0.856^8 ~ 0.29,
+    // 1-(1-0.29)^8 ~ 0.93 => ~18-19/20; a broken kernel scores ~0.
+    val vecs = emb.where(col("vec_id") < 40).orderBy("vec_id")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    assert(vecs.length == 40)
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+    def unit(a: Array[Double]): Array[Double] = {
+      val n = math.sqrt(dot(a, a)); a.map(_ / n)
+    }
+    val c = 0.9
+    val queries = (0 until 20).map { i =>
+      val vhat = unit(vecs(i)._2)
+      val u = vecs(i + 20)._2
+      val proj = dot(u, vhat)
+      val what = unit(u.iterator.zip(vhat.iterator)
+        .map { case (ui, vi) => ui - proj * vi }.toArray)
+      val q = vhat.iterator.zip(what.iterator)
+        .map { case (a, b) => c * a + math.sqrt(1 - c * c) * b }.toSeq
+      (vecs(i)._1 + 1000000L, q)
+    }
+    val corpus = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val topk = Similarity.lshTopK(corpus, queries.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 10, numPlanes = 8, numTables = 8)
+    val hits = topk.where(col("vid") === col("qid") - 1000000L).collect()
+    assert(hits.length >= 14,
+      s"organic cosine-0.9 recall ${hits.length}/20 below bound")
+    // the retrieved similarity must be the constructed 0.90, bit-near
+    assert(hits.forall(r => math.abs(r.getDouble(2) - 0.9) < 1e-6),
+      s"retrieved sims off 0.90: ${hits.map(_.getDouble(2)).mkString(",")}")
+  }
+
   test("ivf top-k: deterministic, self-found, reasonable recall vs brute force") {
     val queries = emb.where(col("vec_id") < 10)
     val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
