@@ -689,6 +689,159 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Gopher-style quality filter (Rae et al. 2021, Appendix A1.1 — the
+    // rule shapes every corpus-cleaning pipeline applies before training):
+    // word-count bounds, mean-word-length bounds, alpha-word ratio,
+    // stopword presence. ALL rule math is integer cross-multiplied
+    // (chars BETWEEN 2n AND 12n for mean length in [2,12]; 5*alpha >= 4n
+    // for ratio >= 0.8) so Spark and DuckDB compare identical integers —
+    // no float boundary lottery. Pure column expressions, one scan, one
+    // exchange on source; drop counts are per-rule independent.
+    Q("x_quality_filter",
+      """WITH w AS (SELECT source,
+        |  list_filter(string_split(lower(text), ' '), t -> t <> '') AS ws
+        |  FROM documents),
+        |m AS (SELECT source, CAST(len(ws) AS BIGINT) AS n,
+        |  CAST(length(array_to_string(ws, '')) AS BIGINT) AS chars,
+        |  CAST(len(list_filter(ws, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS alpha,
+        |  CAST(len(list_filter(ws, t ->
+        |    t IN ('the','a','and','of','to','in'))) AS BIGINT) AS stops
+        |  FROM w)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN n BETWEEN 10 AND 500 THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_drop_len,
+        |  CAST(sum(CASE WHEN chars >= 2 * n AND chars <= 12 * n THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS n_drop_wordlen,
+        |  CAST(sum(CASE WHEN 5 * alpha >= 4 * n THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_drop_alpha,
+        |  CAST(sum(CASE WHEN stops >= 2 THEN 0 ELSE 1 END) AS BIGINT) AS n_drop_stop,
+        |  CAST(sum(CASE WHEN n BETWEEN 10 AND 500
+        |    AND chars >= 2 * n AND chars <= 12 * n
+        |    AND 5 * alpha >= 4 * n AND stops >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept
+        |FROM m GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val ws = filter(split(lower(col("text")), " "), t => t =!= "")
+      val stopSet = Seq("the", "a", "and", "of", "to", "in")
+      val m = Tables(s, dir, "documents")
+        .select(col("source"), ws.as("ws"))
+        .select(col("source"),
+          size(col("ws")).cast("long").as("n"),
+          length(concat_ws("", col("ws"))).cast("long").as("chars"),
+          size(filter(col("ws"), t => t.rlike("[a-z]"))).cast("long").as("alpha"),
+          size(filter(col("ws"), t => t.isin(stopSet: _*))).cast("long").as("stops"))
+      val passLen = col("n").between(10L, 500L)
+      val passWl = col("chars") >= lit(2L) * col("n") &&
+        col("chars") <= lit(12L) * col("n")
+      val passAlpha = lit(5L) * col("alpha") >= lit(4L) * col("n")
+      val passStop = col("stops") >= 2L
+      m.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(passLen, 0L).otherwise(1L)).as("n_drop_len"),
+        sum(when(passWl, 0L).otherwise(1L)).as("n_drop_wordlen"),
+        sum(when(passAlpha, 0L).otherwise(1L)).as("n_drop_alpha"),
+        sum(when(passStop, 0L).otherwise(1L)).as("n_drop_stop"),
+        sum(when(passLen && passWl && passAlpha && passStop, 1L).otherwise(0L))
+          .as("n_kept"))
+        .orderBy("source")
+    },
+
+    // PII extraction + redaction accounting over a deterministic PII-bearing
+    // text (an email, a phone-shaped number and an IPv4 derived from doc_id
+    // are appended to every doc — the corpus itself carries no PII to find).
+    // The value verified is REGEX SEMANTICS PARITY: both engines must find
+    // the same matches AND redact the same spans, so the oracle recomputes
+    // match counts and the exact count of characters removed by the chained
+    // redaction. Patterns are lookaround-free so Java regex and RE2 agree.
+    Q("x_pii_extract",
+      """WITH p AS (SELECT source,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |    || '@mail.example.com or 555-'
+        |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |    || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS t
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(regexp_extract_all(t, '[a-z0-9.]+@[a-z0-9.]+'))) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(sum(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{4}'))) AS BIGINT)
+        |    AS n_phones,
+        |  CAST(sum(len(regexp_extract_all(t, '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+')))
+        |    AS BIGINT) AS n_ips,
+        |  CAST(sum(length(t) - length(
+        |    regexp_replace(regexp_replace(regexp_replace(t,
+        |      '[a-z0-9.]+@[a-z0-9.]+', '', 'g'),
+        |      '[0-9]{3}-[0-9]{4}', '', 'g'),
+        |      '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', '', 'g'))) AS BIGINT) AS n_pii_chars
+        |FROM p GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val email = "[a-z0-9.]+@[a-z0-9.]+"
+      val phone = "[0-9]{3}-[0-9]{4}"
+      val ipv4 = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+      val t = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@mail.example.com or 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" ip 10.0."), (col("doc_id") % 256).cast("string"),
+        lit("."), ((col("doc_id") * 7) % 256).cast("string"))
+      val redacted = regexp_replace(regexp_replace(regexp_replace(col("t"),
+        email, ""), phone, ""), ipv4, "")
+      Tables(s, dir, "documents")
+        .select(col("source"), t.as("t"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(expr(s"regexp_extract_all(t, '$email', 0)"))).cast("long")
+            .as("n_emails"),
+          sum(size(expr(s"regexp_extract_all(t, '$phone', 0)"))).cast("long")
+            .as("n_phones"),
+          sum(size(expr(s"regexp_extract_all(t, '${ipv4.replace("\\", "\\\\")}', 0)")))
+            .cast("long").as("n_ips"),
+          sum(length(col("t")) - length(redacted)).cast("long").as("n_pii_chars"))
+        .orderBy("source")
+    },
+
+    // Source mixing by largest-remainder apportionment (Hamilton's method):
+    // allocate a fixed training budget of 100 document slots across sources
+    // proportionally to their token mass — the corpus-mixing step of every
+    // multi-source training run. ALL integer arithmetic (floor quotas via
+    // integer DIV, remainders ranked exactly), so the allocation is
+    // bit-identical in both engines — no pow()/float temperature lottery.
+    // Scale shape: the per-source stats frame has source-cardinality rows
+    // (tiny by definition), so the global remainder rank is a 20-row
+    // window, never a corpus-sized one.
+    Q("x_source_mix",
+      """WITH tok AS (SELECT source,
+        |  CAST(sum(len(list_filter(string_split(lower(text), ' '),
+        |    t -> t <> ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM tok),
+        |base AS (SELECT source, n_tokens,
+        |  (100 * n_tokens) // t AS q0, (100 * n_tokens) % t AS rem
+        |  FROM tok, tot),
+        |lo AS (SELECT CAST(100 - sum(q0) AS BIGINT) AS leftover FROM base),
+        |rk AS (SELECT source, n_tokens, q0,
+        |  row_number() OVER (ORDER BY rem DESC, source) AS rnk FROM base)
+        |SELECT source, n_tokens,
+        |  CAST(q0 + CASE WHEN rnk <= (SELECT leftover FROM lo) THEN 1 ELSE 0 END
+        |    AS BIGINT) AS quota
+        |FROM rk ORDER BY source""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ws = filter(split(lower(col("text")), " "), t => t =!= "")
+      val tok = Tables(s, dir, "documents")
+        .select(col("source"), size(ws).as("nt"))
+        .groupBy("source").agg(sum("nt").cast("long").as("n_tokens"))
+      val tot = tok.agg(sum("n_tokens").as("t"))
+      val base = tok.crossJoin(broadcast(tot))
+        .withColumn("q0", expr("(100 * n_tokens) DIV t"))
+        .withColumn("rem", expr("(100 * n_tokens) % t"))
+      val leftover = base.agg((lit(100L) - sum("q0")).as("leftover"))
+      base
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(col("rem").desc, col("source"))))
+        .crossJoin(broadcast(leftover))
+        .select(col("source"), col("n_tokens"),
+          (col("q0") + when(col("rnk") <= col("leftover"), 1L).otherwise(0L))
+            .as("quota"))
+        .orderBy("source")
+    },
+
     // Stratified sampling: deterministic n-per-group head (training-mix
     // balancing). Fully oracle-able via window rank.
     Q("x_stratified_sample",
