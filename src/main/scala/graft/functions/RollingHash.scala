@@ -188,5 +188,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => RandomProjection(exprs(0), ia(exprs(1))))
     inject("graft_qsketch", classOf[QuantileSketch],
       exprs => QuantileSketch(exprs(0), exprs(1), exprs(2)).toAggregateExpression())
+    // Plan linter: fail fast on 100 TB scale-killers (un-partitioned Window
+    // over a large input, big-both-sides cartesian) — see plans.PlanGuard.
+    e.injectOptimizerRule(graft.plans.PlanGuard.apply)
   }
 }

@@ -1,0 +1,82 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.Cross
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Window}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Thrown by [[PlanGuard]] when a query plan contains a known scale-killer.
+  * A dedicated type so callers (and specs) can catch the guard precisely
+  * instead of pattern-matching message strings.
+  */
+final class PlanGuardViolation(msg: String) extends RuntimeException(msg)
+
+/** Plan linter, injected as an optimizer rule: FAIL FAST on the plan shapes
+  * that work fine at test scale and melt down at 100 TB, instead of letting
+  * them reach execution and funnel a cluster through one task.
+  *
+  * Checks (read-only — the rule never rewrites the plan):
+  *
+  *  1. A `Window` with an EMPTY partition spec whose child is estimated
+  *     larger than `spark.graft.planGuard.maxWindowBytes` (default 1 GiB).
+  *     An un-partitioned window moves EVERY row into a single partition —
+  *     the classic `row_number() OVER (ORDER BY ...)` global-ordinal
+  *     mistake (graft's x_global_ids exists precisely to replace it with
+  *     zipWithIndex). Small frames (per-source stats, top-k results) pass:
+  *     a global rank over 20 rows is the right plan, over 10 TB it is an
+  *     outage.
+  *  2. A cartesian join — `Cross` join type or an inner join with NO
+  *     condition — where BOTH sides are estimated larger than
+  *     `spark.graft.planGuard.maxCartesianBytes` (default 128 MiB). A
+  *     broadcast-sized side is a legitimate nested-loop probe; two big
+  *     sides is an |A|x|B| explosion.
+  *
+  * Size estimates come from logical-plan statistics (`sizeInBytes`), which
+  * Spark maintains bottom-up from file-scan sizes — the same signal the
+  * broadcast-join planner trusts. Leaves with UNKNOWN stats default to
+  * `spark.sql.defaultSizeInBytes` (Long.Max), so an RDD-backed frame under
+  * a global window trips the guard conservatively: if the engine cannot
+  * bound it, neither can the cluster.
+  *
+  * Escape hatch: `spark.graft.planGuard.enabled=false` per session or per
+  * query block. The rule is registered by [[graft.functions.GraftExtensions]]
+  * (`spark.sql.extensions=graft.functions.GraftExtensions`), so every graft
+  * session — Verify, Bench, every ScalaTest spec — runs under the guard;
+  * the 157-query suite passing IS the evidence that no shipped plan
+  * contains these shapes.
+  */
+case class PlanGuard(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def confBool(key: String, default: Boolean): Boolean =
+    spark.conf.getOption(key).map(_.toBoolean).getOrElse(default)
+  private def confBytes(key: String, default: Long): Long =
+    spark.conf.getOption(key).map(_.toLong).getOrElse(default)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!confBool("spark.graft.planGuard.enabled", default = true)) return plan
+    val maxWindow = confBytes("spark.graft.planGuard.maxWindowBytes", 1L << 30)
+    val maxCartesian = confBytes("spark.graft.planGuard.maxCartesianBytes", 128L << 20)
+    plan.foreach {
+      case w: Window if w.partitionSpec.isEmpty =>
+        val bytes = w.child.stats.sizeInBytes
+        if (bytes > maxWindow)
+          throw new PlanGuardViolation(
+            s"un-partitioned Window over an estimated $bytes bytes funnels every row " +
+              s"through ONE task (cap: spark.graft.planGuard.maxWindowBytes=$maxWindow). " +
+              "Partition the window, pre-aggregate to a small frame, or use " +
+              "zipWithIndex for global ordinals. Disable per session with " +
+              "spark.graft.planGuard.enabled=false.")
+      case j: Join if j.joinType == Cross || j.condition.isEmpty =>
+        val (l, r) = (j.left.stats.sizeInBytes, j.right.stats.sizeInBytes)
+        if (l > maxCartesian && r > maxCartesian)
+          throw new PlanGuardViolation(
+            s"cartesian join with both sides large (est. $l x $r bytes; cap: " +
+              s"spark.graft.planGuard.maxCartesianBytes=$maxCartesian per side) — " +
+              "an |A|x|B| row explosion. Add a join condition, broadcast a " +
+              "genuinely small side, or disable per session with " +
+              "spark.graft.planGuard.enabled=false.")
+      case _ => ()
+    }
+    plan
+  }
+}

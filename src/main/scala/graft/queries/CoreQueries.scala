@@ -379,6 +379,42 @@ object CoreQueries {
         .orderBy("l_returnflag")
     },
 
+    // The plan linter (plans.PlanGuard, injected via spark.sql.extensions
+    // into every graft session) made driver-visible: a synthetic
+    // scale-killer — global row_number over a frame estimated above a
+    // deliberately lowered cap — must be REFUSED at planning time, and the
+    // partitioned form of the same window must pass under the same cap.
+    // Catching the violation is the point; the whole 157-query suite
+    // running under the guard at default caps is the complementary
+    // evidence that no shipped plan contains these shapes.
+    Q("x_plan_guard",
+      "SELECT CAST(1 AS BIGINT) AS n_caught, CAST(1 AS BIGINT) AS n_allowed") { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      def isGuard(e: Throwable): Boolean =
+        e != null && (e.isInstanceOf[graft.plans.PlanGuardViolation] ||
+          isGuard(e.getCause))
+      val li = Tables(s, dir, "lineitem").select("l_orderkey", "l_linenumber")
+      s.conf.set("spark.graft.planGuard.maxWindowBytes", "1024")
+      val (caught, allowed) = try {
+        val c = try {
+          li.withColumn("rn", row_number().over(Window.orderBy("l_orderkey")))
+            .collect()
+          0L
+        } catch { case e: Throwable if isGuard(e) => 1L }
+        val a = try {
+          li.withColumn("rn", row_number()
+            .over(Window.partitionBy("l_orderkey").orderBy("l_linenumber")))
+            .count()
+          1L
+        } catch { case e: Throwable if isGuard(e) => 0L }
+        (c, a)
+      } finally s.conf.unset("spark.graft.planGuard.maxWindowBytes")
+      Gate.check(caught == 1L && allowed == 1L,
+        s"plan guard: caught=$caught allowed=$allowed (want 1/1)")
+      Seq((caught, allowed)).toDF("n_caught", "n_allowed")
+    },
+
     // Typed cogroup join driven THROUGH the hot-key spill path,
     // driver-visible: each l_returnflag group (~20k rows/key at sf0.01,
     // ~200k at sf0.1) exceeds the 1k-element heap cap, so the right-side
