@@ -909,6 +909,70 @@ object PipelineQueries {
 
     // -- Stateful sessionization (streaming twin in graft.streaming) ----
 
+    // Cohort retention: users grouped by first-activity week, activity
+    // counted at week offsets — the canonical product-analytics rollup.
+    // Plan shape for 100 TB: the per-user first touch comes from a
+    // PARTITIONED window min (one exchange on user_id, no agg+join-back
+    // second shuffle), then one aggregate on (cohort, offset). Week starts
+    // are ISO Mondays in both engines, and the offset divides an exact
+    // multiple of 7 days — integer arithmetic end to end.
+    Q("x_cohort_retention",
+      """WITH a AS (SELECT user_id,
+        |  date_trunc('week', min(ts) OVER (PARTITION BY user_id)) AS cohort,
+        |  CAST(datediff('day',
+        |    date_trunc('week', min(ts) OVER (PARTITION BY user_id)),
+        |    date_trunc('week', ts)) // 7 AS BIGINT) AS week_offset
+        |  FROM events)
+        |SELECT cohort, week_offset,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM a GROUP BY cohort, week_offset
+        |ORDER BY cohort, week_offset""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), min("ts").over(w).as("first_ts"))
+        .select(col("user_id"),
+          date_trunc("week", col("first_ts")).as("cohort"),
+          (datediff(date_trunc("week", col("ts")),
+            date_trunc("week", col("first_ts"))) / 7).cast("long")
+            .as("week_offset"))
+        .groupBy("cohort", "week_offset")
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort", "week_offset")
+    },
+
+    // Incremental aggregate maintenance: three "daily" batches fold into a
+    // running per-key state via additive full-outer merges — the
+    // materialized-view pattern that replaces recomputing the world when
+    // 100 TB grows by 100 GB a day. The oracle is the DIRECT full
+    // recompute, so the incremental path must be value-identical to
+    // starting over; integer cents keep the sums order-free exact.
+    Q("x_incremental_agg",
+      """SELECT event_type, count(*) AS n_events,
+        |CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .select(col("event_type"), col("ts"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      def batchAgg(b: org.apache.spark.sql.DataFrame) =
+        b.groupBy("event_type").agg(count(lit(1)).as("n_events"),
+          sum("cents").as("sum_cents"))
+      val batches = Seq(
+        ev.where(dayofmonth(col("ts")) <= 10),
+        ev.where(dayofmonth(col("ts")).between(11, 20)),
+        ev.where(dayofmonth(col("ts")) >= 21))
+      val state = batches.map(batchAgg).reduce { (acc, delta) =>
+        acc.withColumnRenamed("n_events", "n0").withColumnRenamed("sum_cents", "s0")
+          .join(delta, Seq("event_type"), "full_outer")
+          .select(col("event_type"),
+            (coalesce(col("n0"), lit(0L)) + coalesce(col("n_events"), lit(0L)))
+              .as("n_events"),
+            (coalesce(col("s0"), lit(0L)) + coalesce(col("sum_cents"), lit(0L)))
+              .as("sum_cents"))
+      }
+      state.orderBy("event_type")
+    },
+
     // Range (interval) join via bucket decomposition: clicks inside each
     // purchase's 30-minute attribution window. Same truth as x_stream_join's
     // inequality join, but planned as an EQUI-join on (user, time-bucket) —
