@@ -1079,6 +1079,66 @@ object PipelineQueries {
       } finally deleteRecursively(tmp)
     },
 
+    // Streaming CDC upsert (foreachBatch MERGE), driver-visible: events
+    // arrive in two micro-batches; each batch compacts to latest-per-user
+    // with a max_by AGGREGATE (the x_cdc_latest discipline — partial
+    // aggregation, never a window sort over the change stream) and merges
+    // latest-wins into a keyed parquet state table, versioned per batch
+    // (read state_vN, merge, write state_vN+1 — a reader never overlaps
+    // the file set it replaces). The oracle states the invariant directly:
+    // incremental upsert across batches == latest event per user over the
+    // WHOLE table. Ties break on (ts, event_id) — a total order.
+    Q("x_stream_upsert",
+      """SELECT user_id, event_type AS last_type,
+        |CAST(round(value * 100, 0) AS BIGINT) AS last_cents
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |  ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val tmp = Tmp.dir("graft-supsert")
+      try {
+        val src = tmp.resolve("src").toString
+        val ev = Tables(s, dir, "events")
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+            round(col("value") * 100, 0).cast("long").as("cents"))
+        ev.where(dayofmonth(col("ts")) <= 15)
+          .coalesce(1).write.mode("overwrite").parquet(src)
+        ev.where(dayofmonth(col("ts")) > 15)
+          .coalesce(1).write.mode("append").parquet(src)
+        val stream = s.readStream.schema(s.read.parquet(src).schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+        val stateRef = new java.util.concurrent.atomic.AtomicReference[String](null)
+        var version = 0
+        def latest(df: org.apache.spark.sql.DataFrame) = df.groupBy("user_id")
+          .agg(max_by(
+            struct(col("ts"), col("event_id"), col("event_type"), col("cents")),
+            struct(col("ts"), col("event_id"))).as("last"))
+        withShufflePartitions(s, 4) {
+          val sink = stream.writeStream.foreachBatch {
+            (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              val delta = latest(batch)
+              val merged = Option(stateRef.get()) match {
+                case None => delta
+                case Some(p) =>
+                  batch.sparkSession.read.parquet(p).unionByName(delta)
+                    .groupBy("user_id")
+                    .agg(max_by(col("last"),
+                      struct(col("last.ts"), col("last.event_id"))).as("last"))
+              }
+              version += 1
+              val out = tmp.resolve(s"state_v$version").toString
+              merged.write.mode("overwrite").parquet(out)
+              stateRef.set(out)
+              ()
+          }.option("checkpointLocation", tmp.resolve("ckpt").toString).start()
+          try sink.processAllAvailable() finally sink.stop()
+        }
+        s.read.parquet(stateRef.get())
+          .select(col("user_id"), col("last.event_type").as("last_type"),
+            col("last.cents").as("last_cents"))
+          .orderBy("user_id").localCheckpoint(true)
+      } finally deleteRecursively(tmp)
+    },
+
     // Streaming LSH index maintenance, driver-visible: the corpus arrives in
     // two micro-batches through the REAL foreachBatch sink (bucketed append
     // to a (table, bucket)-partitioned parquet index), then perturbed copies
