@@ -68,9 +68,14 @@ object Bench {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: absorb JVM/codegen/scheduler startup so per-query
-    // numbers measure the queries, not the first query's luck.
+    // Untimed warmup: absorb JVM/codegen/scheduler startup AND first-touch
+    // file I/O for every table, so per-query numbers measure the queries —
+    // not the first query's luck or which query happens to read a table
+    // first (the page cache is shared state across the run either way).
     try {
+      graft.Tables.names.foreach { t =>
+        spark.read.parquet(s"$sfDir/$t.parquet").count()
+      }
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().collect()
     } catch { case _: Throwable => () }

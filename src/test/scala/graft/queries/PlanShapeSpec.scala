@@ -101,6 +101,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(aggs >= 2, s"expected partial+final aggregate in span dedup, found $aggs:\n$p")
   }
 
+  test("x_cohort_retention: one PARTITIONED window, no join-back") {
+    // the first-touch min is a window over user_id (one exchange), not an
+    // aggregate joined back to the events (two); and the window must keep
+    // its partition spec — a global window here is the scale-killer
+    // PlanGuard exists to refuse
+    val p = plan("x_cohort_retention")
+    val windows = "Window \\[".r.findAllIn(p).length
+    assert(windows == 1, s"expected exactly 1 Window exec, got $windows:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"cohort plan re-grew a join-back:\n$p")
+  }
+
+  test("x_quality_filter: single scan, partial agg, no window/join") {
+    val p = plan("x_quality_filter")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 documents scan, got $scans")
+    val aggs = "HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).length
+    assert(aggs >= 2, s"expected partial+final aggregate, found $aggs")
+    assert(!p.contains("Window ["), s"quality filter re-grew a window:\n$p")
+    assert(!p.contains("Join"), s"quality filter re-grew a join:\n$p")
+  }
+
+  test("x_incremental_agg: merges stay aggregate-shaped (no window sort)") {
+    val p = plan("x_incremental_agg")
+    assert(!p.contains("Window ["), s"incremental agg re-grew a window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"state merge went cartesian:\n$p")
+  }
+
   test("x_stream_enrich: the dimension join broadcasts (batch twin)") {
     // the streaming plan joins each micro-batch against the same broadcast;
     // asserting on the batch twin keeps the spec synchronous
