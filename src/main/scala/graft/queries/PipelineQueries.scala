@@ -745,6 +745,58 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    // The operators COMPOSE: quality filter -> exact dedup (keep-first) ->
+    // tokenize -> fixed 128-token chunking, as one pipeline with ONE
+    // end-to-end oracle over the final corpus stats. A regression anywhere
+    // in the chain (a rule flips, dedup keeps the wrong survivor, the
+    // chunk closed-form drifts) moves a number the oracle recomputes
+    // independently from the raw table. Stage counts ride along so the
+    // driver can see WHERE the funnel narrows.
+    Q("x_pipeline_e2e",
+      """WITH m AS (SELECT doc_id, text,
+        |  list_filter(string_split(lower(text), ' '), t -> t <> '') AS ws
+        |  FROM documents),
+        |q AS (SELECT doc_id, text, CAST(len(ws) AS BIGINT) AS n,
+        |  CAST(length(array_to_string(ws, '')) AS BIGINT) AS chars,
+        |  CAST(len(list_filter(ws, t -> regexp_matches(t, '[a-z]'))) AS BIGINT)
+        |    AS alpha,
+        |  CAST(len(list_filter(ws, t ->
+        |    t IN ('the','a','and','of','to','in'))) AS BIGINT) AS stops
+        |  FROM m),
+        |k AS (SELECT doc_id, text, n FROM q
+        |  WHERE n BETWEEN 10 AND 500 AND chars >= 2 * n AND chars <= 12 * n
+        |    AND 5 * alpha >= 4 * n AND stops >= 2),
+        |d AS (SELECT min(doc_id) AS doc_id, min(n) AS n FROM k
+        |  GROUP BY md5(lower(text)))
+        |SELECT (SELECT count(*) FROM documents) AS n_docs_in,
+        |  (SELECT count(*) FROM k) AS n_docs_kept,
+        |  count(*) AS n_docs_final,
+        |  CAST(sum(n) AS BIGINT) AS total_tokens,
+        |  CAST(sum((n + 127) // 128) AS BIGINT) AS n_chunks
+        |FROM d""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ws = filter(split(lower(col("text")), " "), t => t =!= "")
+      val docs = Tables(s, dir, "documents")
+      val m = docs.select(col("doc_id"), col("text"),
+        size(ws).cast("long").as("n"),
+        length(concat_ws("", ws)).cast("long").as("chars"),
+        size(filter(ws, t => t.rlike("[a-z]"))).cast("long").as("alpha"),
+        size(filter(ws, t => t.isin("the", "a", "and", "of", "to", "in")))
+          .cast("long").as("stops"))
+      val kept = m.where(col("n").between(10L, 500L) &&
+        col("chars") >= lit(2L) * col("n") && col("chars") <= lit(12L) * col("n") &&
+        lit(5L) * col("alpha") >= lit(4L) * col("n") && col("stops") >= 2L)
+      val nIn = docs.count()
+      val nKept = kept.count()
+      val survivors = Dedup.exact(kept.select("doc_id", "text"), "doc_id", "text")
+      survivors.select(size(ws).cast("long").as("n"))
+        .agg(count(lit(1)).as("n_docs_final"),
+          sum("n").as("total_tokens"),
+          sum(expr("(n + 127) DIV 128")).as("n_chunks"))
+        .select(lit(nIn).as("n_docs_in"), lit(nKept).as("n_docs_kept"),
+          col("n_docs_final"), col("total_tokens"), col("n_chunks"))
+    },
+
     // PII extraction + redaction accounting over a deterministic PII-bearing
     // text (an email, a phone-shaped number and an IPv4 derived from doc_id
     // are appended to every doc — the corpus itself carries no PII to find).
