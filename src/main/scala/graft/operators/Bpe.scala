@@ -29,6 +29,23 @@ object Bpe {
   /** A distinct word, its current symbolization, and its corpus frequency. */
   final case class WordSyms(word: String, syms: Seq[String], freq: Long)
 
+  /** Initial symbolization: one symbol per Unicode CODEPOINT, not per
+    * UTF-16 code unit. The DuckDB oracle decomposes words with substr(),
+    * which counts codepoints (UTF-8 characters) — a supplementary-plane
+    * character (emoji, rare CJK) is ONE oracle symbol, so splitting its
+    * surrogate pair into two JVM chars would diverge pair counts.
+    */
+  private[graft] def symbolize(w: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.toSeq
+  }
+
   /** Left-to-right non-overlapping replacement of one adjacent pair. */
   private[graft] def applyMerge(syms: Seq[String], l: String, r: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -68,7 +85,7 @@ object Bpe {
     */
   def train(spark: SparkSession, words: Dataset[(String, Long)], k: Int,
       numPartitions: Option[Int] = None): (Seq[Merge], RDD[WordSyms]) = {
-    val base = words.rdd.map { case (w, f) => WordSyms(w, w.map(_.toString), f) }
+    val base = words.rdd.map { case (w, f) => WordSyms(w, symbolize(w), f) }
     var cur: RDD[WordSyms] = numPartitions.fold(base)(base.coalesce(_)).persist()
     var prev: Option[RDD[WordSyms]] = None
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]

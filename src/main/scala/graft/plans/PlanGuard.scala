@@ -47,6 +47,33 @@ final class PlanGuardViolation(msg: String) extends RuntimeException(msg)
   */
 case class PlanGuard(spark: SparkSession) extends Rule[LogicalPlan] {
 
+  /** A join that pairs every left row with every right row: an explicit
+    * Cross, a condition-less join of any type, or a row-multiplying join
+    * whose ON clause references columns from only ONE side (or neither),
+    * which constrains nothing about the PAIRING and plans as BNLJ/cartesian
+    * too. This rule runs in the user-provided-optimizer batch after
+    * PushPredicateThroughJoin and constant folding, so the inner-join
+    * variants of this mistake (`ON 1=1`, `ON left.flag = 'A'`) have
+    * already been simplified to an empty condition (first disjunct); the
+    * shape that genuinely survives to this point is an OUTER join whose
+    * condition touches only the preserved side — e.g. `A LEFT JOIN B ON
+    * a.x > 5` pairs each qualifying A row with EVERY B row. Semi/anti
+    * joins are exempt: their output never exceeds one side.
+    */
+  private def isCartesianLike(j: Join): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftOuter, RightOuter}
+    j.joinType == Cross || j.condition.isEmpty || {
+      val rowMultiplying = j.joinType match {
+        case Inner | Cross | LeftOuter | RightOuter | FullOuter => true
+        case _ => false
+      }
+      rowMultiplying && j.condition.exists { c =>
+        c.references.intersect(j.left.outputSet).isEmpty ||
+          c.references.intersect(j.right.outputSet).isEmpty
+      }
+    }
+  }
+
   private def confBool(key: String, default: Boolean): Boolean =
     spark.conf.getOption(key).map(_.toBoolean).getOrElse(default)
   private def confBytes(key: String, default: Long): Long =
@@ -66,15 +93,15 @@ case class PlanGuard(spark: SparkSession) extends Rule[LogicalPlan] {
               "Partition the window, pre-aggregate to a small frame, or use " +
               "zipWithIndex for global ordinals. Disable per session with " +
               "spark.graft.planGuard.enabled=false.")
-      case j: Join if j.joinType == Cross || j.condition.isEmpty =>
+      case j: Join if isCartesianLike(j) =>
         val (l, r) = (j.left.stats.sizeInBytes, j.right.stats.sizeInBytes)
         if (l > maxCartesian && r > maxCartesian)
           throw new PlanGuardViolation(
             s"cartesian join with both sides large (est. $l x $r bytes; cap: " +
               s"spark.graft.planGuard.maxCartesianBytes=$maxCartesian per side) — " +
-              "an |A|x|B| row explosion. Add a join condition, broadcast a " +
-              "genuinely small side, or disable per session with " +
-              "spark.graft.planGuard.enabled=false.")
+              "an |A|x|B| row explosion. Add a join condition that constrains " +
+              "BOTH sides, broadcast a genuinely small side, or disable per " +
+              "session with spark.graft.planGuard.enabled=false.")
       case _ => ()
     }
     plan

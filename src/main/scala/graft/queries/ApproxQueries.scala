@@ -76,44 +76,73 @@ object ApproxQueries {
         .select(col("n_groups"), col("n_violations"))
     },
 
-    // R1: sample(withReplacement=false, fraction) (partitionwise_sampled_rdd.rs)
-    // GATED: the Bernoulli sample must land near the requested fraction —
-    // a broken sampler (all rows / no rows) throws.
-    Q.rowsOnly("r1_sample") { (s, dir) =>
+    // R1: sample(withReplacement=false, fraction) (partitionwise_sampled_rdd.rs,
+    // tests/test_rdd.rs:325-351). The exact seeded draw is legitimately out
+    // of the SQL oracle's reach (Spark's XORShift stream is not reproducible
+    // in DuckDB), but the DERIVED invariant is: a 10% Bernoulli sample of n
+    // rows lands within 6 sigma of 0.1n (sigma = sqrt(p(1-p)/n)) — any
+    // sampler bug that biases the rate (all rows, no rows, wrong fraction,
+    // per-partition double-draw) moves n_violations off 0 and hash-reds.
+    Q("r1_sample",
+      """SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |CAST(0 AS BIGINT) AS n_violations FROM lineitem""".stripMargin) { (s, dir) =>
+      import s.implicits._
       val li = Tables(s, dir, "lineitem")
       val total = li.count()
-      Gate(li.sample(withReplacement = false, 0.1, seed = 42)
-        .agg(count(lit(1)).as("n_sampled"), lit(total).as("n_total"),
-          round(count(lit(1)) / lit(total.toDouble), 4).as("sample_frac")),
-        col("sample_frac").between(0.05, 0.15),
-        "10% Bernoulli sample must land within [5%, 15%]")
+      val sampled = li.sample(withReplacement = false, 0.1, seed = 42).count()
+      val tol = 6.0 * math.sqrt(0.1 * 0.9 / total)
+      val violations = if (math.abs(sampled.toDouble / total - 0.1) > tol) 1L else 0L
+      Gate.check(violations == 0L,
+        s"10% Bernoulli sample took $sampled of $total (tol ±${tol * 100}%)")
+      Seq((total, violations)).toDF("n_total", "n_violations")
     },
 
-    // R2: take_sample — exact-size sample (rdd.rs:717-783). GATED: must
-    // return exactly `num` rows, each an existing key.
-    Q.rowsOnly("r2_take_sample") { (s, dir) =>
+    // R2: take_sample — exact-size sample (rdd.rs:717-783). Derived
+    // invariants the oracle CAN check: exactly `num` rows come back, and
+    // every sampled key exists in the source (anti-join count 0) — a
+    // sampler that pads, truncates, or fabricates keys goes red.
+    Q("r2_take_sample",
+      "SELECT CAST(100 AS BIGINT) AS n_taken, CAST(0 AS BIGINT) AS n_missing") { (s, dir) =>
       import s.implicits._
-      val taken = Tables(s, dir, "lineitem").select("l_orderkey")
-        .rdd.takeSample(withReplacement = false, num = 100, seed = 42)
-      Gate.check(taken.length == 100,
-        s"takeSample returned ${taken.length} rows, expected exactly 100")
-      s.createDataset(taken.map(_.getLong(0)).sorted.toSeq).toDF("l_orderkey")
+      val keys = Tables(s, dir, "lineitem").select("l_orderkey")
+      val taken = keys.rdd.takeSample(withReplacement = false, num = 100, seed = 42)
+      val takenDf = s.createDataset(taken.map(_.getLong(0)).toSeq).toDF("l_orderkey")
+      val missing = takenDf.join(keys, Seq("l_orderkey"), "left_anti").count()
+      Seq((taken.length.toLong, missing)).toDF("n_taken", "n_missing")
     },
 
-    // R3: random_split(weights, seed) (rdd.rs:623-672) — split sizes. GATED:
-    // splits must partition the input (disjoint ranges of one uniform draw)
-    // and respect the 70/30 weights within Bernoulli slack.
-    Q.rowsOnly("r3_random_split") { (s, dir) =>
+    // R3: random_split(weights, seed) (rdd.rs:623-672). Derived invariants:
+    // the splits PARTITION the input as a MULTISET — for every distinct
+    // row, its count in split A plus split B equals its count in the table
+    // (lineitem has duplicate (orderkey, linenumber) pairs, so a naive
+    // "no row in both splits" join is wrong; the per-row count identity is
+    // the real disjointness+completeness statement) — and the 70/30
+    // weights hold within Bernoulli slack. Overlap, loss, duplication, or
+    // bias all move a violation count off 0.
+    Q("r3_random_split",
+      """SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |CAST(0 AS BIGINT) AS n_violations FROM lineitem""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val li = Tables(s, dir, "lineitem")
+      val li = Tables(s, dir, "lineitem").select("l_orderkey", "l_linenumber")
       val total = li.count()
       val splits = li.randomSplit(Array(0.7, 0.3), seed = 42)
       val counts = splits.map(_.count())
-      Gate.check(counts.sum == total &&
-        math.abs(counts(0).toDouble / total - 0.7) <= 0.05,
-        s"randomSplit sizes ${counts.mkString(",")} of $total violate the 70/30 contract")
-      s.createDataset(counts.zipWithIndex.map { case (n, i) => (i, n) }.toSeq)
-        .toDF("split_id", "n")
+      val keys = Seq("l_orderkey", "l_linenumber")
+      def byRow(df: org.apache.spark.sql.DataFrame, as: String) =
+        df.groupBy(keys.map(col): _*).agg(count(lit(1)).as(as))
+      val notPartitioned = byRow(li, "n_all")
+        .join(byRow(splits(0), "n_a"), keys, "left")
+        .join(byRow(splits(1), "n_b"), keys, "left")
+        .where(coalesce(col("n_a"), lit(0L)) + coalesce(col("n_b"), lit(0L))
+          =!= col("n_all"))
+        .count()
+      val violations = notPartitioned +
+        (if (counts.sum == total) 0L else 1L) +
+        (if (math.abs(counts(0).toDouble / total - 0.7) <= 0.05) 0L else 1L)
+      Gate.check(violations == 0L,
+        s"randomSplit sizes ${counts.mkString(",")} of $total, " +
+          s"$notPartitioned distinct rows violate the multiset partition")
+      Seq((total, violations)).toDF("n_total", "n_violations")
     },
 
     // count_approx (rdd.rs:1030-1056; partial/count_evaluator.rs) — the final

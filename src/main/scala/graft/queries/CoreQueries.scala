@@ -124,33 +124,55 @@ object CoreQueries {
         .toDF("empty_neg", "empty_all")
     },
 
-    // P5: glom — one row per partition (rdd.rs:239-252); rows-only since the
-    // partition layout is an execution detail. GATED: the per-partition
-    // lengths must sum back to the table's row count (glom loses nothing).
-    Q.rowsOnly("p5_glom") { (s, dir) =>
+    // P5: glom — one row per partition (rdd.rs:239-252, tests/test_rdd.rs:
+    // 239-252). The partition COUNT is an execution-layout detail the SQL
+    // oracle can't see (kept in the Gate), but the derived invariant is
+    // oracle-checkable: per-partition lengths sum back to the table's row
+    // count — a glom that drops or duplicates rows hash-reds on n_rows.
+    Q("p5_glom",
+      "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem") { (s, dir) =>
       import s.implicits._
       val li = Tables(s, dir, "lineitem").select(col("l_orderkey"))
       val sizes = li.as[Long]
         .mapPartitions(it => Iterator.single(it.length.toLong)).collect().sorted
-      val expected = li.count()
-      Gate.check(sizes.sum == expected,
-        s"glom partition sizes sum to ${sizes.sum}, table has $expected rows")
-      s.createDataset(Seq((sizes.length.toLong, sizes.sum)))
-        .toDF("n_partitions", "n_rows")
+      Gate.check(sizes.nonEmpty && sizes.forall(_ >= 0),
+        s"glom returned ${sizes.length} partitions")
+      s.createDataset(Seq(sizes.sum)).toDF("n_rows")
     },
 
-    // S5: whole-file binary source (local_file_reader.rs bytes flavor);
-    // rows-only (file sizes aren't visible to the SQL oracle). GATED against
-    // the filesystem's own listing: file count and byte totals must match.
-    Q.rowsOnly("s5_binary_files") { (s, dir) =>
-      val onDisk = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      val files = s.read.format("binaryFile").load(s"$dir/*.parquet")
-        .select(col("path"), length(col("content")).as("n_bytes"))
-      Gate(files.agg(count(lit(1)).as("n_files"), sum("n_bytes").as("total_bytes")),
-        col("n_files") === lit(onDisk.length.toLong) &&
-          col("total_bytes") === lit(onDisk.map(_.length()).sum),
-        s"binaryFile scan must match the filesystem listing of $dir")
+    // S5: whole-file binary source (local_file_reader.rs bytes flavor).
+    // The binary payloads themselves aren't SQL-comparable, but their
+    // TOTALS are derivable: write documents.text through the text sink
+    // (UTF-8 + one '\n' per row — the corpus has no embedded newlines),
+    // read the files back WHOLE through the binaryFile source, and attest
+    // (a) total bytes = sum(octet_length(text)) + count(*) and (b) rows
+    // recovered from the raw bytes by counting newlines = count(*). A
+    // reader that truncates, pads, or drops a file hash-reds. File count
+    // vs the filesystem listing stays in the Gate (layout-dependent).
+    Q("s5_binary_files",
+      """SELECT CAST(sum(octet_length(encode(text))) + count(*) AS BIGINT) AS total_bytes,
+        |CAST(count(*) AS BIGINT) AS n_docs FROM documents""".stripMargin) { (s, dir) =>
+      val out = Tmp.dir("graft-bin").toString + "/txt"
+      Tables(s, dir, "documents").select(col("text"))
+        .write.mode("overwrite").text(out)
+      val onDisk = Option(new java.io.File(out).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+      val files = s.read.format("binaryFile").load(out)
+        .select(col("path"), col("content"))
+      // n_lines: CHAR-length delta on the decoded string (length() on the
+      // raw binary is bytes, on a string it's chars — don't mix the two)
+      val decoded = decode(col("content"), "UTF-8")
+      val stats = files.select(
+        length(col("content")).as("n_bytes"),
+        (length(decoded) - length(regexp_replace(decoded, "\n", ""))).as("n_lines"))
+      val agged = stats.agg(
+        count(lit(1)).as("n_files"),
+        sum("n_bytes").as("total_bytes"),
+        sum("n_lines").as("n_docs"))
+      Gate(agged, col("n_files") === lit(onDisk.length.toLong) &&
+        col("total_bytes") === lit(onDisk.map(_.length()).sum),
+        s"binaryFile scan must match the filesystem listing of $out")
+        .select(col("total_bytes"), col("n_docs"))
     },
 
     // A8: top(k) — TakeOrderedAndProjectExec = vega's bounded-heap top-k
@@ -395,21 +417,32 @@ object CoreQueries {
         e != null && (e.isInstanceOf[graft.plans.PlanGuardViolation] ||
           isGuard(e.getCause))
       val li = Tables(s, dir, "lineitem").select("l_orderkey", "l_linenumber")
-      s.conf.set("spark.graft.planGuard.maxWindowBytes", "1024")
+      val capKey = "spark.graft.planGuard.maxWindowBytes"
+      // restore whatever the session had (not just unset-to-default):
+      // a session-level override must survive this query running
+      val prevCap = s.conf.getOption(capKey)
+      s.conf.set(capKey, "1024")
       val (caught, allowed) = try {
         val c = try {
           li.withColumn("rn", row_number().over(Window.orderBy("l_orderkey")))
             .collect()
           0L
         } catch { case e: Throwable if isGuard(e) => 1L }
+        // the action must REFERENCE rn: ColumnPruning (which runs before
+        // the injected guard) deletes a Window nothing reads, and a pruned
+        // Window would make this arm pass vacuously
         val a = try {
-          li.withColumn("rn", row_number()
+          val df = li.withColumn("rn", row_number()
             .over(Window.partitionBy("l_orderkey").orderBy("l_linenumber")))
-            .count()
-          1L
+            .where(col("rn") >= 1)
+          val survived = df.queryExecution.optimizedPlan.collect {
+            case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+          }.nonEmpty
+          df.count()
+          if (survived) 1L else 0L
         } catch { case e: Throwable if isGuard(e) => 0L }
         (c, a)
-      } finally s.conf.unset("spark.graft.planGuard.maxWindowBytes")
+      } finally prevCap.fold(s.conf.unset(capKey))(v => s.conf.set(capKey, v))
       Gate.check(caught == 1L && allowed == 1L,
         s"plan guard: caught=$caught allowed=$allowed (want 1/1)")
       Seq((caught, allowed)).toDF("n_caught", "n_allowed")

@@ -3,41 +3,49 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The official bench line is the one output the harness machine-parses
-  * from a 2000-char stdout tail — pin its contract: fits the budget,
-  * valid JSON-shaped fields, and value ≈ sum(queries) + rest even under
-  * adversarial name-length/timing mixes.
+  * from a 2000-char stdout tail — pin its contract: fits the budget, is
+  * genuinely valid JSON (Jackson-parsed, not regex-shaped), `value` is the
+  * wall-clock when provided, and serial_sum ≈ sum(queries) + rest even
+  * under adversarial name-length/timing mixes.
   */
 class BenchLineSpec extends AnyFunSuite {
 
-  private def fields(line: String): (Double, Int, Int, Double, Map[String, Double]) = {
-    def num(key: String): Double =
-      s""""$key":(-?[0-9.]+)""".r.findFirstMatchIn(line).get.group(1).toDouble
-    val qs = s""""queries":\\{([^}]*)\\}""".r.findFirstMatchIn(line).get.group(1)
-    val m = if (qs.isEmpty) Map.empty[String, Double]
-      else qs.split(",").map { e =>
-        val Array(k, v) = e.split(":")
-        k.replaceAll("\"", "") -> v.toDouble
-      }.toMap
-    (num("value"), num("n").toInt, num("omitted").toInt, num("rest"), m)
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def parse(line: String): com.fasterxml.jackson.databind.JsonNode =
+    mapper.readTree(line) // throws on malformed JSON — that IS the assertion
+
+  private def qmap(node: com.fasterxml.jackson.databind.JsonNode, field: String): Map[String, Double] = {
+    val o = node.get(field)
+    if (o == null) Map.empty
+    else {
+      val it = o.fields()
+      val b = Map.newBuilder[String, Double]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue.asDouble()) }
+      b.result()
+    }
   }
 
   test("line fits the budget and preserves the sum invariant") {
     // adversarial mix: long-named slow queries interleaved with
     // short-named fast ones — the case where a non-prefix pack would
-    // break value == sum(queries) + rest
+    // break serial_sum == sum(queries) + rest
     val results = (1 to 150).map { i =>
       val name = if (i % 2 == 0) s"x_${"verylongname" * 3}_$i" else s"q$i"
       name -> (if (i % 3 == 0) 5.0 + i * 0.01 else 0.1)
     }
     val line = Bench.officialLine(results, "/root/testdata/sf0.1")
     assert(line.length <= 1700, s"line ${line.length} chars")
-    val (value, n, omitted, rest, qs) = fields(line)
-    assert(n == 150)
-    assert(qs.size + omitted == n)
-    val sum = qs.values.sum + rest
+    val node = parse(line)
+    val qs = qmap(node, "queries")
+    assert(node.get("n").asInt() == 150)
+    assert(qs.size + node.get("omitted").asInt() == 150)
+    val sum = qs.values.sum + node.get("rest").asDouble()
     // 2dp rounding error accumulates at most 0.005 per entry
-    assert(math.abs(sum - value) <= 0.005 * (qs.size + 2) + 0.01,
-      s"value $value vs sum(queries)+rest $sum")
+    assert(math.abs(sum - node.get("serial_sum").asDouble()) <= 0.005 * (qs.size + 2) + 0.01,
+      s"serial_sum vs sum(queries)+rest $sum")
+    // with no wall given, value falls back to the serial sum
+    assert(node.get("value").asDouble() == node.get("serial_sum").asDouble())
     // the kept set must be the SLOWEST queries: every kept time >= every
     // omitted time (prefix-of-sorted property)
     val keptMin = qs.values.min
@@ -45,13 +53,23 @@ class BenchLineSpec extends AnyFunSuite {
     assert(omittedTimes.forall(_ <= keptMin + 1e-9))
   }
 
+  test("wall-clock becomes value; serial_sum keeps the per-query total") {
+    val results = (1 to 40).map(i => s"q$i" -> 1.0)
+    val line = Bench.officialLine(results, "/x", wall = Some(7.25), workers = 8)
+    val node = parse(line)
+    assert(node.get("value").asDouble() == 7.25)
+    assert(node.get("workers").asInt() == 8)
+    assert(math.abs(node.get("serial_sum").asDouble() - 40.0) <= 0.21)
+  }
+
   test("empty and tiny result sets stay well-formed") {
-    val empty = Bench.officialLine(Seq.empty, "/x")
-    assert(empty.contains(""""n":0""") && empty.contains(""""queries":{}"""))
-    val one = Bench.officialLine(Seq("q1" -> 1.234), "/x")
-    val (value, n, omitted, rest, qs) = fields(one)
-    assert(n == 1 && omitted == 0 && rest == 0.0 && qs == Map("q1" -> 1.23))
-    assert(math.abs(value - 1.23) <= 0.005)
+    val empty = parse(Bench.officialLine(Seq.empty, "/x"))
+    assert(empty.get("n").asInt() == 0 && qmap(empty, "queries").isEmpty)
+    val one = parse(Bench.officialLine(Seq("q1" -> 1.234), "/x"))
+    assert(one.get("n").asInt() == 1 && one.get("omitted").asInt() == 0)
+    assert(one.get("rest").asDouble() == 0.0)
+    assert(qmap(one, "queries") == Map("q1" -> 1.23))
+    assert(math.abs(one.get("value").asDouble() - 1.23) <= 0.005)
   }
 
   test("warm reruns ride the line without breaking budget or invariants") {
@@ -59,13 +77,58 @@ class BenchLineSpec extends AnyFunSuite {
     val warm = (1 to 10).map(i => s"q$i" -> 1.1)
     val line = Bench.officialLine(results, "/x", warm)
     assert(line.length <= 1700, s"line ${line.length} chars")
-    val w = """"warm":\{([^}]*)\}""".r.findFirstMatchIn(line).get.group(1)
-    assert(w.split(",").length == 10, s"warm entries: $w")
-    assert(w.contains("\"q1\":1.10"))
-    val (value, n, omitted, _, qs) = fields(line)
-    assert(n == 150 && qs.size + omitted == n)
+    val node = parse(line)
+    val w = qmap(node, "warm")
+    assert(w.size == 10 && w("q1") == 1.1)
+    val qs = qmap(node, "queries")
+    assert(node.get("n").asInt() == 150 && qs.size + node.get("omitted").asInt() == 150)
     // warm times are a second sample, never folded into the cold total
-    assert(math.abs(value - (10 * 9.0 + 140 * 0.2)) <= 0.01 * 152)
+    assert(math.abs(node.get("value").asDouble() - (10 * 9.0 + 140 * 0.2)) <= 0.01 * 152)
+  }
+
+  test("property: random inputs always produce parseable, invariant-keeping lines") {
+    // seeded PRNG sweep over name lengths, timing mixes, warm inclusion,
+    // and the budget edge — the official line is the only driver-visible
+    // perf signal, so its packing logic gets a fuzz, not just examples
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 1 to 200) {
+      val n = rnd.nextInt(180)
+      val results = (1 to n).map { i =>
+        val name = "q" + ("x" * rnd.nextInt(40)) + i
+        name -> (rnd.nextDouble() * math.pow(10, rnd.nextInt(4) - 2))
+      }
+      val warm = results.sortBy(-_._2).take(rnd.nextInt(11)).map { case (k, v) =>
+        k -> v * rnd.nextDouble()
+      }
+      val wall = if (rnd.nextBoolean()) Some(rnd.nextDouble() * 100) else None
+      // exercise the exact default budget edge plus nearby values
+      val budget = Seq(1600, 1599, 1601, 800 + rnd.nextInt(1600))(rnd.nextInt(4))
+      val line = Bench.officialLine(results, "/x", warm, budget = budget,
+        wall = wall, workers = 1 + rnd.nextInt(8))
+      assert(line.length <= budget + 100, s"trial $trial: ${line.length} > budget $budget")
+      val node = parse(line) // malformed JSON throws and fails the trial
+      val qs = qmap(node, "queries")
+      assert(node.get("n").asInt() == n, s"trial $trial: n")
+      assert(qs.size + node.get("omitted").asInt() == n, s"trial $trial: omitted")
+      val sum = qs.values.sum + node.get("rest").asDouble()
+      assert(math.abs(sum - node.get("serial_sum").asDouble()) <= 0.005 * (qs.size + 2) + 0.02,
+        s"trial $trial: serial_sum invariant")
+      val expectValue = wall.getOrElse(node.get("serial_sum").asDouble())
+      assert(math.abs(node.get("value").asDouble() - expectValue) <= 0.005 + 1e-9,
+        s"trial $trial: value source")
+      // every warm entry passed in must ride the line (warm is never packed)
+      val w = qmap(node, "warm")
+      assert(w.keySet == warm.map(_._1).toSet, s"trial $trial: warm inclusion")
+    }
+  }
+
+  test("queue order scatters or LPT-sorts; never drops or duplicates names") {
+    val names = (1 to 100).map(i => s"q$i")
+    val scattered = Bench.queueOrder(names, Map.empty)
+    assert(scattered.sorted == names.sorted && scattered != names.sorted.toSeq)
+    val past = names.zipWithIndex.map { case (n, i) => n -> i.toDouble }.toMap
+    val lpt = Bench.queueOrder(names, past)
+    assert(lpt.head == "q100" && lpt.last == "q1" && lpt.sorted == names.sorted)
   }
 
   test("formatting is locale-independent") {

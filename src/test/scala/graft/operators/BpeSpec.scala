@@ -32,6 +32,20 @@ class BpeSpec extends SparkSpec {
     assert(out.forall { case (w, syms) => syms.mkString == w })
   }
 
+  test("symbolizes on codepoints: a supplementary-plane char is ONE symbol") {
+    // U+1F600 is a surrogate PAIR in UTF-16 but one character to DuckDB's
+    // substr — per-code-unit symbolization would diverge from the oracle
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(Bpe.symbolize(s"a${emoji}b") == Seq("a", emoji, "b"))
+    assert(Bpe.symbolize(emoji * 2) == Seq(emoji, emoji))
+    import spark.implicits._
+    val words = Seq((s"$emoji$emoji", 3L)).toDS()
+    val (merges, vocab) = Bpe.train(spark, words, 1)
+    vocab.unpersist()
+    // the learned merge is (emoji, emoji), not a half-surrogate pair
+    assert(merges.map(m => (m.left, m.right, m.weight)) == Seq((emoji, emoji, 3L)))
+  }
+
   test("stops early when no pair remains") {
     import spark.implicits._
     val words = Seq(("ab", 4L)).toDS()

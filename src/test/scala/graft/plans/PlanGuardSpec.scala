@@ -24,6 +24,22 @@ class PlanGuardSpec extends SparkSpec {
   private lazy val li = Tables(spark, sf001, "lineitem")
     .select("l_orderkey", "l_linenumber")
 
+  /** Assert the optimized plan still CONTAINS a Window before acting on it.
+    * Catalyst's ColumnPruning (which runs before user-injected rules)
+    * deletes a Window whose expressions nothing references — a pass-arm
+    * that counts an unreferenced window column proves only that pruning
+    * works, not that the guard lets the partitioned shape through. Every
+    * pass arm below references the window column in the action AND pins
+    * the node's survival, so the guard is genuinely exercised.
+    */
+  private def countWithWindowPinned(df: org.apache.spark.sql.DataFrame): Long = {
+    val survived = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(survived.nonEmpty, "Window was pruned — pass arm would be vacuous")
+    df.count()
+  }
+
   test("un-partitioned window over a large input throws before execution") {
     withCap("spark.graft.planGuard.maxWindowBytes", "1024") {
       val e = intercept[Throwable] {
@@ -36,9 +52,9 @@ class PlanGuardSpec extends SparkSpec {
 
   test("partitioned window passes under the same cap") {
     withCap("spark.graft.planGuard.maxWindowBytes", "1024") {
-      val n = li.withColumn("rn",
+      val n = countWithWindowPinned(li.withColumn("rn",
         row_number().over(Window.partitionBy("l_orderkey").orderBy("l_linenumber")))
-        .count()
+        .where(col("rn") >= 1))
       assert(n > 0)
     }
   }
@@ -48,8 +64,9 @@ class PlanGuardSpec extends SparkSpec {
     // window users — 20 rows must never trip a 1 GiB default
     val small = Tables(spark, sf001, "documents").groupBy("source")
       .agg(count(lit(1)).as("n"))
-    assert(small.withColumn("r", row_number().over(Window.orderBy("source")))
-      .count() == 20)
+    assert(countWithWindowPinned(
+      small.withColumn("r", row_number().over(Window.orderBy("source")))
+        .where(col("r") >= 1)) == 20)
   }
 
   test("cartesian with both sides large throws; broadcast-small side passes") {
@@ -66,10 +83,31 @@ class PlanGuardSpec extends SparkSpec {
   test("escape hatch disables the guard") {
     withCap("spark.graft.planGuard.maxWindowBytes", "1024") {
       withCap("spark.graft.planGuard.enabled", "false") {
-        val n = li.withColumn("rn",
-          row_number().over(Window.orderBy("l_orderkey"))).count()
+        val n = countWithWindowPinned(li.withColumn("rn",
+          row_number().over(Window.orderBy("l_orderkey")))
+          .where(col("rn") >= 1))
         assert(n > 0)
       }
     }
+  }
+
+  test("outer join whose condition references only one side is cartesian-like") {
+    // A LEFT JOIN B ON a.x > 0 constrains nothing about the pairing: each
+    // qualifying A row matches EVERY B row. The inner-join variants of this
+    // (ON 1=1, one-sided deterministic predicates) are simplified/pushed to
+    // an empty condition before the guard's batch — the outer-join form is
+    // the one that survives to the ON clause, because a preserved-side
+    // predicate only controls matching and cannot be pushed below the join.
+    withCap("spark.graft.planGuard.maxCartesianBytes", "1024") {
+      val e = intercept[Throwable] {
+        li.as("a").join(li.select("l_orderkey").as("b"),
+          col("a.l_linenumber") > 0, "left").count()
+      }
+      assert(isGuard(e), s"expected PlanGuardViolation, got $e")
+    }
+    // the same shape with genuinely two-sided equality passes under the cap
+    val n = li.as("a").join(li.select(col("l_orderkey").as("k")).as("b"),
+      col("a.l_orderkey") === col("b.k")).count()
+    assert(n > 0)
   }
 }
