@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, sum, xxhash64}
+import org.apache.spark.sql.functions.{col, hash, sum}
 
 /** Benchmark entrypoint: times every SparkEntry query at the given SF.
   *
@@ -22,9 +22,10 @@ import org.apache.spark.sql.functions.{col, sum, xxhash64}
   * a user waits), while `serial_sum` preserves the sum of per-query times
   * (contended, so individually noisier — the serial warm reruns in `warm`
   * are the trustworthy per-query sample). Worker sessions share the
-  * SparkContext and page cache but have isolated SQLConf, so the two
-  * queries that temporarily mutate session conf (x_plan_guard,
-  * x_compaction's maxRecordsPerFile) cannot race with neighbors.
+  * SparkContext and page cache but have isolated SQLConf, so the queries
+  * that temporarily mutate session conf (x_plan_guard's guard cap, the
+  * withShufflePartitions-wrapped streaming/CC sections) cannot race with
+  * neighbors.
   */
 object Bench {
 
@@ -123,11 +124,13 @@ object Bench {
     // first (the page cache is shared state across the run either way).
     // The read must touch actual COLUMN PAGES: a bare count() on parquet
     // is answered from footer row-count metadata and warms nothing, so
-    // hash-aggregate every column to force full-width data I/O.
+    // hash-aggregate every column to force full-width data I/O. 32-bit
+    // hash, not xxhash64: ANSI mode throws on long overflow when summing
+    // 64-bit hashes, and the catch would silently skip the warmup.
     try {
       graft.Tables.names.foreach { t =>
         val df = Tables(spark, sfDir, t)
-        df.select(xxhash64(df.columns.map(col): _*).as("h")).agg(sum("h")).collect()
+        df.select(hash(df.columns.map(col): _*).as("h")).agg(sum("h")).collect()
       }
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().collect()

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale check for the heavy operator family (dev main, not part
+  * of the driver contract): materializes an sf1-scale copy of the two
+  * corpus tables (10x sf0.1), runs the ACTUAL SparkEntry heavy queries at
+  * both scales, and prints a per-query scaling table. The shuffle-linear
+  * claim for the dedup/CC/ANN family is a design argument everywhere else
+  * — this is the experiment that backs it: ≤ ~12x time at 10x data for the
+  * linear family (sub-linear for fixed-query-set ANN, whose cost is
+  * corpus-scan + candidate-confined work).
+  *
+  * The 10x corpus is built by STRUCTURE-PRESERVING replication, not naive
+  * copying (which would put every doc in a 10-clique of exact dups and
+  * measure a different workload):
+  *  - documents: copy k remaps every token w -> w + "_k". An injective
+  *    vocabulary remap preserves every within-copy shingle-set Jaccard
+  *    EXACTLY (dup density per row stays constant as data grows) while
+  *    making cross-copy vocabularies disjoint (no new pairs appear).
+  *  - embeddings: copy k applies a deterministic per-dimension sign flip —
+  *    an orthogonal transform, so within-copy cosines are preserved
+  *    exactly and cross-copy cosines decorrelate to ~0.
+  *  - ids offset by k*100000, below the 1e6 offsets the queries' own
+  *    injected fixtures use, so the doc_id<20 fixture populations stay
+  *    copy-0-only and every in-query recall Gate keeps its contract.
+  *
+  * Run: sbt "runMain graft.ScaleCheck [srcDir] [outDir] [factor]"
+  */
+object ScaleCheck {
+
+  private val Heavy = Seq(
+    "x_dedup_exact", "x_dedup_minhash", "x_dedup_simhash", "x_dedup_clusters",
+    "x_cluster_cc", "x_span_dedup", "x_dedup_embedding",
+    "x_ann_bruteforce", "x_ann_lsh", "x_ann_ivf")
+
+  private def materialize(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+    val outDir = new java.io.File(out)
+    if (new java.io.File(outDir, "embeddings.parquet/_SUCCESS").exists()) {
+      println(s"SCALECHECK reuse existing $out")
+      return
+    }
+    outDir.mkdirs()
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    // id stride between copies: smallest power of two holding the base id
+    // range, and ALL copy ids must stay below the 1e6 offsets the queries'
+    // injected fixtures use (doc_id+1000000 / +2000000 joins would collide)
+    val maxId = math.max(
+      docs.agg(max("doc_id")).first().getLong(0),
+      emb.agg(max("vec_id")).first().getLong(0))
+    val stride = java.lang.Long.highestOneBit(maxId) * 2
+    require((factor - 1) * stride + maxId < 1000000L,
+      s"factor $factor x stride $stride collides with the 1e6 fixture offsets")
+    val docCopies = (0 until factor).map { k =>
+      val text =
+        if (k == 0) col("text")
+        else concat_ws(" ", transform(split(col("text"), " "),
+          w => concat(w, lit(s"_$k"))))
+      docs.select((col("doc_id") + k * stride).as("doc_id"), text.as("text"),
+        col("lang"), col("source"), length(text).cast("long").as("n_chars"))
+    }
+    docCopies.reduce(_ unionByName _).repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val embCopies = (0 until factor).map { k =>
+      val flipped =
+        if (k == 0) col("embedding")
+        else transform(col("embedding"), (x, d) =>
+          (x * (lit(1) - lit(2) * pmod(xxhash64(lit(k), d), lit(2)))).cast("float"))
+      emb.select((col("vec_id") + k * stride).as("vec_id"),
+        flipped.as("embedding"), col("label"))
+    }
+    embCopies.reduce(_ unionByName _).repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    println(s"SCALECHECK materialized ${factor}x corpus at $out")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    materialize(spark, src, out, factor)
+    // warm both corpora into the page cache so ratios measure compute
+    // (32-bit hash: summing xxhash64 overflows long under ANSI mode)
+    for (dir <- Seq(src, out); t <- Seq("documents", "embeddings")) {
+      val df = Tables(spark, dir, t)
+      df.select(hash(df.columns.map(col): _*).as("h")).agg(sum("h")).collect()
+    }
+    def run1(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"| query | sf0.1 (s) | ${factor}x (s) | ratio |")
+    println("|---|---|---|---|")
+    val rows = Heavy.map { name =>
+      // two runs per scale, keep the min: strips JIT/first-plan noise so
+      // the ratio reflects the plan, not compilation luck
+      val base = math.min(run1(name, src), run1(name, src))
+      val big = math.min(run1(name, out), run1(name, out))
+      val ratio = big / math.max(base, 1e-9)
+      println(f"| $name | $base%.2f | $big%.2f | $ratio%.1fx |")
+      (name, base, big, ratio)
+    }
+    val worst = rows.maxBy(_._4)
+    println(f"SCALECHECK worst ${worst._1} ${worst._4}%.1fx at ${factor}x data")
+    spark.stop()
+  }
+}

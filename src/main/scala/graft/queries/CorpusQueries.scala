@@ -142,43 +142,48 @@ object CorpusQueries {
     // with frequency > support appears; false positives allowed), and the
     // gate checks exactly that contract against exact counts: a missed
     // true heavy hitter turns the entry red.
-    // Promoted to a full oracle (r5): the token total and the TRUE heavy-
-    // hitter count (exact counts strictly above n*support) are plain SQL,
-    // and the sketch's one-sided contract — no true heavy hitter missed —
-    // becomes n_missed pinned to 0. The candidate-set size stays gate-side
-    // (sketch-internal; false positives are allowed by contract).
+    // Oracle shape (r6): the token total is plain SQL, and the sketch's
+    // one-sided contract — no true heavy hitter missed — is n_missed
+    // pinned to 0. The EXACT verification (full-vocabulary groupBy +
+    // heavy-hitter set compare) runs only at gate scale (<=100k tokens,
+    // i.e. the driver's sf0.01 correctness run): r5 benched the verify at
+    // double the operator's own cost, and at 100 TB the verify IS the
+    // query — the whole point of the sketch is to avoid that shuffle. At
+    // bench SF the query is sketch-only (count + freqItems), which is the
+    // honest cost of the operator; the contract stays driver-visible
+    // because CORRECTNESS gates at sf0.01 where the exact path runs.
     Q("x_freq_items",
       """WITH toks AS (SELECT unnest(list_filter(string_split(lower(text), ' '),
-        |    t -> t <> '')) AS w FROM documents),
-        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM toks),
-        |hv AS (SELECT CAST(count(*) AS BIGINT) AS n_heavy FROM
-        |  (SELECT w, count(*) AS c FROM toks GROUP BY w) g, n
-        |  WHERE g.c > n.n_tokens * 0.02)
-        |SELECT n.n_tokens, hv.n_heavy, CAST(0 AS BIGINT) AS n_missed
-        |FROM n, hv""".stripMargin) { (s, dir) =>
+        |    t -> t <> '')) AS w FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+        |CAST(0 AS BIGINT) AS n_missed FROM toks""".stripMargin) { (s, dir) =>
       import s.implicits._
       val support = 0.02
+      val exactVerifyMaxTokens = 100000L
       val words = Tables(s, dir, "documents")
         .select(explode(filter(split(lower(col("text")), " "), t => t =!= "")).as("w"))
       val n = words.count()
       val cand = words.stat.freqItems(Seq("w"), support)
         .collect()(0).getSeq[String](0).toSet
-      // Strict threshold: freqItems' one-sided contract only covers items
-      // with count STRICTLY greater than n*support, so when n*support is
-      // integral (n divisible by 50 at 2%), ceil() would wrongly include
-      // items at exactly the boundary and could redden a correct sketch.
-      // The SQL oracle states the same strict bound as c > n*0.02 — for
-      // integer c the two forms select identical sets under the same
-      // double product.
-      val thresh = (n * support).toLong + 1
-      val heavy = words.groupBy("w").agg(count(lit(1)).as("c"))
-        .where(col("c") >= thresh).collect().map(_.getString(0)).toSet
-      val missed = heavy -- cand
-      Gate.check(heavy.nonEmpty, "no true heavy hitters — attestation is vacuous")
-      Gate.check(missed.isEmpty,
-        s"freqItems missed true heavy hitters: ${missed.take(5)}")
-      Seq((n, heavy.size.toLong, missed.size.toLong))
-        .toDF("n_tokens", "n_heavy", "n_missed")
+      val missed: Long = if (n <= exactVerifyMaxTokens) {
+        // Strict threshold: freqItems' one-sided contract only covers
+        // items with count STRICTLY greater than n*support, so when
+        // n*support is integral (n divisible by 50 at 2%), ceil() would
+        // wrongly include items at exactly the boundary and could redden
+        // a correct sketch.
+        val thresh = (n * support).toLong + 1
+        val heavy = words.groupBy("w").agg(count(lit(1)).as("c"))
+          .where(col("c") >= thresh).collect().map(_.getString(0)).toSet
+        Gate.check(heavy.nonEmpty, "no true heavy hitters — attestation is vacuous")
+        Gate.check((heavy -- cand).isEmpty,
+          s"freqItems missed true heavy hitters: ${(heavy -- cand).take(5)}")
+        (heavy -- cand).size.toLong
+      } else {
+        // bench-scale: sketch-only; the contract was attested at gate SF
+        Gate.check(cand.nonEmpty, "freqItems returned no candidates")
+        0L
+      }
+      Seq((n, missed)).toDF("n_tokens", "n_missed")
     },
 
     // BPE merge training (operators/Bpe.scala): 12 merges over the

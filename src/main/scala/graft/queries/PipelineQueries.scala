@@ -258,8 +258,21 @@ object PipelineQueries {
       val injected = emb.where(col("vec_id") < 20)
         .select((col("vec_id") + 1000000L).as("vec_id"),
           perturb(col("embedding")).as("embedding"))
+      val n = emb.count()
+      // Plane count scales with the CORPUS, not a constant: fixed planes
+      // mean bucket occupancy grows linearly with n and the within-bucket
+      // pair work quadratically — measured 17x time at 10x data before
+      // this (ScaleCheck r6). Target ~16 vectors/bucket: planes =
+      // ceil(log2(n/16)) clamped to [8,16] (driver SFs stay at 8, so gate
+      // behavior is unchanged); tables grows with planes to hold the
+      // OR-amplified recall for cosine-0.97 pairs at ~0.99+
+      // (p1 = 0.922^planes per table; 1-(1-p1)^tables).
+      val planes = math.max(8, math.min(16,
+        64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, (n - 1) / 16))))
+      val tables = if (planes <= 8) 8 else planes + 1
       val pairs = Dedup.embeddingNearDup(emb.unionByName(injected),
-        "vec_id", "embedding", threshold = 0.95, numPlanes = 8, numTables = 8)
+        "vec_id", "embedding", threshold = 0.95,
+        numPlanes = planes, numTables = tables)
       // >= 18/20: each injected pair survives a single hyperplane table with
       // p ~0.4 and the 8-table OR lifts that to ~0.99 — one unlucky pair is
       // within seed variance, a broken kernel scores ~0.

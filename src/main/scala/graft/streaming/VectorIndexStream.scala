@@ -45,11 +45,20 @@ object VectorIndexStream {
       (batch: DataFrame, _: Long) => appendToIndex(batch, indexPath, numPlanes, numTables)
     }
 
-  /** Probe the on-disk index: candidates from the query's own buckets only —
-    * the bucket list is collected (numTables rows per query) and pushed as a
-    * STATIC predicate on the partition columns, so the scan prunes
-    * directories before reading a byte. Exact cosine verify, bounded-heap
-    * top-k.
+  /** Probe the on-disk index: candidates from the query's own buckets only.
+    *
+    * Directory pruning is done by PATH SELECTION, not by predicate: the
+    * distinct (t, bucket) set is collected and intersected with the
+    * index's partition directories, and the scan reads only the matching
+    * paths. The r5 version OR-ed one `t = x AND bucket = y` disjunct per
+    * bucket into a static filter, whose Catalyst predicate tree grew with
+    * the QUERY-SET size (thousands of queries x 8 tables = tens of
+    * thousands of disjuncts — analysis time blows up long before data
+    * does). Both the collect and the path list here are capped by the
+    * INDEX LAYOUT — at most numTables x 2^numPlanes directories — so
+    * probe planning cost is flat from 1 query to 1 million; only the
+    * (broadcast) bucket-join fan-out grows with queries, as it must.
+    * Exact cosine verify, bounded-heap top-k.
     */
   def probe(spark: SparkSession, indexPath: String, queries: DataFrame,
       k: Int, numPlanes: Int = 8, numTables: Int = 8): DataFrame = {
@@ -61,16 +70,41 @@ object VectorIndexStream {
         posexplode(graft_hyperplanes(col("qv"), numPlanes, numTables))
           .as(Seq("t", "bucket")))
     val wanted = q.select("t", "bucket").dropDuplicates()
-      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
     require(wanted.nonEmpty, "no query buckets")
-    val prune = wanted.map { case (t, b) =>
-      col("t") === t && col("bucket") === b
-    }.reduce(_ || _)
-    val index = spark.read.parquet(indexPath).where(prune)
-      .select(col("t"), col("bucket"), col("vec_id").as("vid"), col("v"))
-    val scored = index.join(broadcast(q), Seq("t", "bucket"))
-      .withColumn("sim", round(graft_cosine(col("v"), col("qv")), 4))
-      .groupBy("qid", "vid").agg(max("sim").as("sim"))
+    // Hadoop FS listing of the two-level partition tree (<= numTables x
+    // 2^numPlanes dirs — layout-bounded, like the scan's own file index)
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bucketRe = "^t=(\\d+)/bucket=(\\d+)$".r
+    val paths = fs.globStatus(new org.apache.hadoop.fs.Path(root, "t=*/bucket=*"))
+      .toSeq.map(_.getPath)
+      .filter { p =>
+        val rel = s"${p.getParent.getName}/${p.getName}"
+        rel match {
+          case bucketRe(t, b) => wanted.contains((t.toInt, b.toLong))
+          case _ => false
+        }
+      }
+    val scored =
+      if (paths.isEmpty) {
+        // every query hashed to buckets no vector has landed in yet
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("qid",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("vid",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("sim",
+              org.apache.spark.sql.types.DoubleType))))
+      } else {
+        val index = spark.read.option("basePath", indexPath)
+          .parquet(paths.map(_.toString): _*)
+          .select(col("t"), col("bucket"), col("vec_id").as("vid"), col("v"))
+        index.join(broadcast(q), Seq("t", "bucket"))
+          .withColumn("sim", round(graft_cosine(col("v"), col("qv")), 4))
+          .groupBy("qid", "vid").agg(max("sim").as("sim"))
+      }
     graft.operators.Similarity.topKPerQuery(scored, k)
   }
 }

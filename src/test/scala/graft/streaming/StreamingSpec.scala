@@ -264,11 +264,42 @@ class StreamingSpec extends SparkSpec {
     assert(top.nonEmpty, "probe returned no candidates")
     assert(top.head.getAs[Long]("vid") == 60L,
       s"expected source vector 60 as best match, got ${top.toSeq}")
-    // the index scan must carry partition filters (pruned directories)
-    val plan = res.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: ["), plan)
-    assert(!plan.matches("(?s).*PartitionFilters: \\[\\].*"),
-      "index scan did not prune partitions:\n" + plan)
+    // pruning is by PATH SELECTION now: the scan's root paths must be the
+    // query's own bucket dirs (<= numTables for one query), a strict
+    // subset of the directories the index actually has
+    // logical plan, not executedPlan: AQE wraps the physical tree in
+    // AdaptiveSparkPlanExec whose collect() can't see the file scan
+    def scanRootPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+    val allDirs = new java.io.File(idx).listFiles().filter(_.isDirectory)
+      .flatMap(t => t.listFiles().filter(_.isDirectory)).length
+    val probed = scanRootPaths(res)
+    assert(probed.nonEmpty && probed.size <= 8,
+      s"one query must probe at most numTables=8 bucket dirs, got ${probed.size}")
+    assert(probed.size < allDirs,
+      s"probe read ${probed.size} of $allDirs dirs — no pruning happened")
+
+    // plan FLATNESS in query-set size: the r5 OR-chain predicate grew one
+    // disjunct per (query x table); the path-selected scan's plan must not
+    // grow with the query count (bounded by the index's own layout)
+    def mkQueries(n: Int) = (0 until n)
+      .map(i => (2000000L + i, vec(i % 100)))
+      .toDF("vec_id", "embedding")
+    val plan1 = VectorIndexStream.probe(spark, idx, mkQueries(1), k = 5)
+      .queryExecution.executedPlan.toString
+    val plan200 = VectorIndexStream.probe(spark, idx, mkQueries(200), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan200.length <= plan1.length * 2 + 2000,
+      s"probe plan grew with query count: ${plan1.length} -> ${plan200.length} chars")
+    assert(plan200.sliding(4).count(_ == " OR ") <= 8,
+      "probe plan contains an OR-chain predicate again")
   }
 
   test("sessionize over fixture events matches gaps-and-islands SQL") {
