@@ -37,8 +37,13 @@ object ScaleCheck {
 
   private def materialize(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val outDir = new java.io.File(out)
-    if (new java.io.File(outDir, "embeddings.parquet/_SUCCESS").exists()) {
-      println(s"SCALECHECK reuse existing $out")
+    // reuse marker records (src, factor): a rerun with a different factor
+    // into the same outDir must re-materialize, not silently measure the
+    // old corpus while printing the new factor in the table header
+    val marker = new java.io.File(outDir, s"_GRAFT_SCALE_${factor}x_${src.hashCode}")
+    if (marker.exists() &&
+      new java.io.File(outDir, "embeddings.parquet/_SUCCESS").exists()) {
+      println(s"SCALECHECK reuse existing ${factor}x corpus at $out")
       return
     }
     outDir.mkdirs()
@@ -73,6 +78,7 @@ object ScaleCheck {
     }
     embCopies.reduce(_ unionByName _).repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    marker.createNewFile()
     println(s"SCALECHECK materialized ${factor}x corpus at $out")
   }
 

@@ -133,10 +133,13 @@ object CoreQueries {
       "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem") { (s, dir) =>
       import s.implicits._
       val li = Tables(s, dir, "lineitem").select(col("l_orderkey"))
+      val nPart = li.rdd.getNumPartitions
       val sizes = li.as[Long]
         .mapPartitions(it => Iterator.single(it.length.toLong)).collect().sorted
-      Gate.check(sizes.nonEmpty && sizes.forall(_ >= 0),
-        s"glom returned ${sizes.length} partitions")
+      // layout attestation: glom emits EXACTLY one row per partition —
+      // a glom that merges or fabricates partitions moves this count
+      Gate.check(sizes.length == nPart && nPart > 0,
+        s"glom returned ${sizes.length} rows for $nPart partitions")
       s.createDataset(Seq(sizes.sum)).toDF("n_rows")
     },
 

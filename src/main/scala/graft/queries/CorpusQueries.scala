@@ -174,10 +174,11 @@ object CorpusQueries {
         val thresh = (n * support).toLong + 1
         val heavy = words.groupBy("w").agg(count(lit(1)).as("c"))
           .where(col("c") >= thresh).collect().map(_.getString(0)).toSet
+        val missedSet = heavy -- cand
         Gate.check(heavy.nonEmpty, "no true heavy hitters — attestation is vacuous")
-        Gate.check((heavy -- cand).isEmpty,
-          s"freqItems missed true heavy hitters: ${(heavy -- cand).take(5)}")
-        (heavy -- cand).size.toLong
+        Gate.check(missedSet.isEmpty,
+          s"freqItems missed true heavy hitters: ${missedSet.take(5)}")
+        missedSet.size.toLong
       } else {
         // bench-scale: sketch-only; the contract was attested at gate SF
         Gate.check(cand.nonEmpty, "freqItems returned no candidates")

@@ -88,13 +88,14 @@ object VectorIndexStream {
       }
     val scored =
       if (paths.isEmpty) {
-        // every query hashed to buckets no vector has landed in yet
+        // every query hashed to buckets no vector has landed in yet —
+        // id types derive from the caller's query frame, not hardcoded,
+        // so the schema matches the non-empty branch for any id dtype
+        val idType = q.schema("qid").dataType
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("qid",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("vid",
-              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("qid", idType),
+            org.apache.spark.sql.types.StructField("vid", idType),
             org.apache.spark.sql.types.StructField("sim",
               org.apache.spark.sql.types.DoubleType))))
       } else {

@@ -104,10 +104,13 @@ class PlanGuardSpec extends SparkSpec {
           col("a.l_linenumber") > 0, "left").count()
       }
       assert(isGuard(e), s"expected PlanGuardViolation, got $e")
+      // negative control UNDER THE SAME LOWERED CAP: a genuinely two-sided
+      // equality join of the same big-both-sides shape must pass — outside
+      // the cap block this would be vacuous (nothing trips a multi-GB cap
+      // at sf0.01 regardless of what isCartesianLike returns)
+      val n = li.as("a").join(li.select(col("l_orderkey").as("k")).as("b"),
+        col("a.l_orderkey") === col("b.k")).count()
+      assert(n > 0)
     }
-    // the same shape with genuinely two-sided equality passes under the cap
-    val n = li.as("a").join(li.select(col("l_orderkey").as("k")).as("b"),
-      col("a.l_orderkey") === col("b.k")).count()
-    assert(n > 0)
   }
 }
