@@ -62,6 +62,19 @@ object Bpe {
     out.toSeq
   }
 
+  /** Encode one word with a FROZEN merge table: apply each merge in
+    * training order (the standard BPE inference rule — training order IS
+    * priority order). Every output symbol is either a single codepoint or
+    * the concatenation of some merge's (left, right) by construction.
+    * This is the tokenizer-APPLY path: train once on a corpus sample,
+    * broadcast the (tiny) merge list, encode unseen text per partition —
+    * no shuffle at all on the encode side.
+    */
+  def encode(word: String, merges: Seq[Merge]): Seq[String] =
+    merges.foldLeft(symbolize(word)) { (syms, m) =>
+      if (syms.length < 2) syms else applyMerge(syms, m.left, m.right)
+    }
+
   /** Train up to `k` merges; stops early when no adjacent pair remains.
     * Deterministic: pair counts are exact integers and ties break on
     * (left, right) lexicographic order. Pair occurrences are counted

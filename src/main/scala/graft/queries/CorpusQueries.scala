@@ -228,7 +228,9 @@ object CorpusQueries {
       val (merges, vocab) = Bpe.train(s, words, k, numPartitions = Some(4))
       val stats = vocab
         .map(v => (if (v.syms.mkString == v.word) 0L else 1L,
-          v.freq * v.word.length, v.freq * v.syms.length, 1L))
+          // codePointCount, not String.length: the oracle's length() counts
+          // codepoints, and symbolize() is codepoint-based since r6
+          v.freq * v.word.codePointCount(0, v.word.length), v.freq * v.syms.length, 1L))
         .reduce((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4))
       vocab.unpersist()
       val (bad, tokensChars, tokensBpe, nWords) = stats
@@ -244,6 +246,51 @@ object CorpusQueries {
         merges.head.left, merges.head.right, merges.head.weight))
         .toDF("n_merges", "n_words", "tokens_chars",
           "top_left", "top_right", "top_weight")
+    },
+
+    // BPE tokenizer APPLY — the inference half of the tokenizer story:
+    // train merges on 4/5 of the corpus, freeze them, and encode the
+    // HELD-OUT fifth (text the trainer never saw) by replaying merges in
+    // training order (standard BPE priority rule, Bpe.encode). The encode
+    // side is shuffle-free by design: the merge table is tiny (k rows)
+    // and rides the closure, so at 100 TB this is a pure map over the
+    // corpus — exactly how a tokenizer runs in a training-data pipeline.
+    // Oracle: the held-out population (token occurrences + codepoint
+    // total) is plain SQL; the encoding's own contracts — LOSSLESS
+    // (symbols concat back to the word), STRUCTURAL (every multi-char
+    // symbol is the concatenation of some trained merge), and COMPRESSIVE
+    // bounds (n_tokens <= encoded length <= char length) — become a
+    // violation count pinned to 0.
+    Q("x_bpe_encode",
+      """WITH toks AS (SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |    t -> t <> '')) AS w FROM documents WHERE doc_id % 5 = 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+        |CAST(sum(length(w)) AS BIGINT) AS total_chars,
+        |CAST(0 AS BIGINT) AS n_violations FROM toks""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      def words(part: org.apache.spark.sql.DataFrame) = part
+        .select(explode(filter(split(lower(col("text")), " "), t => t =!= "")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("f")).as[(String, Long)]
+      val (merges, vocab) =
+        Bpe.train(s, words(docs.where(col("doc_id") % 5 =!= 0)), 12,
+          numPartitions = Some(4))
+      vocab.unpersist()
+      val mergedSyms = merges.map(m => m.left + m.right).toSet
+      val stats = words(docs.where(col("doc_id") % 5 === 0)).map { case (w, f) =>
+        val syms = graft.operators.Bpe.encode(w, merges)
+        val lossless = syms.mkString == w
+        val structural = syms.forall(sym =>
+          sym.codePointCount(0, sym.length) == 1 || mergedSyms.contains(sym))
+        (f, f * w.codePointCount(0, w.length), f * syms.length,
+          if (lossless && structural) 0L else 1L)
+      }.reduce((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4))
+      val (nTokens, totalChars, totalBpe, bad) = stats
+      Gate.check(bad == 0, s"$bad held-out words fail lossless/structural encode")
+      Gate.check(nTokens <= totalBpe && totalBpe <= totalChars,
+        s"encoded total $totalBpe outside [$nTokens, $totalChars]")
+      Seq((nTokens, totalChars, 0L))
+        .toDF("n_tokens", "total_chars", "n_violations")
     }
   )
 }

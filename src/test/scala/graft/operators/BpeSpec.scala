@@ -46,6 +46,24 @@ class BpeSpec extends SparkSpec {
     assert(merges.map(m => (m.left, m.right, m.weight)) == Seq((emoji, emoji, 3L)))
   }
 
+  test("encode applies frozen merges in training order to unseen words") {
+    val merges = Seq(Bpe.Merge("e", "s", 9), Bpe.Merge("es", "t", 9),
+      Bpe.Merge("l", "o", 7))
+    // "lowest" was never in the training corpus; the textbook merges
+    // still tokenize it as lo|w|est (priority = training order)
+    assert(Bpe.encode("lowest", merges) == Seq("lo", "w", "est"))
+    // no applicable merge -> plain codepoint symbolization
+    assert(Bpe.encode("xyz", merges) == Seq("x", "y", "z"))
+    assert(Bpe.encode("", merges) == Seq.empty)
+    // partial application: (e,s) fires, (es,t) can't (no trailing t)
+    assert(Bpe.encode("les", merges) == Seq("l", "es"))
+    // every output symbol is a single codepoint or a trained merge concat
+    val allowed = merges.map(m => m.left + m.right).toSet
+    for (w <- Seq("lowest", "wilder", "estes"))
+      assert(Bpe.encode(w, merges).forall(s =>
+        s.codePointCount(0, s.length) == 1 || allowed.contains(s)))
+  }
+
   test("stops early when no pair remains") {
     import spark.implicits._
     val words = Seq(("ab", 4L)).toDS()
