@@ -184,6 +184,42 @@ object Similarity {
     } finally c.unpersist()
   }
 
+  /** Scalar int8 quantization of an array<double> vector: per-vector
+    * symmetric max-abs scaling, `round(v / maxabs * 127)` stored as
+    * array<tinyint> — 4x fewer bytes than float32 (16x vs double) in scan,
+    * cache, and shuffle. Cosine is invariant to per-vector scale, so the
+    * scale factor never needs to be stored or re-applied for similarity
+    * search: cos(quant(v), q) ~= cos(v, q) with error bounded by the
+    * 1/254 rounding step per dimension. Pure higher-order functions —
+    * codegen'd, no UDF.
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val maxAbs = aggregate(vec, lit(0.0d), (acc, v) => greatest(acc, abs(v)))
+    transform(vec, v => round(v / greatest(maxAbs, lit(1e-12d)) * 127).cast("tinyint"))
+  }
+
+  /** Brute-force cosine top-k over an int8-QUANTIZED corpus, asymmetric
+    * (queries stay full-precision — they're tiny, and asymmetric distance
+    * loses half the quantization error for free). This is the memory-bound
+    * scale path: at 100 TB of float32 embeddings the scan is I/O-bound, and
+    * the int8 corpus reads 4x fewer bytes for ~1e-3 cosine error; compose
+    * with ivfTopK's inverted lists to also cut the candidate count. Same
+    * exchange shape as bruteForceTopK: O(partitions * k) heap rows, no
+    * corpus shuffle.
+    */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    requireIntegralId(corpus, idCol)
+    val c = corpus.select(col(idCol).cast("long").as("vid"),
+      quantizeInt8(col(vecCol).cast("array<double>")).as("cv8"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("sim", round(graft.functions.GraftFunctions.graft_cosine(
+        col("cv8").cast("array<double>"), col("qv")), 4))
+    topKPerQuery(scored, k)
+  }
+
   /** LSH-bucketed approximate top-k, OR-amplified over numTables independent
     * hyperplane signatures: a candidate is any corpus vector sharing ANY
     * table's bucket with the query. Each table's bucket join touches

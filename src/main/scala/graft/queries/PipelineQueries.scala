@@ -372,6 +372,44 @@ object PipelineQueries {
         .toDF("n_truth", "n_violations")
     },
 
+    // Int8-quantized brute-force top-k (asymmetric: full-precision queries
+    // against the max-abs-scaled int8 corpus). The scale argument: at 100 TB
+    // of float32 embeddings the exact scan is I/O-bound, and the int8 corpus
+    // reads 4x fewer bytes for ~1e-3 cosine error — compose with IVF lists
+    // to also cut candidates. Oracle: the truth-set size and the 4x logical
+    // byte ratio are plain SQL (embeddings is float32 = 4 bytes/dim, int8 =
+    // 1); Spark recomputes bytes_int8 from the ACTUAL quantized column (so a
+    // dimension-dropping quantizer goes red), and the >=0.9 recall contract
+    // vs exact brute-force truth becomes a violation count pinned to 0.
+    Q("x_ann_quantized",
+      """SELECT CAST(10 * count(*) FILTER (WHERE vec_id < 5) AS BIGINT) AS n_truth,
+        |CAST(sum(4 * len(embedding)) AS BIGINT) AS bytes_fp32,
+        |CAST(sum(len(embedding)) AS BIGINT) AS bytes_int8,
+        |CAST(0 AS BIGINT) AS n_violations FROM embeddings""".stripMargin) { (s, dir) =>
+      val emb = par(Tables(s, dir, "embeddings"))
+      val queries = emb.where(col("vec_id") < 5)
+      val qt = Similarity.quantizedTopK(emb, queries, "vec_id", "embedding", k = 10)
+        .select(col("qid"), col("vid"), lit(1).as("hit"))
+      val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+        .select(col("qid"), col("vid"))
+      val r = bf.join(qt, Seq("qid", "vid"), "left_outer")
+        .agg(count(lit(1)).as("n_truth"), coalesce(sum("hit"), lit(0L)).as("n_hits")).first()
+      val (total, hits) = (r.getLong(0), r.getLong(1))
+      // Measured recall on the fixture is 1.0 (rank-margin >> 1e-3 rounding
+      // error); 0.9 leaves tie-boundary slack while a broken quantizer (sign
+      // flips, saturation, dropped dims) scores far below.
+      Gate.check(total > 0 && hits.toDouble / total >= 0.9,
+        s"int8 recall $hits/$total below 0.9 vs exact truth")
+      val b = emb.select(
+        sum(lit(4) * size(col("embedding"))).as("fp32"),
+        sum(size(Similarity.quantizeInt8(col("embedding").cast("array<double>"))))
+          .as("int8")).first()
+      import s.implicits._
+      Seq((total, b.getLong(0), b.getLong(1),
+        if (hits.toDouble / total >= 0.9) 0L else 1L))
+        .toDF("n_truth", "bytes_fp32", "bytes_int8", "n_violations")
+    },
+
     // -- Text analysis --------------------------------------------------
 
     // Quality stats per doc: portable length/token/stopword math.

@@ -68,6 +68,34 @@ class PipelineSpec extends SparkSpec {
       Set((0L, 0L), (1L, 1L), (2L, 2L)))
   }
 
+  test("int8-quantized top-k: tiny cosine error, dims preserved, recall vs exact") {
+    // quantization error bound: cos(quant(v), v) >= 0.999 for every corpus
+    // vector (max-abs scaling, 1/254 rounding step per dimension)
+    import graft.functions.GraftFunctions.graft_cosine
+    val err = emb.select(graft_cosine(
+      Similarity.quantizeInt8(col("embedding").cast("array<double>"))
+        .cast("array<double>"),
+      col("embedding").cast("array<double>")).as("c"))
+      .where(col("c") < 0.999).count()
+    assert(err == 0)
+    // dimension count survives quantization exactly
+    val dimMismatch = emb.where(
+      size(Similarity.quantizeInt8(col("embedding").cast("array<double>")))
+        =!= size(col("embedding"))).count()
+    assert(dimMismatch == 0)
+    // asymmetric quantized search reproduces the exact top-10 on the fixture
+    val queries = emb.where(col("vec_id") < 3)
+    val qt = Similarity.quantizedTopK(emb, queries, "vec_id", "embedding", 10)
+      .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bf.intersect(qt).size >= 27, s"recall ${bf.intersect(qt).size}/30")
+    // self is still rank-1 with sim ~1.0 through the quantized path
+    assert(Set(0L, 1L, 2L).subsetOf(
+      Similarity.quantizedTopK(emb, queries, "vec_id", "embedding", 1)
+        .where(col("vid") === col("qid")).collect().map(_.getLong(0)).toSet))
+  }
+
   test("lsh top-k returns same-bucket candidates incl. self") {
     val topk = Similarity.lshTopK(emb, emb.where(col("vec_id") < 3),
       "vec_id", "embedding", k = 5, numPlanes = 4)
