@@ -88,7 +88,7 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-      iterations: Int = 3): DataFrame = {
+      iterations: Int = 3, quantizeStorage: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     requireIntegralId(corpus, idCol)
     import graft.functions.GraftFunctions.{graft_cosine, graft_nearest_centroid}
@@ -159,8 +159,22 @@ object Similarity {
     }
     def centroidLit: Column = typedlit(centroids.map(_.toSeq).toSeq)
 
-    // ---- index: final narrow assignment of each vector to its list ----
-    val index = c.withColumn("cid", graft_nearest_centroid(col("cv"), centroidLit))
+    // ---- index: final narrow assignment of each vector to its list.
+    // quantizeStorage composes the two scale levers: IVF cuts the CANDIDATE
+    // count (nprobe/nlist of the corpus per query), int8 cuts the BYTES per
+    // candidate 4x. Assignment always runs at full precision (list quality
+    // is set once at build time; the rounding error belongs in the scored
+    // residual, not the partition boundary), and queries stay full-precision
+    // (asymmetric distance) — cosine's per-vector scale invariance means no
+    // scale factor is stored.
+    val assigned = c.withColumn("cid", graft_nearest_centroid(col("cv"), centroidLit))
+    // the quantized index column stays array<tinyint> — that is what a
+    // persisted index would store; the cast to double happens only inside
+    // the scoring expression (a no-op on the full-precision path)
+    val index =
+      if (quantizeStorage)
+        assigned.select(col("vid"), quantizeInt8(col("cv")).as("cv"), col("cid"))
+      else assigned
 
     // ---- search: nprobe nearest lists per query. The query side is tiny,
     // so the centroid ranking is a small local crossJoin (nqueries x nlist
@@ -176,7 +190,8 @@ object Similarity {
       .where(col("crn") <= nprobe)
       .select("qid", "qv", "cid")
     val scored = index.join(broadcast(probes), "cid")
-      .withColumn("sim", round(graft_cosine(col("cv"), col("qv")), 4))
+      .withColumn("sim",
+        round(graft_cosine(col("cv").cast("array<double>"), col("qv")), 4))
     // Materialize the (tiny) top-k result eagerly so the corpus cache can be
     // released instead of squatting for the rest of the session — the
     // finally releases it even when fit/search throws mid-flight.

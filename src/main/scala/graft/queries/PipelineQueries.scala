@@ -400,13 +400,26 @@ object PipelineQueries {
       // flips, saturation, dropped dims) scores far below.
       Gate.check(total > 0 && hits.toDouble / total >= 0.9,
         s"int8 recall $hits/$total below 0.9 vs exact truth")
+      // The COMPOSED scale path — IVF lists (candidate cut) over int8
+      // storage (byte cut) — is gated here too, so "composable with IVF"
+      // is measured, not asserted: same 0.8 bound as x_ann_ivf's
+      // full-precision path (quantization error is well inside the
+      // probe-boundary slack).
+      val ivfq = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+        k = 10, nlist = 16, nprobe = 6, iterations = 2, quantizeStorage = true)
+        .select(col("qid"), col("vid"), lit(1).as("hit2"))
+      val hits2 = bf.join(ivfq, Seq("qid", "vid"), "left_outer")
+        .agg(coalesce(sum("hit2"), lit(0L))).first().getLong(0)
+      Gate.check(hits2.toDouble / total >= 0.8,
+        s"IVF+int8 recall $hits2/$total below 0.8 vs exact truth")
       val b = emb.select(
         sum(lit(4) * size(col("embedding"))).as("fp32"),
         sum(size(Similarity.quantizeInt8(col("embedding").cast("array<double>"))))
           .as("int8")).first()
       import s.implicits._
       Seq((total, b.getLong(0), b.getLong(1),
-        if (hits.toDouble / total >= 0.9) 0L else 1L))
+        if (hits.toDouble / total >= 0.9 && hits2.toDouble / total >= 0.8) 0L
+        else 1L))
         .toDF("n_truth", "bytes_fp32", "bytes_int8", "n_violations")
     },
 

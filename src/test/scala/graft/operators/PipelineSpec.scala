@@ -94,6 +94,12 @@ class PipelineSpec extends SparkSpec {
     assert(Set(0L, 1L, 2L).subsetOf(
       Similarity.quantizedTopK(emb, queries, "vec_id", "embedding", 1)
         .where(col("vid") === col("qid")).collect().map(_.getLong(0)).toSet))
+    // composed path: IVF lists over int8 storage — recall vs exact truth
+    // within the same bound the full-precision IVF path meets
+    val ivfq = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 10,
+      nlist = 8, nprobe = 4, iterations = 2, quantizeStorage = true)
+      .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bf.intersect(ivfq).size >= 24, s"IVF+int8 ${bf.intersect(ivfq).size}/30")
   }
 
   test("lsh top-k returns same-bucket candidates incl. self") {
