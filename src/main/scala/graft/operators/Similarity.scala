@@ -210,7 +210,14 @@ object Similarity {
     */
   def quantizeInt8(vec: Column): Column = {
     val maxAbs = aggregate(vec, lit(0.0d), (acc, v) => greatest(acc, abs(v)))
-    transform(vec, v => round(v / greatest(maxAbs, lit(1e-12d)) * 127).cast("tinyint"))
+    // zip_with against array_repeat(maxAbs, ...) evaluates the max-abs
+    // aggregate ONCE per row (as an argument), then streams it alongside
+    // each element. Referencing maxAbs inside a transform() lambda instead
+    // would inline the whole aggregate into the lambda body — re-evaluated
+    // per ELEMENT, O(dim^2) per vector — and CSE does not reach inside
+    // higher-order-function lambdas.
+    zip_with(vec, array_repeat(greatest(maxAbs, lit(1e-12d)), size(vec)),
+      (v, m) => round(v / m * 127).cast("tinyint"))
   }
 
   /** Brute-force cosine top-k over an int8-QUANTIZED corpus, asymmetric
