@@ -50,6 +50,25 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("quantized ANN: bounded heap, one qid exchange, corpus never shuffles") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val emb = graft.Tables(spark, sf0001, "embeddings")
+    val qt = Similarity.quantizedTopK(emb, emb.where(col("vec_id") < 3),
+      "vec_id", "embedding", 5)
+    val p = qt.queryExecution.executedPlan.toString
+    assert(p.contains("graft_topk"), "quantized path lost the bounded-heap aggregate")
+    assert(!p.contains("Window"), s"quantized path grew a Window:\n$p")
+    // exactly ONE hash shuffle — the heap aggregate's O(partitions*k) qid
+    // exchange; the int8 corpus itself must never ride an exchange
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1, s"expected 1 shuffle exchange, found $shuffles:\n$p")
+    // (ivfTopK's plan is not assertable here: it localCheckpoints eagerly,
+    // so the returned frame is a checkpoint scan — the composed IVF+int8
+    // path is pinned by value instead: PipelineSpec's recall bound and
+    // x_ann_quantized's in-query gate.)
+  }
+
   test("q1: partial aggregation before the exchange") {
     val p = plan("q1_agg")
     // two HashAggregates (partial + final) around one shuffle
