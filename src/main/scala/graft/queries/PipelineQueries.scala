@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, ProductQuantizer, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline extensions (builder prompt): deduplication,
@@ -421,6 +421,43 @@ object PipelineQueries {
         if (hits.toDouble / total >= 0.9 && hits2.toDouble / total >= 0.8) 0L
         else 1L))
         .toDF("n_truth", "bytes_fp32", "bytes_int8", "n_violations")
+    },
+
+    // Product quantization + ADC search (Jégou et al. TPAMI'11 — the
+    // IVF-PQ architecture FAISS runs at billion-vector scale): 8 subspaces
+    // x 16-code codebooks store each 64-dim vector as 8 bytes — 32x
+    // smaller than float32, vs scalar int8's 4x. Scoring never decodes
+    // the corpus: per query a (8 x 16) dot table is built once and each
+    // candidate costs 8 lookups instead of 64 multiplies. Oracle: the
+    // query population and BOTH byte totals are plain SQL (bytes_pq is
+    // 8 * corpus rows by construction; Spark recomputes it from the
+    // ACTUAL coded column, so a codebook that drops subspaces goes red),
+    // and the >=18/20 planted-pair recall contract (cosine-0.97 probes,
+    // same population as x_ann_lsh's perturbed arm) is a violation count
+    // pinned to 0.
+    Q("x_ann_pq",
+      """SELECT CAST(count(*) FILTER (WHERE vec_id < 20) AS BIGINT) AS n_queries,
+        |CAST(sum(4 * len(embedding)) AS BIGINT) AS bytes_fp32,
+        |CAST(8 * count(*) AS BIGINT) AS bytes_pq,
+        |CAST(0 AS BIGINT) AS n_violations FROM embeddings""".stripMargin) { (s, dir) =>
+      val emb = par(Tables(s, dir, "embeddings"))
+      val cb = ProductQuantizer.fit(emb, "embedding", "vec_id",
+        m = 8, kCodes = 16, iterations = 2)
+      val queries = emb.where(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          perturb(col("embedding").cast("array<double>")).as("embedding"))
+      val topk = ProductQuantizer.adcTopK(emb, queries, "vec_id", "embedding",
+        k = 10, prefit = Some(cb))
+      val nQueries = queries.count()
+      val nFound = topk.where(col("vid") === col("qid") - 1000000L).count()
+      Gate.check(nFound >= 18,
+        s"PQ ADC recovered only $nFound/$nQueries planted neighbors")
+      val bytesFp32 = emb.agg(sum(lit(4) * size(col("embedding")))).first().getLong(0)
+      val bytesPq = emb.select(ProductQuantizer.encode(col("embedding"), cb).as("codes"))
+        .agg(sum(size(col("codes")))).first().getLong(0)
+      import s.implicits._
+      Seq((nQueries, bytesFp32, bytesPq, if (nFound >= 18) 0L else 1L))
+        .toDF("n_queries", "bytes_fp32", "bytes_pq", "n_violations")
     },
 
     // -- Text analysis --------------------------------------------------

@@ -102,6 +102,29 @@ class PipelineSpec extends SparkSpec {
     assert(bf.intersect(ivfq).size >= 24, s"IVF+int8 ${bf.intersect(ivfq).size}/30")
   }
 
+  test("product quantization: deterministic fit, valid codes, planted-pair ADC recall") {
+    import graft.operators.ProductQuantizer
+    // fit is deterministic: same corpus, same seeding -> identical codebooks
+    val cb1 = ProductQuantizer.fit(emb, "embedding", "vec_id", m = 8, kCodes = 16, iterations = 2)
+    val cb2 = ProductQuantizer.fit(emb, "embedding", "vec_id", m = 8, kCodes = 16, iterations = 2)
+    assert(cb1.m == 8 && cb1.subDim == 8)
+    assert(cb1.codes.flatten.flatten.toSeq == cb2.codes.flatten.flatten.toSeq)
+    // every code id is a valid tinyint index into its codebook
+    val coded = emb.select(ProductQuantizer.encode(col("embedding"), cb1).as("c"))
+    assert(coded.where(exists(col("c"),
+      x => x < 0 || x >= cb1.codes(0).length)).count() == 0)
+    assert(coded.where(size(col("c")) =!= 8).count() == 0)
+    // ADC retrieval: perturbed copies (cosine ~0.97) must find their source
+    // in the top-10 — the 0.97-vs-0.3 margin dwarfs PQ quantization error
+    val perturbed = emb.where(col("vec_id") < 10)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          (x, i) => x * (lit(1.0) + lit(0.1) * sin(i.cast("double")))).as("embedding"))
+    val found = ProductQuantizer.adcTopK(emb, perturbed, "vec_id", "embedding", 10)
+      .where(col("vid") === col("qid") - 1000000L).count()
+    assert(found >= 8, s"ADC recovered only $found/10 planted neighbors")
+  }
+
   test("lsh top-k returns same-bucket candidates incl. self") {
     val topk = Similarity.lshTopK(emb, emb.where(col("vec_id") < 3),
       "vec_id", "embedding", k = 5, numPlanes = 4)
