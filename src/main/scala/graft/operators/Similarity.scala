@@ -101,28 +101,70 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
 
-    // ---- fit: Lloyd's iterations. Centroids live on the driver
-    // (nlist x dim doubles — a few KB). Each pass is ONE narrow job: every
-    // partition computes nlist partial (sum-vector, count) pairs against the
-    // broadcast centroids, combined by treeAggregate (depth 2, so a
-    // 1000-executor cluster merges partials in a tree, not on the driver).
-    // Zero shuffle of the corpus, zero replication — the same update shape
-    // Spark MLlib's k-means uses.
-    // Seeding: the nlist lowest-id vectors. orderBy+limit compiles to
-    // TakeOrderedAndProject — a per-partition bounded heap of nlist rows
-    // merged on the driver, NOT a global sort — and unlike a bare limit()
-    // (nondeterministic under partition racing) the result is identical on
-    // every cluster layout, which the fixed-iteration fit depends on.
-    // (A hash-spread sample — orderBy(xxhash64(vid)) — was tried and
-    // MEASURED WORSE here: recall vs brute-force truth fell 0.8+ -> 0.62
-    // on the fixture corpus at the same nlist/nprobe/iterations; with few
-    // Lloyd's iterations, seed placement dominates list quality, and
-    // k-means++-style spreading would cost a pass per seed.)
+    val centroids = fitCentroids(c, nlist, iterations)
+    def centroidLit: Column = typedlit(centroids.map(_.toSeq).toSeq)
+
+    // ---- index: final narrow assignment of each vector to its list.
+    // quantizeStorage composes the two scale levers: IVF cuts the CANDIDATE
+    // count (nprobe/nlist of the corpus per query), int8 cuts the BYTES per
+    // candidate 4x. Assignment always runs at full precision (list quality
+    // is set once at build time; the rounding error belongs in the scored
+    // residual, not the partition boundary), and queries stay full-precision
+    // (asymmetric distance) — cosine's per-vector scale invariance means no
+    // scale factor is stored.
+    val assigned = c.withColumn("cid", graft_nearest_centroid(col("cv"), centroidLit))
+    // the quantized index column stays array<tinyint> — that is what a
+    // persisted index would store; the cast to double happens only inside
+    // the scoring expression (a no-op on the full-precision path)
+    val index =
+      if (quantizeStorage)
+        assigned.select(col("vid"), quantizeInt8(col("cv")).as("cv"), col("cid"))
+      else assigned
+
+    // ---- search: nprobe nearest lists per query. The query side is tiny,
+    // so the centroid ranking is a small local crossJoin (nqueries x nlist
+    // rows) — the corpus-side work is a broadcast-hash join on cid.
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+    val probes = probeLists(q, centroids, nprobe)
+    val scored = index.join(broadcast(probes), "cid")
+      .withColumn("sim",
+        round(graft_cosine(col("cv").cast("array<double>"), col("qv")), 4))
+    // Materialize the (tiny) top-k result eagerly so the corpus cache can be
+    // released instead of squatting for the rest of the session — the
+    // finally releases it even when fit/search throws mid-flight.
+    topKPerQuery(scored, k).localCheckpoint(true)
+    } finally c.unpersist()
+  }
+
+  /** Lloyd's k-means over a projected (vid:long, cv:array<double>) frame —
+    * the coarse-quantizer fit shared by ivfTopK and ProductQuantizer's
+    * IVF-PQ composition. Centroids live on the driver (nlist x dim doubles
+    * — a few KB). Each pass is ONE narrow job: every partition computes
+    * nlist partial (sum-vector, count) pairs against the broadcast
+    * centroids, combined by treeAggregate (depth 2, so a 1000-executor
+    * cluster merges partials in a tree, not on the driver). Zero shuffle of
+    * the corpus, zero replication — the same update shape Spark MLlib's
+    * k-means uses.
+    * Seeding: the nlist lowest-id vectors. orderBy+limit compiles to
+    * TakeOrderedAndProject — a per-partition bounded heap of nlist rows
+    * merged on the driver, NOT a global sort — and unlike a bare limit()
+    * (nondeterministic under partition racing) the result is identical on
+    * every cluster layout, which the fixed-iteration fit depends on.
+    * (A hash-spread sample — orderBy(xxhash64(vid)) — was tried and
+    * MEASURED WORSE here: recall vs brute-force truth fell 0.8+ -> 0.62
+    * on the fixture corpus at the same nlist/nprobe/iterations; with few
+    * Lloyd's iterations, seed placement dominates list quality, and
+    * k-means++-style spreading would cost a pass per seed.)
+    */
+  private[operators] def fitCentroids(c: DataFrame, nlist: Int,
+      iterations: Int): Array[Array[Double]] = {
+    val spark = c.sparkSession
+    import spark.implicits._
     var centroids: Array[Array[Double]] =
       c.orderBy("vid").limit(nlist).select("cv").collect()
         .map(_.getSeq[Double](0).toArray)
     require(centroids.nonEmpty,
-      s"ivfTopK: corpus has no rows with a non-null '$vecCol' — cannot seed $nlist centroids")
+      s"fitCentroids: corpus has no rows with a non-null vector — cannot seed $nlist centroids")
     val vecRdd = c.select("cv").as[Seq[Double]].rdd.map(_.toArray)
 
     for (_ <- 1 to iterations) {
@@ -157,46 +199,28 @@ object Similarity {
         else sums(i).map(_ / counts(i))
       }
     }
-    def centroidLit: Column = typedlit(centroids.map(_.toSeq).toSeq)
+    centroids
+  }
 
-    // ---- index: final narrow assignment of each vector to its list.
-    // quantizeStorage composes the two scale levers: IVF cuts the CANDIDATE
-    // count (nprobe/nlist of the corpus per query), int8 cuts the BYTES per
-    // candidate 4x. Assignment always runs at full precision (list quality
-    // is set once at build time; the rounding error belongs in the scored
-    // residual, not the partition boundary), and queries stay full-precision
-    // (asymmetric distance) — cosine's per-vector scale invariance means no
-    // scale factor is stored.
-    val assigned = c.withColumn("cid", graft_nearest_centroid(col("cv"), centroidLit))
-    // the quantized index column stays array<tinyint> — that is what a
-    // persisted index would store; the cast to double happens only inside
-    // the scoring expression (a no-op on the full-precision path)
-    val index =
-      if (quantizeStorage)
-        assigned.select(col("vid"), quantizeInt8(col("cv")).as("cv"), col("cid"))
-      else assigned
-
-    // ---- search: nprobe nearest lists per query. The query side is tiny,
-    // so the centroid ranking is a small local crossJoin (nqueries x nlist
-    // rows) — the corpus-side work is a broadcast-hash join on cid.
+  /** Rank the coarse centroids per query and keep the nprobe nearest lists:
+    * (qid, qv) -> (qid, qv, cid). The crossJoin is (nqueries x nlist) —
+    * driver-small by the query-set contract — and the Window is partitioned
+    * by qid (PlanGuard-clean).
+    */
+  private[operators] def probeLists(q: DataFrame,
+      centroids: Array[Array[Double]], nprobe: Int): DataFrame = {
+    import graft.functions.GraftFunctions.graft_cosine
+    val spark = q.sparkSession
+    import spark.implicits._
     val centDf = spark.createDataset(
       centroids.toSeq.zipWithIndex.map { case (a, i) => (i, a.toSeq) })
       .toDF("cid", "centroid")
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
-    val probes = q.crossJoin(broadcast(centDf))
+    q.crossJoin(broadcast(centDf))
       .withColumn("csim", graft_cosine(col("qv"), col("centroid")))
       .withColumn("crn", row_number().over(
         Window.partitionBy("qid").orderBy(col("csim").desc, col("cid"))))
       .where(col("crn") <= nprobe)
       .select("qid", "qv", "cid")
-    val scored = index.join(broadcast(probes), "cid")
-      .withColumn("sim",
-        round(graft_cosine(col("cv").cast("array<double>"), col("qv")), 4))
-    // Materialize the (tiny) top-k result eagerly so the corpus cache can be
-    // released instead of squatting for the rest of the session — the
-    // finally releases it even when fit/search throws mid-flight.
-    topKPerQuery(scored, k).localCheckpoint(true)
-    } finally c.unpersist()
   }
 
   /** Scalar int8 quantization of an array<double> vector: per-vector

@@ -460,6 +460,53 @@ object PipelineQueries {
         .toDF("n_queries", "bytes_fp32", "bytes_pq", "n_violations")
     },
 
+    // IVF-PQ — the COMPOSED architecture (FAISS IndexIVFPQ): inverted
+    // lists cut CANDIDATES (each query scores ~nprobe/nlist of the
+    // corpus), PQ codes cut BYTES per candidate 32x; a query touches
+    // ~nprobe/nlist * 1/32 of the float32 bytes. Both fits are
+    // zero-corpus-shuffle treeAggregate k-means; search is one
+    // broadcast-hash join on cid + ADC lookups + the bounded-heap top-k.
+    // Oracle: query population + PQ byte total are plain SQL (Spark
+    // recomputes bytes from the ACTUAL coded column); the >=16/20
+    // planted-pair recall (cosine-0.97 probes — two quantization layers
+    // deep, so slightly looser than flat ADC's 18/20) and the <=60%
+    // candidate-fraction pruning attestation are violation counts pinned
+    // to 0. The candidate bound is what separates this from x_ann_pq: a
+    // broken coarse quantizer that dumps everything into one probed list
+    // would keep recall perfect and fail ONLY the fraction gate.
+    Q("x_ann_ivfpq",
+      """SELECT CAST(count(*) FILTER (WHERE vec_id < 20) AS BIGINT) AS n_queries,
+        |CAST(8 * count(*) AS BIGINT) AS bytes_pq,
+        |CAST(0 AS BIGINT) AS n_violations FROM embeddings""".stripMargin) { (s, dir) =>
+      val emb = par(Tables(s, dir, "embeddings"))
+      val cb = ProductQuantizer.fit(emb, "embedding", "vec_id",
+        m = 8, kCodes = 16, iterations = 2)
+      val queries = emb.where(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          perturb(col("embedding").cast("array<double>")).as("embedding"))
+      val topk = ProductQuantizer.ivfAdcTopK(emb, queries, "vec_id", "embedding",
+        k = 10, nlist = 16, nprobe = 6, iterations = 2, prefit = Some(cb))
+      val nQueries = queries.count()
+      val nFound = topk.where(col("vid") === col("qid") - 1000000L).count()
+      Gate.check(nFound >= 16,
+        s"IVF-PQ recovered only $nFound/$nQueries planted neighbors")
+      // Pruning attestation: candidates actually scored vs a full scan.
+      // topk carries <= k rows per (qid, probed-list) survivor, so count
+      // the scored side directly: rows joined into probed lists.
+      val nCorpus = emb.count()
+      val nCandidates = ProductQuantizer.candidateCount(emb, queries,
+        "vec_id", "embedding", nlist = 16, nprobe = 6, iterations = 2)
+      val fracOk = nCandidates.toDouble / (nCorpus * nQueries) <= 0.6
+      Gate.check(fracOk,
+        s"IVF-PQ scored $nCandidates of ${nCorpus * nQueries} query-candidate " +
+          "pairs — coarse lists are not pruning")
+      val bytesPq = emb.select(ProductQuantizer.encode(col("embedding"), cb).as("codes"))
+        .agg(sum(size(col("codes")))).first().getLong(0)
+      import s.implicits._
+      Seq((nQueries, bytesPq, if (nFound >= 16 && fracOk) 0L else 1L))
+        .toDF("n_queries", "bytes_pq", "n_violations")
+    },
+
     // -- Text analysis --------------------------------------------------
 
     // Quality stats per doc: portable length/token/stopword math.

@@ -125,6 +125,29 @@ class PipelineSpec extends SparkSpec {
     assert(found >= 8, s"ADC recovered only $found/10 planted neighbors")
   }
 
+  test("ivf-pq: composed lists + codes keep planted-pair recall and prune candidates") {
+    import graft.operators.ProductQuantizer
+    val perturbed = emb.where(col("vec_id") < 10)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          (x, i) => x * (lit(1.0) + lit(0.1) * sin(i.cast("double")))).as("embedding"))
+    val found = ProductQuantizer.ivfAdcTopK(emb, perturbed, "vec_id", "embedding",
+      k = 10, nlist = 8, nprobe = 4, iterations = 2)
+      .where(col("vid") === col("qid") - 1000000L).count()
+    assert(found >= 8, s"IVF-PQ recovered only $found/10 planted neighbors")
+    // the coarse lists actually prune: with nprobe=4 of nlist=8 lists each
+    // query scores a strict subset of the corpus (<= ~70% even under skewed
+    // list sizes on the tiny fixture), never the full cross product
+    val nCand = ProductQuantizer.candidateCount(emb, perturbed,
+      "vec_id", "embedding", nlist = 8, nprobe = 4, iterations = 2)
+    val full = emb.count() * perturbed.count()
+    assert(nCand < full * 7 / 10, s"IVF-PQ scored $nCand of $full pairs — no pruning")
+    // candidateCount recomputes the deterministic layout, so a second call
+    // agrees with the first — the attestation attests the searched lists
+    assert(nCand == ProductQuantizer.candidateCount(emb, perturbed,
+      "vec_id", "embedding", nlist = 8, nprobe = 4, iterations = 2))
+  }
+
   test("lsh top-k returns same-bucket candidates incl. self") {
     val topk = Similarity.lshTopK(emb, emb.where(col("vec_id") < 3),
       "vec_id", "embedding", k = 5, numPlanes = 4)

@@ -63,10 +63,11 @@ class PlanShapeSpec extends SparkSpec {
     // exchange; the int8 corpus itself must never ride an exchange
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(shuffles == 1, s"expected 1 shuffle exchange, found $shuffles:\n$p")
-    // (ivfTopK's plan is not assertable here: it localCheckpoints eagerly,
-    // so the returned frame is a checkpoint scan — the composed IVF+int8
-    // path is pinned by value instead: PipelineSpec's recall bound and
-    // x_ann_quantized's in-query gate.)
+    // (ivfTopK's and ivfAdcTopK's plans are not assertable here: they
+    // localCheckpoint eagerly, so the returned frame is a checkpoint scan —
+    // the composed IVF+int8 and IVF-PQ paths are pinned by value instead:
+    // PipelineSpec's recall + candidate-pruning bounds and the in-query
+    // gates of x_ann_quantized / x_ann_ivfpq.)
   }
 
   test("q1: partial aggregation before the exchange") {
