@@ -34,7 +34,7 @@ object ScaleCheck {
     "x_dedup_exact", "x_dedup_minhash", "x_dedup_simhash", "x_dedup_clusters",
     "x_cluster_cc", "x_span_dedup", "x_dedup_embedding",
     "x_ann_bruteforce", "x_ann_lsh", "x_ann_ivf", "x_ann_quantized",
-    "x_ann_pq", "x_ann_ivfpq")
+    "x_ann_pq", "x_ann_ivfpq", "x_knn_join")
 
   private def materialize(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val outDir = new java.io.File(out)

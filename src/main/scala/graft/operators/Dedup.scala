@@ -132,7 +132,7 @@ object Dedup {
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, numPlanes: Int = 8, numTables: Int = 8): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    import graft.functions.GraftFunctions.{graft_cosine, graft_hyperplanes}
+    import graft.functions.GraftFunctions.graft_cosine
     // Vectors feed the signature pass AND both sides of the verify join —
     // persist so the source isn't scanned three times, release at the end.
     val vecs = df.select(col(idCol).as("id"),
@@ -140,15 +140,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Band keys only ride through the explode + bucket join: duplicating the
     // vector column numTables-fold is what would kill this at scale.
-    val banded = vecs.select(col("id"),
-      posexplode(graft_hyperplanes(col("v"), numPlanes, numTables))
-        .as(Seq("t", "bucket")))
-    val a = banded.select(col("t"), col("bucket"), col("id").as("id1"))
-    val b = banded.select(col("t"), col("bucket"), col("id").as("id2"))
-    val candidates = a.join(b, Seq("t", "bucket"))
-      .where(col("id1") < col("id2"))
-      .select("id1", "id2")
-      .dropDuplicates("id1", "id2")
+    val candidates = Similarity.lshCandidatePairs(vecs, numPlanes, numTables)
     val result = candidates
       .join(vecs.select(col("id").as("id1"), col("v").as("v1")), "id1")
       .join(vecs.select(col("id").as("id2"), col("v").as("v2")), "id2")

@@ -223,6 +223,67 @@ object Similarity {
       .select("qid", "qv", "cid")
   }
 
+  /** Hyperplane-LSH candidate pairs over a projected (id, v:array<double>)
+    * frame, OR-amplified across numTables tables: a candidate is any two
+    * ids sharing ANY table's bucket. Only (id, t, bucket) keys ride the
+    * explode + self-join exchange — duplicating the vector column
+    * numTables-fold is what would kill this at scale; verification joins
+    * vectors back by id. Shared by Dedup.embeddingNearDup (thresholded
+    * pairs) and knnJoin (per-row top-k).
+    */
+  private[operators] def lshCandidatePairs(vecs: DataFrame, numPlanes: Int,
+      numTables: Int): DataFrame = {
+    import graft.functions.GraftFunctions.graft_hyperplanes
+    val banded = vecs.select(col("id"),
+      posexplode(graft_hyperplanes(col("v"), numPlanes, numTables))
+        .as(Seq("t", "bucket")))
+    val a = banded.select(col("t"), col("bucket"), col("id").as("id1"))
+    val b = banded.select(col("t"), col("bucket"), col("id").as("id2"))
+    a.join(b, Seq("t", "bucket"))
+      .where(col("id1") < col("id2"))
+      .select("id1", "id2")
+      .dropDuplicates("id1", "id2")
+  }
+
+  /** k-NN self-join: the top-k cosine neighbors for EVERY corpus row — the
+    * large-query-set regime where the broadcast-query contract of
+    * bruteForceTopK / ivfTopK / adcTopK does not hold (queries == corpus,
+    * so neither side is driver-small). This is the graph-builder behind
+    * semantic dedup and clustering: LSH-bucketed candidate generation
+    * (ids-only through the exchange), pair dedup, full-precision verify by
+    * join-back-by-id, then the bounded-heap top-k per row. Each undirected
+    * pair is scored ONCE and feeds both endpoints' heaps.
+    *
+    * Scale: work is sum over buckets of occupancy^2 — callers must scale
+    * numPlanes ~ log2(n/16) (x_dedup_embedding's adaptive formula) so
+    * occupancy stays bounded as the corpus grows. Contract: this surfaces
+    * the HIGH-cosine regime (hyperplane collision probability decays as
+    * (1 - theta/pi)^planes, so ~uncorrelated rows rarely share buckets);
+    * rows with no bucket cohabitant return fewer than k neighbors — the
+    * standard ANN near-neighbor-graph contract, not a defect.
+    */
+  def knnJoin(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      numPlanes: Int = 8, numTables: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    requireIntegralId(corpus, idCol)
+    import graft.functions.GraftFunctions.graft_cosine
+    val vecs = corpus.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val scored = lshCandidatePairs(vecs, numPlanes, numTables)
+        .join(vecs.select(col("id").as("id1"), col("v").as("v1")), "id1")
+        .join(vecs.select(col("id").as("id2"), col("v").as("v2")), "id2")
+        .withColumn("sim", round(graft_cosine(col("v1"), col("v2")), 4))
+        .select("id1", "id2", "sim")
+      val sym = scored
+        .select(col("id1").as("qid"), col("id2").as("vid"), col("sim"))
+        .unionByName(scored
+          .select(col("id2").as("qid"), col("id1").as("vid"), col("sim")))
+      topKPerQuery(sym, k).localCheckpoint(true)
+    } finally vecs.unpersist()
+  }
+
   /** Scalar int8 quantization of an array<double> vector: per-vector
     * symmetric max-abs scaling, `round(v / maxabs * 127)` stored as
     * array<tinyint> — 4x fewer bytes than float32 (16x vs double) in scan,

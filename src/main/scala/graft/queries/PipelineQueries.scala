@@ -507,6 +507,55 @@ object PipelineQueries {
         .toDF("n_queries", "bytes_pq", "n_violations")
     },
 
+    // k-NN self-join: top-k neighbors for EVERY row — the large-query-set
+    // regime (queries == corpus) where the broadcast-query contract of the
+    // other ANN paths does not hold; this is the near-neighbor GRAPH
+    // builder behind semantic dedup / clustering. LSH-bucketed candidates
+    // (ids-only through the exchange, adaptive plane count like
+    // x_dedup_embedding), one score per undirected pair feeding both
+    // endpoints' heaps. Gates: >=18/20 planted cosine-0.97 pairs must be
+    // their perturbed copy's TOP-1 neighbor (not merely top-k — rank is
+    // what a broken heap or a sim-sign bug breaks first), no self-edges,
+    // and no row exceeds k neighbors; all pinned as one violation count.
+    Q("x_knn_join",
+      """SELECT CAST(count(*) + 20 AS BIGINT) AS n_corpus,
+        |CAST(count(*) FILTER (WHERE vec_id < 20) AS BIGINT) AS n_planted,
+        |CAST(0 AS BIGINT) AS n_violations FROM embeddings""".stripMargin) { (s, dir) =>
+      val emb = par(Tables(s, dir, "embeddings"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val injected = emb.where(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          perturb(col("embedding")).as("embedding"))
+      val corpus = emb.unionByName(injected)
+      val n = corpus.count()
+      // same occupancy-bounding formula as x_dedup_embedding: fixed planes
+      // would grow within-bucket pair work quadratically with the corpus
+      val planes = math.max(8, math.min(16,
+        64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, (n - 1) / 16))))
+      val tables = if (planes <= 8) 8 else planes + 1
+      val knn = Similarity.knnJoin(corpus, "vec_id", "embedding", k = 10,
+        numPlanes = planes, numTables = tables)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val top1 = knn.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("qid").orderBy(col("sim").desc, col("vid"))))
+          .where(col("rn") === 1)
+        val nTop1 = top1.where(col("qid") >= 1000000L &&
+          col("vid") === col("qid") - 1000000L).count()
+        Gate.check(nTop1 >= 18,
+          s"knn join: only $nTop1/20 planted pairs are top-1 neighbors")
+        val nSelf = knn.where(col("qid") === col("vid")).count()
+        val maxK = knn.groupBy("qid").count()
+          .agg(coalesce(max("count"), lit(0L))).first().getLong(0)
+        Gate.check(nSelf == 0 && maxK <= 10,
+          s"knn join: $nSelf self-edges, max $maxK neighbors per row")
+        import s.implicits._
+        Seq((n, 20L, if (nTop1 >= 18 && nSelf == 0 && maxK <= 10) 0L else 1L))
+          .toDF("n_corpus", "n_planted", "n_violations")
+      } finally knn.unpersist()
+    },
+
     // -- Text analysis --------------------------------------------------
 
     // Quality stats per doc: portable length/token/stopword math.

@@ -148,6 +148,34 @@ class PipelineSpec extends SparkSpec {
       "vec_id", "embedding", nlist = 8, nprobe = 4, iterations = 2))
   }
 
+  test("knn join: planted pairs are mutual top-1, no self edges, k bound holds") {
+    val perturbed = emb.where(col("vec_id") < 10)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          (x, i) => x * (lit(1.0) + lit(0.1) * sin(i.cast("double")))).as("embedding"))
+    val corpus = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .unionByName(perturbed)
+    val knn = Similarity.knnJoin(corpus, "vec_id", "embedding", k = 5)
+    val rows = knn.collect()
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)), "self edge present")
+    assert(rows.groupBy(_.getLong(0)).forall(_._2.length <= 5), "row exceeds k")
+    // best neighbor per row; deterministic tie-break on lowest vid
+    val top1 = rows.groupBy(_.getLong(0)).map { case (q, rs) =>
+      q -> rs.minBy(r => (-r.getDouble(2), r.getLong(1))).getLong(1)
+    }
+    // the cosine-0.97 planted pair dominates organic similarity in BOTH
+    // directions — the pair is scored once but must feed both heaps
+    val fwd = (0 until 10).count(i => top1.get(i + 1000000L).contains(i.toLong))
+    val bwd = (0 until 10).count(i => top1.get(i.toLong).contains(i + 1000000L))
+    assert(fwd >= 8, s"only $fwd/10 planted rows see their source as top-1")
+    assert(bwd >= 8, s"only $bwd/10 sources see their planted copy as top-1")
+    // edge sims are exact full-precision cosine (verified join-back): the
+    // planted edges' sim must sit at the analytic perturbation cosine
+    val planted = rows.filter(r =>
+      r.getLong(0) < 10 && r.getLong(1) == r.getLong(0) + 1000000L)
+    assert(planted.forall(r => r.getDouble(2) > 0.9 && r.getDouble(2) < 1.0))
+  }
+
   test("lsh top-k returns same-bucket candidates incl. self") {
     val topk = Similarity.lshTopK(emb, emb.where(col("vec_id") < 3),
       "vec_id", "embedding", k = 5, numPlanes = 4)
