@@ -50,12 +50,26 @@ object Bench {
     */
   private[graft] def officialLine(results: Seq[(String, Double)], sfDir: String,
       warm: Seq[(String, Double)] = Nil, budget: Int = 1600,
-      wall: Option[Double] = None, workers: Int = 1): String = {
+      wall: Option[Double] = None, workers: Int = 1,
+      cal: Option[Double] = None): String = {
     val serialSum = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val value = wall.getOrElse(serialSum)
     def ent(kv: (String, Double)): String = s""""${kv._1}":${fmt("%.2f", kv._2)}"""
     val bySlowest = results.sortBy(-_._2)
+    // proto versions the value metric's semantics (r6 advice: the r6
+    // parallel protocol changed `value` from serial per-query sum to suite
+    // wall-clock; consumers comparing across rounds need the version):
+    //   proto absent = serial protocol (value == serial_sum, r1-r5);
+    //   proto 2 = parallel suite (value = wall-clock, serial_sum rides
+    //   alongside, warm = serial uncontended reruns — the only per-query
+    //   numbers comparable across rounds).
+    // cal is the fixed-work CPU calibration (seconds for a pinned
+    // arithmetic loop, see calibrate()): divide warm deltas by the cal
+    // ratio before reading them as regressions — r6's driver box ran the
+    // whole suite ~2x the builder box and every cold delta was noise.
     val head = s"""{"metric":"total","value":${fmt("%.2f", value)},"unit":"sec",""" +
+      s""""proto":2,""" +
+      cal.map(c => s""""cal":${fmt("%.3f", c)},""").getOrElse("") +
       s""""n":${results.size},"workers":$workers,"serial_sum":${fmt("%.2f", serialSum)},"""
     val warmJson = warm.sortBy(_._1).map(ent).mkString(""""warm":{""", ",", "},")
     val tail0 = s""","sf":"$sfDir"}"""
@@ -84,6 +98,29 @@ object Bench {
   private[graft] def queueOrder(names: Seq[String], past: Map[String, Double]): Seq[String] =
     if (past.nonEmpty) names.sortBy(n => (-past.getOrElse(n, 0.0), n))
     else names.sortBy(n => (scala.util.hashing.MurmurHash3.stringHash(n), n))
+
+  /** Fixed-work CPU calibration: a deterministic integer-mix loop (no
+    * allocation, no I/O) timed after a JIT warm pass. The SAME work on any
+    * box, so the ratio of two rounds' `cal` values is the boxes' relative
+    * speed — the divisor that turns cross-round warm deltas into real
+    * plan signals (r6: the driver box ran the suite ~2x the builder's;
+    * without a calibration constant every cold delta was unreadable).
+    * ~0.5s on a current core; the result feeds a volatile sink so the
+    * loop cannot be dead-code-eliminated.
+    */
+  @volatile private var calSink: Long = 0L
+  private[graft] def calibrate(): Double = {
+    def burn(n: Int): Long = {
+      var h = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < n) { h = (h ^ (h >>> 33)) * 0xFF51AFD7ED558CCDL + i; i += 1 }
+      h
+    }
+    calSink = burn(20000000) // JIT warm (C2-compiles burn before timing)
+    val t0 = System.nanoTime()
+    calSink += burn(400000000)
+    (System.nanoTime() - t0) / 1e9
+  }
 
   private def pastTimes(): Map[String, Double] =
     try {
@@ -127,14 +164,19 @@ object Bench {
     // hash-aggregate every column to force full-width data I/O. 32-bit
     // hash, not xxhash64: ANSI mode throws on long overflow when summing
     // 64-bit hashes, and the catch would silently skip the warmup.
-    try {
-      graft.Tables.names.foreach { t =>
-        val df = Tables(spark, sfDir, t)
-        df.select(hash(df.columns.map(col): _*).as("h")).agg(sum("h")).collect()
-      }
-      spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .groupBy("l_returnflag").count().collect()
-    } catch { case _: Throwable => () }
+    def warmTables(): Unit =
+      try {
+        graft.Tables.names.foreach { t =>
+          val df = Tables(spark, sfDir, t)
+          df.select(hash(df.columns.map(col): _*).as("h")).agg(sum("h")).collect()
+        }
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .groupBy("l_returnflag").count().collect()
+      } catch { case _: Throwable => () }
+    warmTables()
+    // Fixed-work CPU calibration, timed in the untimed preamble (after the
+    // JVM is warm, before any measured query) — rides the line as `cal`.
+    val cal = calibrate()
     def run1(s: SparkSession, name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -169,6 +211,17 @@ object Bench {
     threads.foreach(_.join())
     val wall = (System.nanoTime() - wall0) / 1e9
     val results = names.map(n => n -> times.getOrDefault(n, 0.0).doubleValue())
+    // Warm-phase isolation (r6 watch item): the serial warm reruns follow
+    // the 8-worker parallel phase, whose leaked table caches and executor
+    // memory pressure the old serial protocol never created — r6's
+    // l4_cache warm rerun (a persist/unpersist cycle, the query most
+    // sensitive to cache-manager state) regressed 1.45s -> 6.03s exactly
+    // there. Reset to the cold phase's starting state: drop every cached
+    // relation the parallel workers leaked (the cache manager is shared
+    // across newSession()s), then re-run the untimed table warmup so
+    // first-touch page-cache luck doesn't ride the warm numbers either.
+    try spark.catalog.clearCache() catch { case _: Throwable => () }
+    warmTables()
     // Repeated-run protocol: rerun the 10 slowest queries once, warm and
     // SERIAL (uncontended — these are the trustworthy per-query numbers).
     // A query that is slow cold AND warm has a plan problem; one that is
@@ -184,14 +237,16 @@ object Bench {
       kvs.map { case (k, v) => "\"" + k + "\":" + fmt("%.6f", v) }.mkString("{", ",", "}")
     val serialSum = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val fullJson = "{\"total\":" + fmt("%.6f", wall) + ",\"serial_sum\":" +
-      fmt("%.6f", serialSum) + ",\"workers\":" + nWorkers + ",\"sf\":\"" + sfDir +
+      fmt("%.6f", serialSum) + ",\"workers\":" + nWorkers + ",\"cal\":" +
+      fmt("%.6f", cal) + ",\"sf\":\"" + sfDir +
       "\",\"warm\":" + m(warm) + ",\"queries\":" + m(results) + "}"
     try {
       val p = java.nio.file.Paths.get("target", "bench_full.json")
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, fullJson.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    val line = officialLine(results, sfDir, warm, wall = Some(wall), workers = nWorkers)
+    val line = officialLine(results, sfDir, warm, wall = Some(wall),
+      workers = nWorkers, cal = Some(cal))
     spark.stop()
     println(line)
   }

@@ -92,6 +92,9 @@ object GraftFunctions {
       "graft_nearest_centroid",
       exprs => NearestCentroid(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
+      "graft_nearest_centroid_l2",
+      exprs => NearestCentroidL2(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
       "graft_hyperplanes",
       exprs => HyperplaneSignatures(exprs(0), intArg(exprs(1)), intArg(exprs(2))), "built-in")
     reg.createOrReplaceTempFunction(
@@ -134,6 +137,8 @@ object GraftFunctions {
     call_function("graft_shingles", tokens, org.apache.spark.sql.functions.lit(k))
   def graft_nearest_centroid(v: Column, centroids: Column): Column =
     call_function("graft_nearest_centroid", v, centroids)
+  def graft_nearest_centroid_l2(v: Column, centroids: Column): Column =
+    call_function("graft_nearest_centroid_l2", v, centroids)
   def graft_hyperplanes(v: Column, numPlanes: Int, numTables: Int): Column =
     call_function("graft_hyperplanes", v,
       org.apache.spark.sql.functions.lit(numPlanes),
@@ -180,6 +185,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => ShingleSet(exprs(0), ia(exprs(1))))
     inject("graft_nearest_centroid", classOf[NearestCentroid],
       exprs => NearestCentroid(exprs(0), exprs(1)))
+    inject("graft_nearest_centroid_l2", classOf[NearestCentroidL2],
+      exprs => NearestCentroidL2(exprs(0), exprs(1)))
     inject("graft_hyperplanes", classOf[HyperplaneSignatures],
       exprs => HyperplaneSignatures(exprs(0), ia(exprs(1)), ia(exprs(2))))
     inject("graft_topk", classOf[TopKByScore],

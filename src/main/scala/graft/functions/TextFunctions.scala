@@ -91,7 +91,12 @@ object TextFunctions {
 
   /** MinHash signature: numHashes seeded xxhash64 minima over the shingle
     * set. Seeding via the (shingle, seed-index) pair keeps everything inside
-    * builtin codegen'd hashing — no RNG state anywhere.
+    * builtin codegen'd hashing — no RNG state anywhere. This is the
+    * REFERENCE construction (one independent hash per family); the hot
+    * path is the native graft_minhash kernel, which since r7 uses the
+    * Kirsch-Mitzenmacher double-hashed family (2 string hashes per shingle
+    * instead of numHashes) — same collision property, 32x less hash work,
+    * different signature VALUES.
     */
   def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),

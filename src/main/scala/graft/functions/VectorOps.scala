@@ -31,9 +31,17 @@ object VectorOps {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  /** MinHash signature: for each seed 0..numHashes-1, the minimum
-    * XXH64(shingle, seed) over the shingle set. Empty set => Long.MaxValue
-    * sentinel (matches TextFunctions.minhashSignature's coalesce).
+  /** MinHash signature via double hashing (Kirsch-Mitzenmacher): per
+    * shingle, TWO XXH64 string hashes (h1, h2) — hash family i is the
+    * wrapping combination h1 + i*h2, and the signature keeps the per-family
+    * minimum over the shingle set. The r5 kernel hashed every shingle
+    * numHashes TIMES (64 full string passes per shingle): at 100 TB the
+    * signature pass IS the minhash cost, and the combined family cuts the
+    * string-hash work 32x while keeping the collision property
+    * Pr[min_i(A) == min_i(B)] ~= J(A,B) that banding needs (the standard
+    * construction for multi-hash sketches; h2 is forced odd so families
+    * stay distinct mod 2^64). Empty set => Long.MaxValue sentinel (matches
+    * TextFunctions.minhashSignature's coalesce).
     */
   def minhashSig(shingles: ArrayData, numHashes: Int): ArrayData = {
     val m = shingles.numElements()
@@ -43,10 +51,13 @@ object VectorOps {
       val s = if (shingles.isNullAt(j)) null else shingles.getUTF8String(j)
       if (s == null) { j += 1 } else {
       val base = s.getBaseObject; val off = s.getBaseOffset; val len = s.numBytes
+      val h1 = XXH64.hashUnsafeBytes(base, off, len, 0L)
+      val h2 = XXH64.hashUnsafeBytes(base, off, len, 0x9E3779B97F4A7C15L) | 1L
       var i = 0
+      var h = h1
       while (i < numHashes) {
-        val h = XXH64.hashUnsafeBytes(base, off, len, i)
         if (h < sig(i)) sig(i) = h
+        h += h2
         i += 1
       }
       j += 1
@@ -177,6 +188,67 @@ object VectorOps {
     while (c < centroids.length) {
       val sim = cosineArr(vec, centroids(c))
       if (sim > bestSim) { bestSim = sim; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Squared L2 distance (missing/null dims contribute 0 — same absent-
+    * dimension convention as cosine above).
+    */
+  def sqDist(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        val d = a.getDouble(i) - b.getDouble(i)
+        acc += d * d
+      }
+      i += 1
+    }
+    acc
+  }
+
+  def sqDistArr(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { val d = a(i) - b(i); acc += d * d; i += 1 }
+    acc
+  }
+
+  /** Index of the min-squared-L2 centroid (ties -> lowest index) — the
+    * assignment metric PQ codebooks use (Jégou TPAMI'11 / FAISS fit each
+    * subspace's k-means in L2): cosine assignment would discard subvector
+    * MAGNITUDE, merging codes for subvectors that differ only in norm and
+    * leaving the ADC reconstruction error unbounded when energy varies
+    * across subspaces. Cosine remains the final full-vector search metric;
+    * only the per-subspace quantizer is Euclidean.
+    */
+  def nearestCentroidL2(vec: ArrayData, centroids: ArrayData): Int = {
+    val m = centroids.numElements()
+    var best = -1
+    var bestDist = Double.PositiveInfinity
+    var c = 0
+    while (c < m) {
+      if (!centroids.isNullAt(c)) {
+        val d = sqDist(vec, centroids.getArray(c))
+        if (d < bestDist) { bestDist = d; best = c }
+      }
+      c += 1
+    }
+    best
+  }
+
+  /** Plain-array twin of nearestCentroidL2 (RDD-side k-means partials). */
+  def nearestCentroidL2Arr(vec: Array[Double], centroids: Array[Array[Double]]): Int = {
+    var best = -1
+    var bestDist = Double.PositiveInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val d = sqDistArr(vec, centroids(c))
+      if (d < bestDist) { bestDist = d; best = c }
       c += 1
     }
     best

@@ -62,18 +62,40 @@ object Bpe {
     out.toSeq
   }
 
-  /** Encode one word with a FROZEN merge table: apply each merge in
-    * training order (the standard BPE inference rule — training order IS
-    * priority order). Every output symbol is either a single codepoint or
-    * the concatenation of some merge's (left, right) by construction.
-    * This is the tokenizer-APPLY path: train once on a corpus sample,
-    * broadcast the (tiny) merge list, encode unseen text per partition —
-    * no shuffle at all on the encode side.
+  /** Encode one word with a FROZEN merge table: repeatedly apply the
+    * highest-priority (lowest training rank) merge whose pair is adjacent
+    * somewhere in the current symbolization, until no merge applies — the
+    * standard BPE inference rule (Sennrich's apply_bpe / HuggingFace
+    * tokenizers iterate by rank to fixpoint). A single in-order replay
+    * (r6's first cut) diverges when a later merge's output string
+    * recreates an earlier merge's left/right symbol — the earlier merge,
+    * already past, would never re-fire. Every output symbol is either a
+    * single codepoint or the concatenation of some merge's (left, right)
+    * by construction. This is the tokenizer-APPLY path: train once on a
+    * corpus sample, broadcast the (tiny) merge list, encode unseen text
+    * per partition — no shuffle at all on the encode side.
     */
-  def encode(word: String, merges: Seq[Merge]): Seq[String] =
-    merges.foldLeft(symbolize(word)) { (syms, m) =>
-      if (syms.length < 2) syms else applyMerge(syms, m.left, m.right)
+  def encode(word: String, merges: Seq[Merge]): Seq[String] = {
+    var syms = symbolize(word)
+    if (syms.length < 2 || merges.isEmpty) return syms
+    val rank = scala.collection.mutable.HashMap.empty[(String, String), Int]
+    var i = merges.length - 1
+    // reverse iteration: the EARLIEST occurrence of a duplicated pair wins
+    while (i >= 0) { rank((merges(i).left, merges(i).right)) = i; i -= 1 }
+    var done = false
+    while (!done && syms.length >= 2) {
+      var best = Int.MaxValue
+      var j = 0
+      while (j + 1 < syms.length) {
+        val r = rank.getOrElse((syms(j), syms(j + 1)), Int.MaxValue)
+        if (r < best) best = r
+        j += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else syms = applyMerge(syms, merges(best).left, merges(best).right)
     }
+    syms
+  }
 
   /** Train up to `k` merges; stops early when no adjacent pair remains.
     * Deterministic: pair counts are exact integers and ties break on

@@ -36,6 +36,13 @@ object ProductQuantizer {
   /** Deterministic per-subspace k-means over the corpus: all m subspaces
     * fit in the same treeAggregate passes. kCodes <= 127 so a code id
     * always fits a tinyint.
+    *
+    * Assignment metric is squared-L2 per subspace — the construction Jégou
+    * TPAMI'11 and FAISS use. Cosine assignment (r6's first cut) discards
+    * subvector MAGNITUDE: two subvectors differing only in norm would share
+    * a code, leaving the ADC reconstruction error unbounded when energy
+    * varies across subspaces. Cosine remains the final full-vector SEARCH
+    * metric (adcSim); only the quantizer is Euclidean.
     */
   def fit(corpus: DataFrame, vecCol: String, idCol: String, m: Int,
       kCodes: Int, iterations: Int): Codebook = {
@@ -66,7 +73,7 @@ object ProductQuantizer {
           var j = 0
           while (j < m) {
             val sub = v.slice(j * subDim, (j + 1) * subDim)
-            val c = graft.functions.VectorOps.nearestCentroidArr(sub, bc.value(j))
+            val c = graft.functions.VectorOps.nearestCentroidL2Arr(sub, bc.value(j))
             val row = s(j)(c)
             var d = 0
             while (d < sub.length && d < subDim) { row(d) += sub(d); d += 1 }
@@ -104,12 +111,13 @@ object ProductQuantizer {
 
   /** Encode a vector column as its m code ids (array<tinyint>): m narrow
     * nearest-centroid expressions over slice()s — fully native, no UDF.
+    * L2 assignment, matching fit (see fit's scaladoc).
     */
   def encode(vec: Column, cb: Codebook): Column = {
-    import graft.functions.GraftFunctions.graft_nearest_centroid
+    import graft.functions.GraftFunctions.graft_nearest_centroid_l2
     val v = vec.cast("array<double>")
     array((0 until cb.m).map { j =>
-      graft_nearest_centroid(slice(v, j * cb.subDim + 1, cb.subDim),
+      graft_nearest_centroid_l2(slice(v, j * cb.subDim + 1, cb.subDim),
         typedlit(cb.codes(j).map(_.toSeq).toSeq)).cast("tinyint")
     }: _*)
   }
@@ -196,7 +204,8 @@ object ProductQuantizer {
   def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, m: Int = 8, kCodes: Int = 16,
       nlist: Int = 16, nprobe: Int = 4, iterations: Int = 3,
-      prefit: Option[Codebook] = None): DataFrame = {
+      prefit: Option[Codebook] = None,
+      prefitCentroids: Option[Array[Array[Double]]] = None): DataFrame = {
     val spark = corpus.sparkSession
     graft.functions.GraftFunctions.register(spark)
     import graft.functions.GraftFunctions.graft_nearest_centroid
@@ -206,7 +215,8 @@ object ProductQuantizer {
       col(vecCol).cast("array<double>").as("cv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val centroids = Similarity.fitCentroids(c, nlist, iterations)
+      val centroids = prefitCentroids.getOrElse(
+        Similarity.fitCentroids(c, nlist, iterations))
       val cb = prefit.getOrElse(fit(c, "cv", "vid", m, kCodes, iterations))
       // index: list id + codes per vector — a narrow projection; this is
       // the whole persisted index (1 int + m bytes per vector).
@@ -226,14 +236,17 @@ object ProductQuantizer {
   }
 
   /** Attestation helper: how many (query, candidate) pairs ivfAdcTopK's
-    * search scores under this IVF layout. fitCentroids is deterministic
-    * (fixed seeding, fixed iterations, no RNG), so recomputing the layout
-    * here counts exactly the lists a same-parameter search probed — this
-    * drives x_ann_ivfpq's pruning gate without threading a side-channel
-    * through the search result.
+    * search scores under this IVF layout. Pass `prefitCentroids` — the SAME
+    * fitted array the search used — so the counted layout is the searched
+    * layout by construction: fitCentroids' treeAggregate is logically
+    * deterministic, but floating-point partial sums combine in shuffle-
+    * fetch arrival order, so an independent re-fit can differ in final
+    * ulps and flip a near-tie vector's list assignment (r6 advice).
+    * Without prefitCentroids this falls back to re-fitting.
     */
   def candidateCount(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, nlist: Int, nprobe: Int, iterations: Int): Long = {
+      vecCol: String, nlist: Int, nprobe: Int, iterations: Int,
+      prefitCentroids: Option[Array[Array[Double]]] = None): Long = {
     val spark = corpus.sparkSession
     graft.functions.GraftFunctions.register(spark)
     import graft.functions.GraftFunctions.graft_nearest_centroid
@@ -241,7 +254,8 @@ object ProductQuantizer {
       col(vecCol).cast("array<double>").as("cv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val centroids = Similarity.fitCentroids(c, nlist, iterations)
+      val centroids = prefitCentroids.getOrElse(
+        Similarity.fitCentroids(c, nlist, iterations))
       val assigned = c.select(graft_nearest_centroid(col("cv"),
         typedlit(centroids.map(_.toSeq).toSeq)).as("cid"))
       val q = queries.select(col(idCol).cast("long").as("qid"),

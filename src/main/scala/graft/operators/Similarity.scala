@@ -202,6 +202,23 @@ object Similarity {
     centroids
   }
 
+  /** Public coarse-quantizer fit over a raw (id, vec) frame: the fitted
+    * centroid array a caller threads into BOTH ivfAdcTopK and
+    * candidateCount, so the attested IVF layout is the searched layout by
+    * construction (an independent re-fit can differ in final ulps — the
+    * treeAggregate combine order follows shuffle-fetch arrival — and flip
+    * a near-tie vector's list). Fitting once also halves the k-means cost
+    * of an attested search.
+    */
+  def fitCoarseCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iterations: Int): Array[Array[Double]] = {
+    requireIntegralId(corpus, idCol)
+    val c = corpus.select(col(idCol).cast("long").as("vid"),
+      col(vecCol).cast("array<double>").as("cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try fitCentroids(c, nlist, iterations) finally c.unpersist()
+  }
+
   /** Rank the coarse centroids per query and keep the nprobe nearest lists:
     * (qid, qv) -> (qid, qv, cid). The crossJoin is (nqueries x nlist) —
     * driver-small by the query-set contract — and the Window is partitioned

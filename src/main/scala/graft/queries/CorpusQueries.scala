@@ -180,9 +180,21 @@ object CorpusQueries {
           s"freqItems missed true heavy hitters: ${missedSet.take(5)}")
         missedSet.size.toLong
       } else {
-        // bench-scale: sketch-only; the contract was attested at gate SF
+        // bench-scale: the full-vocabulary groupBy stays gate-side, but the
+        // bench row keeps a MEASUREMENT (r6 advice): exact counts for just
+        // the sketch's own candidate set — the isin filter cuts the shuffle
+        // to candidate-matching tokens, a vanishing fraction of the corpus —
+        // and every candidate must actually occur. A sketch emitting phantom
+        // tokens (tokenizer drift, merge corruption) goes red here even
+        // where the one-sided heavy-hitter check doesn't run.
         Gate.check(cand.nonEmpty, "freqItems returned no candidates")
-        0L
+        val present = words.where(col("w").isin(cand.toSeq: _*))
+          .groupBy("w").agg(count(lit(1)).as("c"))
+          .collect().map(_.getString(0)).toSet
+        val phantom = cand -- present
+        Gate.check(phantom.isEmpty,
+          s"freqItems emitted tokens absent from the corpus: ${phantom.take(5)}")
+        phantom.size.toLong
       }
       Seq((n, missed)).toDF("n_tokens", "n_missed")
     },

@@ -122,6 +122,21 @@ class BenchLineSpec extends AnyFunSuite {
     }
   }
 
+  test("cal and proto ride the line; cal is optional") {
+    val results = (1 to 30).map(i => s"q$i" -> 0.5)
+    val withCal = parse(Bench.officialLine(results, "/x", wall = Some(3.0),
+      workers = 4, cal = Some(0.5124)))
+    assert(withCal.get("proto").asInt() == 2)
+    assert(math.abs(withCal.get("cal").asDouble() - 0.512) <= 0.0005)
+    val noCal = parse(Bench.officialLine(results, "/x"))
+    assert(noCal.get("cal") == null && noCal.get("proto").asInt() == 2)
+    // calibrate() returns a plausible fixed-work time and is repeatable
+    // within an order of magnitude (JIT-warmed before timing)
+    val c1 = Bench.calibrate(); val c2 = Bench.calibrate()
+    assert(c1 > 0.01 && c1 < 30.0, s"cal $c1 implausible")
+    assert(c2 / c1 < 10 && c1 / c2 < 10, s"cal unstable: $c1 vs $c2")
+  }
+
   test("queue order scatters or LPT-sorts; never drops or duplicates names") {
     val names = (1 to 100).map(i => s"q$i")
     val scattered = Bench.queueOrder(names, Map.empty)

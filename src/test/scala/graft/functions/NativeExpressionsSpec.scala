@@ -79,6 +79,37 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(e.eval(null) == 0)
   }
 
+  test("graft_nearest_centroid_l2 is magnitude-sensitive where cosine is not") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // two centroids on the SAME ray, different norms: cosine assignment
+    // cannot separate them (ties -> lowest index); L2 picks by magnitude —
+    // the PQ-codebook property the r6 advice called out
+    val cents = typedlit(Seq(Seq(1.0, 0.0), Seq(10.0, 0.0)))
+    val got = Seq(
+      (Seq(0.9, 0.1), 0),   // close to the unit centroid
+      (Seq(9.5, 0.0), 1),   // close to the scaled centroid
+      (Seq(1.0, 0.0), 0))
+      .toDF("v", "expected")
+      .select(GraftFunctions.graft_nearest_centroid_l2(col("v"), cents).as("cid"),
+        col("expected")).collect()
+    assert(got.forall(r => r.getInt(0) == r.getInt(1)))
+    // cosine variant maps all three to index 0 (same direction, tie -> 0)
+    val cos = Seq(Seq(0.9, 0.1), Seq(9.5, 0.0), Seq(1.0, 0.0)).toDF("v")
+      .select(GraftFunctions.graft_nearest_centroid(col("v"), cents).as("cid"))
+      .collect().map(_.getInt(0))
+    assert(cos.forall(_ == 0))
+    // interpreted eval matches codegen path
+    val e = NearestCentroidL2(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Seq(9.5, 0.0),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(Seq(1.0, 0.0), Seq(10.0, 0.0)),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
+    assert(e.eval(null) == 1)
+  }
+
   test("graft_hyperplanes: table 0 equals graft_hyperplane; tables independent") {
     GraftFunctions.register(spark)
     val rows = emb.select(

@@ -46,11 +46,11 @@ class BpeSpec extends SparkSpec {
     assert(merges.map(m => (m.left, m.right, m.weight)) == Seq((emoji, emoji, 3L)))
   }
 
-  test("encode applies frozen merges in training order to unseen words") {
+  test("encode applies frozen merges by priority rank to unseen words") {
     val merges = Seq(Bpe.Merge("e", "s", 9), Bpe.Merge("es", "t", 9),
       Bpe.Merge("l", "o", 7))
     // "lowest" was never in the training corpus; the textbook merges
-    // still tokenize it as lo|w|est (priority = training order)
+    // still tokenize it as lo|w|est (priority = training rank)
     assert(Bpe.encode("lowest", merges) == Seq("lo", "w", "est"))
     // no applicable merge -> plain codepoint symbolization
     assert(Bpe.encode("xyz", merges) == Seq("x", "y", "z"))
@@ -62,6 +62,19 @@ class BpeSpec extends SparkSpec {
     for (w <- Seq("lowest", "wilder", "estes"))
       assert(Bpe.encode(w, merges).forall(s =>
         s.codePointCount(0, s.length) == 1 || allowed.contains(s)))
+  }
+
+  test("encode iterates to fixpoint on symbol-aliasing merge tables") {
+    // ("a","b")'s output makes rank-0 ("ab","c") newly applicable — a
+    // single in-order replay would stop at [ab, c]; the standard
+    // rank-iterative rule (Sennrich apply_bpe / HuggingFace) reaches [abc]
+    val aliasing = Seq(Bpe.Merge("ab", "c", 5), Bpe.Merge("a", "b", 9))
+    assert(Bpe.encode("abc", aliasing) == Seq("abc"))
+    // duplicate pair entries: the earliest rank wins (deterministic)
+    val dup = Seq(Bpe.Merge("a", "b", 9), Bpe.Merge("a", "b", 3))
+    assert(Bpe.encode("ab", dup) == Seq("ab"))
+    // fixpoint still lossless on repeated structure
+    assert(Bpe.encode("abcabc", aliasing).mkString == "abcabc")
   }
 
   test("stops early when no pair remains") {
