@@ -169,16 +169,21 @@ object ProductQuantizer {
     qData.toSeq.toDF("qid", "qv", "qnorm", "dot")
   }
 
+  /** Sum of m table lookups indexed by this row's codes: table is an
+    * (m x k) array-of-arrays column (a literal, or element_at of a
+    * per-list literal) — the ADC primitive every score below is built from.
+    */
+  private def lookupSum(table: Column): Column =
+    aggregate(zip_with(col("codes"), table,
+      (c, row) => element_at(row, (c + lit(1)).cast("int"))),
+      lit(0.0d), (acc, x) => acc + x)
+
   /** ADC cosine score over a frame carrying (codes, dot, qnorm): scoring a
     * corpus vector is m table lookups (zip_with + element_at) instead of d
     * multiplies, and the corpus is never decoded.
     */
   private def adcSim(cb: Codebook): Column = {
     val codeNorm2 = typedlit(cb.codes.map(_.map(c => c.map(x => x * x).sum).toSeq).toSeq)
-    def lookupSum(table: Column): Column =
-      aggregate(zip_with(col("codes"), table,
-        (c, row) => element_at(row, (c + lit(1)).cast("int"))),
-        lit(0.0d), (acc, x) => acc + x)
     round(
       lookupSum(col("dot")) /
         (greatest(col("qnorm") * sqrt(greatest(lookupSum(codeNorm2), lit(0.0d))),
@@ -194,18 +199,30 @@ object ProductQuantizer {
     * broadcast-hash join on cid followed by ADC lookups and the bounded-
     * heap top-k — the corpus is never shuffled, never decoded.
     *
-    * Unlike FAISS we encode RAW vectors, not per-list residuals: cosine is
-    * invariant to per-vector scale, so the ADC table stays query-GLOBAL
-    * (m x k) instead of per-(query, list) (nprobe x m x k). Residual
-    * encoding buys ~1 extra bit of effective precision per code at the
-    * cost of nprobe x the table work and a centroid-add per candidate;
-    * the planted-pair recall gate shows the margin here doesn't need it.
+    * By default we encode RAW vectors, not FAISS's per-list residuals:
+    * cosine is invariant to per-vector scale, so the ADC table stays
+    * query-GLOBAL (m x k) instead of per-(query, list). `residual = true`
+    * switches to residual encoding (codes quantize v - centroid(cid), the
+    * codebook still SHARED across lists as in FAISS): the query-side table
+    * stays global because the per-list part of <q, v> is just the scalar
+    * <q, centroid> riding the (nqueries x nprobe) probe table, and the
+    * candidate-norm correction terms (<centroid, code>, |centroid|^2) are
+    * query-independent (nlist x m x k) literals. Residuals concentrate the
+    * codebook on within-list variation — the A/B in PipelineSpec measures
+    * the delta at identical bytes: both arms saturate the planted-pair
+    * gate at m=8,k=16 (the 0.97-vs-0.3 margin dwarfs either encoding's
+    * error), and on exact-top-10 agreement vs brute-force truth at the
+    * starved m=4,k=8 budget — where table fidelity binds — residual
+    * measures 34/100 vs raw's 31/100 (deterministic fixture). The raw
+    * default stands: the delta is small because cosine's scale invariance
+    * already removes the magnitude component residuals mostly encode.
     */
   def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, m: Int = 8, kCodes: Int = 16,
       nlist: Int = 16, nprobe: Int = 4, iterations: Int = 3,
       prefit: Option[Codebook] = None,
-      prefitCentroids: Option[Array[Array[Double]]] = None): DataFrame = {
+      prefitCentroids: Option[Array[Array[Double]]] = None,
+      residual: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     graft.functions.GraftFunctions.register(spark)
     import graft.functions.GraftFunctions.graft_nearest_centroid
@@ -217,21 +234,71 @@ object ProductQuantizer {
     try {
       val centroids = prefitCentroids.getOrElse(
         Similarity.fitCentroids(c, nlist, iterations))
-      val cb = prefit.getOrElse(fit(c, "cv", "vid", m, kCodes, iterations))
-      // index: list id + codes per vector — a narrow projection; this is
-      // the whole persisted index (1 int + m bytes per vector).
-      val coded = c.select(col("vid"),
-        graft_nearest_centroid(col("cv"),
-          typedlit(centroids.map(_.toSeq).toSeq)).as("cid"),
-        encode(col("cv"), cb).as("codes"))
-      val qTab = queryTables(queries, idCol, vecCol, cb)
-      val probes = Similarity.probeLists(qTab.select("qid", "qv"), centroids, nprobe)
-        .select("qid", "cid")
-      // (qid, cid, qnorm, dot): nqueries x nprobe rows — broadcast-small.
-      val probeTab = probes.join(qTab.drop("qv"), "qid")
-      val scored = coded.join(broadcast(probeTab), "cid")
-        .withColumn("sim", adcSim(cb))
-      Similarity.topKPerQuery(scored, k).localCheckpoint(true)
+      val centLit = typedlit(centroids.map(_.toSeq).toSeq)
+      if (!residual) {
+        val cb = prefit.getOrElse(fit(c, "cv", "vid", m, kCodes, iterations))
+        // index: list id + codes per vector — a narrow projection; this is
+        // the whole persisted index (1 int + m bytes per vector).
+        val coded = c.select(col("vid"),
+          graft_nearest_centroid(col("cv"), centLit).as("cid"),
+          encode(col("cv"), cb).as("codes"))
+        val qTab = queryTables(queries, idCol, vecCol, cb)
+        val probes = Similarity.probeLists(qTab.select("qid", "qv"), centroids, nprobe)
+          .select("qid", "cid")
+        // (qid, cid, qnorm, dot): nqueries x nprobe rows — broadcast-small.
+        val probeTab = probes.join(qTab.drop("qv"), "qid")
+        val scored = coded.join(broadcast(probeTab), "cid")
+          .withColumn("sim", adcSim(cb))
+        Similarity.topKPerQuery(scored, k).localCheckpoint(true)
+      } else {
+        // Residual path: codes quantize rv = v - centroid(cid). Still a
+        // narrow projection over the persisted frame — the residual column
+        // never hits a shuffle, and the index stays 1 int + m bytes/vector.
+        def dotAgg(a: Column, b: Column): Column =
+          aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+        val assigned = c
+          .withColumn("cid", graft_nearest_centroid(col("cv"), centLit))
+          .withColumn("rv", zip_with(col("cv"),
+            element_at(centLit, col("cid") + lit(1)), (x, cc) => x - cc))
+        val cb = prefit.getOrElse(fit(assigned, "rv", "vid", m, kCodes, iterations))
+        val coded = assigned.select(col("vid"), col("cid"),
+          encode(col("rv"), cb).as("codes"))
+        // Query-side tables are built against the residual codebook; the
+        // per-list part of <q, v> is the scalar <q, centroid(cid)>, computed
+        // once per (query, probed list) on the driver-small probe frame.
+        val qTab = queryTables(queries, idCol, vecCol, cb)
+        val probes = Similarity.probeLists(qTab.select("qid", "qv"), centroids, nprobe)
+          .withColumn("qdotc",
+            dotAgg(col("qv"), element_at(centLit, col("cid") + lit(1))))
+          .select("qid", "cid", "qdotc")
+        val probeTab = probes.join(qTab.drop("qv"), "qid")
+        // Query-independent correction literals for |v|^2 = |c + r|^2:
+        // |centroid|^2 per list, and <centroid_sub_j, code_j(b)> per
+        // (list, subspace, code) — nlist x m x k doubles, a few KB.
+        val cnorm2 = typedlit(centroids.map(cc => cc.map(x => x * x).sum).toSeq)
+        val cdot = typedlit(centroids.map { cc =>
+          (0 until cb.m).map { j =>
+            cb.codes(j).map { code =>
+              var s = 0.0; var d = 0
+              while (d < cb.subDim && j * cb.subDim + d < cc.length) {
+                s += code(d) * cc(j * cb.subDim + d); d += 1
+              }
+              s
+            }.toSeq
+          }
+        }.toSeq)
+        val codeNorm2 = typedlit(
+          cb.codes.map(_.map(code => code.map(x => x * x).sum).toSeq).toSeq)
+        val num = col("qdotc") + lookupSum(col("dot"))
+        val vnorm2 = element_at(cnorm2, col("cid") + lit(1)) +
+          lit(2.0d) * lookupSum(element_at(cdot, col("cid") + lit(1))) +
+          lookupSum(codeNorm2)
+        val scored = coded.join(broadcast(probeTab), "cid")
+          .withColumn("sim", round(
+            num / greatest(col("qnorm") * sqrt(greatest(vnorm2, lit(0.0d))),
+              lit(1e-12d)), 4))
+        Similarity.topKPerQuery(scored, k).localCheckpoint(true)
+      }
     } finally c.unpersist()
   }
 

@@ -148,6 +148,50 @@ class PipelineSpec extends SparkSpec {
       "vec_id", "embedding", nlist = 8, nprobe = 4, iterations = 2))
   }
 
+  test("ivf-pq residual A/B: same bytes, raw vs residual encoding recall") {
+    import graft.operators.ProductQuantizer
+    val perturbed = emb.where(col("vec_id") < 10)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          (x, i) => x * (lit(1.0) + lit(0.1) * sin(i.cast("double")))).as("embedding"))
+    def recall(m: Int, kCodes: Int, residual: Boolean): Long =
+      ProductQuantizer.ivfAdcTopK(emb, perturbed, "vec_id", "embedding",
+        k = 10, m = m, kCodes = kCodes, nlist = 8, nprobe = 4, iterations = 2,
+        residual = residual)
+        .where(col("vid") === col("qid") - 1000000L).count()
+    // planted-pair gate (8 bytes/vector): both encodings must recover the
+    // cosine-0.97 copies — the 0.97-vs-0.3 margin dwarfs either encoding's
+    // quantization error, so this is a floor, not a discriminator
+    val raw8 = recall(8, 16, residual = false)
+    val res8 = recall(8, 16, residual = true)
+    info(s"planted m=8,k=16: raw $raw8/10, residual $res8/10")
+    assert(raw8 >= 8 && res8 >= 8,
+      s"comfortable-budget recall raw $raw8/10 residual $res8/10")
+    // the discriminating measurement: exact-top-10 agreement vs brute-force
+    // truth at a starved budget (4 bytes/vector, 3-bit codes), where ADC
+    // table fidelity actually binds. Same deterministic coarse lists both
+    // arms (fitCentroids is seeded + fixed-iteration), so the delta
+    // isolates the ENCODING: residual codebooks spend their 8 entries on
+    // within-list variation instead of the coarse structure the cid
+    // already captures.
+    def agree(m: Int, kCodes: Int, residual: Boolean): Int = {
+      val approx = ProductQuantizer.ivfAdcTopK(emb, perturbed, "vec_id",
+        "embedding", k = 10, m = m, kCodes = kCodes, nlist = 8, nprobe = 4,
+        iterations = 2, residual = residual)
+        .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val truth = Similarity.bruteForceTopK(emb, perturbed, "vec_id",
+        "embedding", 10)
+        .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      truth.intersect(approx).size
+    }
+    val rawAgree = agree(4, 8, residual = false)
+    val resAgree = agree(4, 8, residual = true)
+    info(s"truth-agreement m=4,k=8: raw $rawAgree/100, residual $resAgree/100")
+    assert(resAgree >= rawAgree,
+      s"starved-budget residual $resAgree/100 trails raw $rawAgree/100 — " +
+        "the FAISS construction should concentrate precision, not lose it")
+  }
+
   test("knn join: planted pairs are mutual top-1, no self edges, k bound holds") {
     val perturbed = emb.where(col("vec_id") < 10)
       .select((col("vec_id") + 1000000L).as("vec_id"),
