@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   * All reads go through here so scan options stay consistent.
@@ -25,12 +25,20 @@ object Tables {
       _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
     perSession.computeIfAbsent(s"$dir/$name.parquet", { path =>
       val df = spark.read.parquet(path)
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark's reader only
-      // surfaces as a raw long (spark.sql.legacy.parquet.nanosAsLong=true
-      // set in Verify/Bench sessions). Convert ns -> us exactly (integer
-      // DIV, no double round-trip) and restore a proper timestamp column.
-      if (name == "events" && df.schema("ts").dataType == LongType)
-        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      // events.ts normalization. The driver has generated this column two
+      // ways across rounds: TIMESTAMP(NANOS), which Spark only surfaces as
+      // a raw long (spark.sql.legacy.parquet.nanosAsLong=true set in
+      // Verify/Bench sessions — convert ns -> us exactly, integer DIV, no
+      // double round-trip), and TIMESTAMP(MICROS, isAdjustedToUTC=false),
+      // which Spark 4 reads as TIMESTAMP_NTZ — cast to TIMESTAMP (all graft
+      // sessions pin spark.sql.session.timeZone=UTC, so the cast is
+      // value-identity and unix_millis/watermark math downstream matches
+      // DuckDB's naive-timestamp epoch arithmetic).
+      if (name == "events") df.schema("ts").dataType match {
+        case LongType => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df
+      }
       else df
     })
   }

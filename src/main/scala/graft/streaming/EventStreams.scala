@@ -19,20 +19,27 @@ import org.apache.spark.sql.types._
 // which makes them capture the module instance itself.
 object EventStreams extends Serializable {
 
-  /** events schema with ts as LONG nanos, as the parquet reader surfaces it
-    * under nanosAsLong (see graft.Tables).
+  /** events schema as the driver generates the table today: ts is parquet
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark 4 surfaces as
+    * TIMESTAMP_NTZ (see graft.Tables for the batch-side twin of this
+    * normalization — earlier rounds' TIMESTAMP(NANOS) data is handled
+    * there, but a stream source needs one declared schema up front, so it
+    * pins the current format).
     */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** ns-long -> timestamp normalization (exact integer DIV). */
+  /** NTZ -> session-local timestamp normalization: every graft session
+    * pins spark.sql.session.timeZone=UTC, so the cast is value-identity
+    * and watermarks/window math behave exactly as before.
+    */
   def normalize(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    df.withColumn("ts", col("ts").cast(TimestampType))
 
   /** Hourly tumbling-window aggregation — the streaming twin of the batch
     * x_event_window query. Same plan for batch and stream; the stream side

@@ -49,8 +49,8 @@ class StreamingSpec extends SparkSpec {
       // second batch: same events shifted far forward so the watermark
       // closes the first batch's windows
       graft.Tables(spark, sf0001, "events")
-        .withColumn("ts", col("ts") + expr("INTERVAL 1000 DAYS"))
-        .withColumn("ts", unix_micros(col("ts")) * 1000) // back to ns longs
+        .withColumn("ts", (col("ts") + expr("INTERVAL 1000 DAYS"))
+          .cast("timestamp_ntz")) // back to the NTZ shape the stream schema declares
         .write.parquet(src.resolve("batch2").toString)
       // stage dir is watched recursively? no — write into the root
       spark.read.parquet(src.resolve("batch2").toString)
