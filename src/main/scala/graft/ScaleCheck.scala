@@ -44,7 +44,7 @@ object ScaleCheck {
     */
   private val Streaming = Seq("x_stream_index_probe", "x_stream_upsert")
 
-  private def materialize(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+  private[graft] def materialize(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val outDir = new java.io.File(out)
     // reuse marker records (src, factor): a rerun with a different factor
     // into the same outDir must re-materialize, not silently measure the

@@ -130,7 +130,8 @@ object Dedup {
     * Candidates are verified with exact cosine before thresholding.
     */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, numPlanes: Int = 8, numTables: Int = 8): DataFrame = {
+      threshold: Double = 0.95, numPlanes: Int = 8, numTables: Int = 8,
+      maxOccupancy: Int = 32): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     import graft.functions.GraftFunctions.graft_cosine
     // Vectors feed the signature pass AND both sides of the verify join —
@@ -140,7 +141,11 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Band keys only ride through the explode + bucket join: duplicating the
     // vector column numTables-fold is what would kill this at scale.
-    val candidates = Similarity.lshCandidatePairs(vecs, numPlanes, numTables)
+    // maxOccupancy splits skew-tail buckets by a per-table secondary hash —
+    // for a VERIFIER the cohabitant crowd is pure waste (recall comes from
+    // the signature), so the worst-case bound costs essentially no recall.
+    val candidates = Similarity.lshCandidatePairs(vecs, numPlanes, numTables,
+      maxOccupancy)
     val result = candidates
       .join(vecs.select(col("id").as("id1"), col("v").as("v1")), "id1")
       .join(vecs.select(col("id").as("id2"), col("v").as("v2")), "id2")

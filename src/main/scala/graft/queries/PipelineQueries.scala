@@ -272,14 +272,16 @@ object PipelineQueries {
       // Plane count scales with the CORPUS, not a constant: fixed planes
       // mean bucket occupancy grows linearly with n and the within-bucket
       // pair work quadratically — measured 17x time at 10x data before
-      // this (ScaleCheck r6). Target ~16 vectors/bucket: planes =
-      // ceil(log2(n/16)) clamped to [8,16] (driver SFs stay at 8, so gate
-      // behavior is unchanged); tables grows with planes to hold the
-      // OR-amplified recall for cosine-0.97 pairs at ~0.99+
-      // (p1 = 0.922^planes per table; 1-(1-p1)^tables).
-      val planes = math.max(8, math.min(16,
-        64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, (n - 1) / 16))))
-      val tables = if (planes <= 8) 8 else planes + 1
+      // this (ScaleCheck r6). r8 retune from the r7 pair-count decomposition
+      // (pairs grew 22.6x at 10x under the occupancy-16 / planes+1-tables
+      // schedule): a VERIFIER wants occupancy ~2 — every sub-threshold
+      // cohabitant is verify waste, recall comes from the signature — and
+      // the table count comes from the 0.98-recall contract at the 0.95
+      // threshold (Similarity.tablesForRecall), not planes+1. At the
+      // sf0.01 gate this lands on the SAME planes=8/tables=8 the old
+      // schedule used, so gate behavior is bit-identical there.
+      val planes = Similarity.adaptivePlanes(n, targetOccupancy = 2)
+      val tables = Similarity.tablesForRecall(planes, cosine = 0.95)
       val pairs = Dedup.embeddingNearDup(emb.unionByName(injected),
         "vec_id", "embedding", threshold = 0.95,
         numPlanes = planes, numTables = tables)
@@ -572,11 +574,17 @@ object PipelineQueries {
           perturb(col("embedding")).as("embedding"))
       val corpus = emb.unionByName(injected)
       val n = corpus.count()
-      // same occupancy-bounding formula as x_dedup_embedding: fixed planes
-      // would grow within-bucket pair work quadratically with the corpus
-      val planes = math.max(8, math.min(16,
-        64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, (n - 1) / 16))))
-      val tables = if (planes <= 8) 8 else planes + 1
+      // Occupancy-bounded like x_dedup_embedding but with a GRAPH-builder
+      // target: candidates per row ~ occupancy*tables must stay ≳ a few*k
+      // so the top-10 heaps fill with real near neighbors — occupancy 8
+      // (not the verifier's 2), tables from the 0.98-recall contract on
+      // the planted cosine-0.97 pairs. r8 retune: the r7 occupancy-16 /
+      // planes+1 schedule grew candidate pairs 22.6x at 10x data
+      // (KnnDiag decomposition); this one holds pair growth ~linear while
+      // the sf0.01/sf0.1 gate SFs stay at the same 8/8 the gate was
+      // calibrated on.
+      val planes = Similarity.adaptivePlanes(n, targetOccupancy = 8)
+      val tables = Similarity.tablesForRecall(planes, cosine = 0.97)
       val knn = Similarity.knnJoin(corpus, "vec_id", "embedding", k = 10,
         numPlanes = planes, numTables = tables)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
