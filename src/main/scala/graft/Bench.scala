@@ -51,7 +51,7 @@ object Bench {
   private[graft] def officialLine(results: Seq[(String, Double)], sfDir: String,
       warm: Seq[(String, Double)] = Nil, budget: Int = 1600,
       wall: Option[Double] = None, workers: Int = 1,
-      cal: Option[Double] = None): String = {
+      cal: Option[Double] = None, warmNorm: Seq[(String, Double)] = Nil): String = {
     val serialSum = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val value = wall.getOrElse(serialSum)
     def ent(kv: (String, Double)): String = s""""${kv._1}":${fmt("%.2f", kv._2)}"""
@@ -72,8 +72,15 @@ object Bench {
       cal.map(c => s""""cal":${fmt("%.3f", c)},""").getOrElse("") +
       s""""n":${results.size},"workers":$workers,"serial_sum":${fmt("%.2f", serialSum)},"""
     val warmJson = warm.sortBy(_._1).map(ent).mkString(""""warm":{""", ",", "},")
+    // warm_norm: per-query regression ratio vs the PREVIOUS round's
+    // committed warm time, box-normalized by the cal ratio (r7 judge #4 —
+    // nothing was dividing by cal). ratio = (warm_now * cal_prev/cal_now)
+    // / warm_prev: >1 slower than last round on equal hardware, <1 faster.
+    val normJson =
+      if (warmNorm.isEmpty) ""
+      else warmNorm.sortBy(_._1).map(ent).mkString(""""warm_norm":{""", ",", "},")
     val tail0 = s""","sf":"$sfDir"}"""
-    var used = head.length + warmJson.length + tail0.length +
+    var used = head.length + warmJson.length + normJson.length + tail0.length +
       """"queries":{}""".length + 60
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var full = false
@@ -86,8 +93,57 @@ object Bench {
     val omitted = results.size - kept.size
     val rest = bySlowest.drop(kept.size).map(_._2).sum
     val qs = kept.sortBy(_._1).map(ent).mkString("{", ",", "}")
-    head + warmJson + s""""omitted":$omitted,"rest":${fmt("%.2f", rest)},"queries":$qs""" + tail0
+    head + warmJson + normJson +
+      s""""omitted":$omitted,"rest":${fmt("%.2f", rest)},"queries":$qs""" + tail0
   }
+
+  /** Box-normalized cross-round warm ratios: for each query warm-sampled
+    * this run that the previous round's committed line also warm-sampled,
+    * (warm_now * prevCal / calNow) / warm_prev. cal is a fixed-work loop,
+    * so prevCal/calNow rescales this box's seconds into last round's box
+    * seconds — the division that turns cross-round deltas into plan
+    * signals (r6: a 2x-slower driver box made every raw delta noise).
+    */
+  private[graft] def normalizeWarm(warm: Seq[(String, Double)], calNow: Double,
+      prevWarm: Map[String, Double], prevCal: Double): Seq[(String, Double)] =
+    if (prevCal <= 0 || calNow <= 0) Nil
+    else warm.flatMap { case (q, t) =>
+      prevWarm.get(q).filter(_ > 0).map(p => q -> (t * prevCal / calNow) / p)
+    }
+
+  /** Latest committed BENCH_r{N}.json in the working directory -> its
+    * parsed (cal, warm) — the cross-round comparison base. Absent file,
+    * pre-cal rounds, or malformed JSON all degrade to None (no warm_norm
+    * on the line, never a crash).
+    */
+  private[graft] def readPrevBench(dir: java.nio.file.Path = java.nio.file.Paths.get(".")):
+      Option[(Double, Map[String, Double])] =
+    try {
+      val re = """BENCH_r(\d+)\.json""".r
+      val names = Option(dir.toFile.list()).getOrElse(Array.empty[String])
+      val best = names.flatMap {
+        case re(n) => Some((n.toInt, dir.resolve(s"BENCH_r$n.json")))
+        case _ => None
+      }.sortBy(-_._1).headOption
+      best.flatMap { case (_, p) =>
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readAllBytes(p))
+        val parsed = root.get("parsed")
+        if (parsed == null || parsed.get("cal") == null) None
+        else {
+          val cal = parsed.get("cal").asDouble()
+          val w = parsed.get("warm")
+          val warm = if (w == null) Map.empty[String, Double]
+            else {
+              val it = w.fields()
+              val m = scala.collection.mutable.Map.empty[String, Double]
+              while (it.hasNext) { val e = it.next(); m(e.getKey) = e.getValue.asDouble() }
+              m.toMap
+            }
+          if (cal > 0) Some((cal, warm)) else None
+        }
+      }
+    } catch { case _: Throwable => None }
 
   /** Queue order for the parallel phase: longest-processing-time-first when
     * a previous run's full timings are on disk (classic LPT makespan
@@ -253,8 +309,13 @@ object Bench {
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, fullJson.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
+    val warmNorm = readPrevBench() match {
+      case Some((prevCal, prevWarm)) => normalizeWarm(warm, cal, prevWarm, prevCal)
+      case None => Nil
+    }
+    warmNorm.foreach { case (k, v) => println(s"BENCH-NORM $k ${fmt("%.4f", v)}") }
     val line = officialLine(results, sfDir, warm, wall = Some(wall),
-      workers = nWorkers, cal = Some(cal))
+      workers = nWorkers, cal = Some(cal), warmNorm = warmNorm)
     spark.stop()
     println(line)
   }

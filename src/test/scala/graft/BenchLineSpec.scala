@@ -146,6 +146,51 @@ class BenchLineSpec extends AnyFunSuite {
     assert(lpt.head == "q100" && lpt.last == "q1" && lpt.sorted == names.sorted)
   }
 
+  test("warm_norm math: cal ratio rescales into prev-box seconds") {
+    // this box is 2x SLOWER (calNow 1.0 vs prevCal 0.5): a raw warm time
+    // equal to last round's means the plan got 2x FASTER -> ratio 0.5
+    val norm = Bench.normalizeWarm(
+      warm = Seq("a" -> 2.0, "b" -> 1.0, "c" -> 3.0),
+      calNow = 1.0,
+      prevWarm = Map("a" -> 2.0, "b" -> 4.0), // c absent last round -> dropped
+      prevCal = 0.5)
+    val m = norm.toMap
+    assert(m.keySet == Set("a", "b"))
+    assert(math.abs(m("a") - 0.5) < 1e-9)   // (2.0 * 0.5/1.0) / 2.0
+    assert(math.abs(m("b") - 0.125) < 1e-9) // (1.0 * 0.5/1.0) / 4.0
+    // degenerate cals produce no ratios rather than Inf/NaN
+    assert(Bench.normalizeWarm(Seq("a" -> 1.0), 0.0, Map("a" -> 1.0), 0.5).isEmpty)
+    assert(Bench.normalizeWarm(Seq("a" -> 1.0), 1.0, Map("a" -> 1.0), 0.0).isEmpty)
+    assert(Bench.normalizeWarm(Seq("a" -> 1.0), 1.0, Map("a" -> 0.0), 0.5).isEmpty)
+  }
+
+  test("warm_norm rides the line as valid JSON and readPrevBench parses the committed artifact shape") {
+    val results = (1 to 30).map(i => s"q$i" -> 1.0)
+    val line = Bench.officialLine(results, "/x", warm = Seq("q1" -> 1.5),
+      cal = Some(0.7), warmNorm = Seq("q1" -> 1.23, "q2" -> 0.77))
+    val node = parse(line)
+    assert(math.abs(qmap(node, "warm_norm")("q1") - 1.23) < 0.005)
+    assert(math.abs(qmap(node, "warm_norm")("q2") - 0.77) < 0.005)
+    assert(line.length <= 1700)
+    // round-trip a BENCH_r{N}.json shaped file through readPrevBench
+    val dir = java.nio.file.Files.createTempDirectory("benchprev")
+    try {
+      java.nio.file.Files.write(dir.resolve("BENCH_r07.json"),
+        """{"parsed":{"cal":0.757,"warm":{"l4_cache":1.4,"x_knn_join":2.54}}}""".getBytes("UTF-8"))
+      java.nio.file.Files.write(dir.resolve("BENCH_r03.json"),
+        """{"parsed":{"cal":9.9,"warm":{"l4_cache":9.9}}}""".getBytes("UTF-8"))
+      val Some((cal, warm)) = Bench.readPrevBench(dir)
+      assert(cal == 0.757 && warm == Map("l4_cache" -> 1.4, "x_knn_join" -> 2.54),
+        "latest round wins, fields parsed")
+      // a pre-cal round (no parsed.cal) degrades to None
+      java.nio.file.Files.write(dir.resolve("BENCH_r08.json"),
+        """{"parsed":{"warm":{"l4_cache":1.0}}}""".getBytes("UTF-8"))
+      assert(Bench.readPrevBench(dir).isEmpty)
+    } finally {
+      dir.toFile.listFiles().foreach(_.delete()); dir.toFile.delete()
+    }
+  }
+
   test("formatting is locale-independent") {
     val prev = java.util.Locale.getDefault
     try {
