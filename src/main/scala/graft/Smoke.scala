@@ -10,6 +10,11 @@ object Smoke {
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.ui.enabled", "false")
+      // UTC pin (r7 advice): Tables' NTZ->TIMESTAMP cast for events.ts is
+      // value-identity only under a UTC session. The driver's own t1 runs
+      // on a UTC box either way, but a plain-session entrypoint must not
+      // depend on host TZ for correctness.
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.entry(spark)

@@ -72,9 +72,33 @@ object EventStreams extends Serializable {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:00").as("hour"),
         col("event_type"), col("n"), col("sum_value"))
 
-  /** Open a file-based stream over an events parquet path. */
-  def readEventStream(spark: SparkSession, path: String): DataFrame =
-    normalize(spark.readStream.schema(eventsRawSchema).parquet(path))
+  /** Open a file-based stream over an events parquet path.
+    *
+    * Format probe (r7 advice): a stream source needs its schema declared up
+    * front, but the driver has shipped events.ts as both TIMESTAMP(NANOS)
+    * (surfaced as a raw long under nanosAsLong=true) and TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (surfaced as TIMESTAMP_NTZ) across rounds. A
+    * footer-only batch read resolves the actual physical type, the declared
+    * schema copies it, and the matching normalization mirrors Tables'
+    * batch-side polymorphism — so a testdata regeneration flips neither
+    * path's correctness.
+    */
+  def readEventStream(spark: SparkSession, path: String): DataFrame = {
+    // Empty-at-definition sources (the incremental-arrival pattern: start
+    // the stream, write files later) have no footer to probe — fall back
+    // to the declared current-format schema.
+    val tsType =
+      try spark.read.parquet(path).schema("ts").dataType
+      catch { case _: org.apache.spark.sql.AnalysisException => TimestampNTZType }
+    val schema = StructType(eventsRawSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
+    val raw = spark.readStream.schema(schema).parquet(path)
+    tsType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => normalize(raw)
+      case _ => raw
+    }
+  }
 
   /** Streaming exact dedup by event_id with watermark-bounded state — the
     * streaming twin of Dedup.exact: duplicates arriving within the
