@@ -173,9 +173,15 @@ object Bench {
       h
     }
     calSink = burn(20000000) // JIT warm (C2-compiles burn before timing)
-    val t0 = System.nanoTime()
-    calSink += burn(400000000)
-    (System.nanoTime() - t0) / 1e9
+    // min of 4 samples: a single sample moved 20% between otherwise-idle
+    // runs (r8: 0.769 vs 0.928 — scheduler/turbo jitter), and cal noise
+    // multiplies straight into every warm_norm ratio. The min is the
+    // "unimpeded speed" estimator — the only stable notion of box speed.
+    (1 to 4).map { _ =>
+      val t0 = System.nanoTime()
+      calSink += burn(100000000)
+      (System.nanoTime() - t0) / 1e9 * 4
+    }.min
   }
 
   private def pastTimes(): Map[String, Double] =
