@@ -37,10 +37,11 @@ object ScaleCheck {
     "x_ann_pq", "x_ann_ivfpq", "x_knn_join")
 
   /** Streaming-path members (r6 judge #5): real foreachBatch sinks over the
-    * replicated corpus. Run at 10x only — the interesting question is
-    * whether the micro-batch machinery's floor stays flat as data grows,
-    * and the 100x single-file source writes would time the coalesce(1)
-    * fixture setup, not the stream.
+    * replicated corpus. Caveat on reading their ratios: each query's timed
+    * path INCLUDES writing its own source fixture (a corpus-sized
+    * coalesce(1) parquet write) — strictly linear in data — so the ratio
+    * is an upper bound on how the micro-batch machinery itself scales
+    * (decomposition in NOTES round 8).
     */
   private val Streaming = Seq("x_stream_index_probe", "x_stream_upsert")
 
@@ -143,7 +144,9 @@ object ScaleCheck {
     */
   private def writeArtifact(rows: Seq[(String, Double, Double, Double)],
       factor: Int, src: String,
-      basePairs: Seq[(String, Long)], bigPairs: Seq[(String, Long)]): Unit = {
+      basePairs: Seq[(String, Long)], bigPairs: Seq[(String, Long)],
+      baseFixture: Seq[(String, Double)] = Nil,
+      bigFixture: Seq[(String, Double)] = Nil): Unit = {
     import com.fasterxml.jackson.databind.node.ObjectNode
     val path = java.nio.file.Paths.get("SCALECHECK.json")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -173,6 +176,16 @@ object ScaleCheck {
         case q: ObjectNode =>
           q.put("pairs_base", base)
           bigByName.get(name).foreach(q.put(s"pairs_${factor}x", _))
+        case _ =>
+      }
+    }
+    val bigFixByName = bigFixture.toMap
+    baseFixture.foreach { case (name, t) =>
+      root.get(name) match {
+        case q: ObjectNode =>
+          q.put("fixture_base_s", math.round(t * 100.0) / 100.0)
+          bigFixByName.get(name).foreach(b =>
+            q.put(s"fixture_${factor}x_s", math.round(b * 100.0) / 100.0))
         case _ =>
       }
     }
@@ -210,7 +223,13 @@ object ScaleCheck {
     }
     println(f"| query | sf0.1 (s) | ${factor}x (s) | ratio |")
     println("|---|---|---|---|")
-    val toRun = if (factor <= 10) Heavy ++ Streaming else Heavy
+    // optional 4th arg: comma-separated query filter (dev iteration — e.g.
+    // re-measure one family member without paying for the whole table)
+    val all = Heavy ++ Streaming
+    val toRun = args.lift(3) match {
+      case Some(f) => all.filter(f.split(",").toSet)
+      case None => all
+    }
     val rows = toRun.map { name =>
       // two runs per scale, keep the min: strips JIT/first-plan noise so
       // the ratio reflects the plan, not compilation luck
@@ -226,7 +245,30 @@ object ScaleCheck {
     // after every timing so they never pollute the measured runs
     val basePairs = pairCounts(spark, src)
     val bigPairs = pairCounts(spark, out)
-    writeArtifact(rows, factor, src, basePairs, bigPairs)
+    // fixture decomposition for the streaming family: time the source
+    // fixture write alone (strictly linear in data) at each scale, so the
+    // artifact separates the fixture share from the micro-batch machinery
+    // in the published streaming ratios
+    def fixtureTimes(dir: String): Seq[(String, Double)] =
+      graft.queries.PipelineQueries.streamFixtureWriters(spark, dir).toSeq
+        .filter { case (name, _) => toRun.contains(name) }
+        .map { case (name, write) =>
+          val scratch = java.nio.file.Files.createTempDirectory("graft-fixture")
+          def one(): Double = {
+            val t0 = System.nanoTime()
+            write(scratch.resolve("src").toString)
+            (System.nanoTime() - t0) / 1e9
+          }
+          val t = math.min(one(), one())
+          java.nio.file.Files.walk(scratch)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+          println(f"SCALECHECK fixture $name $dir $t%.2fs")
+          (name, t)
+        }
+    val baseFixture = fixtureTimes(src)
+    val bigFixture = fixtureTimes(out)
+    writeArtifact(rows, factor, src, basePairs, bigPairs, baseFixture, bigFixture)
     spark.stop()
   }
 }

@@ -32,6 +32,40 @@ object PipelineQueries {
         .forEach(p => { Files.deleteIfExists(p); () })
   }
 
+  /** The two-micro-batch source fixture both file-source stream queries
+    * replay: the corpus split in half into two coalesce(1) parquet files
+    * (maxFilesPerTrigger=1 then turns each file into one micro-batch).
+    * Factored out so ScaleCheck can time the fixture write ALONE: it is
+    * strictly linear in data and rides INSIDE each stream query's timed
+    * path, so this is the decomposition that separates "the fixture grew"
+    * from "the micro-batch machinery grew" in the published scale ratios.
+    */
+  private[graft] def twoFileStreamFixture(df: org.apache.spark.sql.DataFrame,
+      firstHalf: org.apache.spark.sql.Column, src: String): Unit = {
+    df.where(firstHalf).coalesce(1).write.mode("overwrite").parquet(src)
+    df.where(!firstHalf).coalesce(1).write.mode("append").parquet(src)
+  }
+
+  /** x_stream_upsert's source projection (shared with the ScaleCheck
+    * fixture decomposition so both write identical bytes).
+    */
+  private[graft] def upsertSourceEvents(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+
+  /** Per-stream-query fixture writers keyed by query name — ScaleCheck
+    * times these against a scratch dir to publish the fixture share of
+    * each streaming scale ratio.
+    */
+  private[graft] def streamFixtureWriters(s: org.apache.spark.sql.SparkSession,
+      dir: String): Map[String, String => Unit] = Map(
+    "x_stream_upsert" -> (src => twoFileStreamFixture(
+      upsertSourceEvents(s, dir), dayofmonth(col("ts")) <= 15, src)),
+    "x_stream_index_probe" -> (src => twoFileStreamFixture(
+      Tables(s, dir, "embeddings"), pmod(col("vec_id"), lit(2)) === 0, src)))
+
   /** Run `body` with spark.sql.shuffle.partitions temporarily lowered —
     * for small-subset streaming sections, where every shuffle partition
     * costs a state-store instance per micro-batch.
@@ -1413,13 +1447,8 @@ object PipelineQueries {
       val tmp = Tmp.dir("graft-supsert")
       try {
         val src = tmp.resolve("src").toString
-        val ev = Tables(s, dir, "events")
-          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-            round(col("value") * 100, 0).cast("long").as("cents"))
-        ev.where(dayofmonth(col("ts")) <= 15)
-          .coalesce(1).write.mode("overwrite").parquet(src)
-        ev.where(dayofmonth(col("ts")) > 15)
-          .coalesce(1).write.mode("append").parquet(src)
+        val ev = upsertSourceEvents(s, dir)
+        twoFileStreamFixture(ev, dayofmonth(col("ts")) <= 15, src)
         val stream = s.readStream.schema(s.read.parquet(src).schema)
           .option("maxFilesPerTrigger", 1).parquet(src)
         val stateRef = new java.util.concurrent.atomic.AtomicReference[String](null)
@@ -1471,10 +1500,7 @@ object PipelineQueries {
       try {
       val src = tmp.resolve("src").toString
       val emb = Tables(s, dir, "embeddings")
-      emb.where(pmod(col("vec_id"), lit(2)) === 0)
-        .coalesce(1).write.mode("overwrite").parquet(src)
-      emb.where(pmod(col("vec_id"), lit(2)) === 1)
-        .coalesce(1).write.mode("append").parquet(src)
+      twoFileStreamFixture(emb, pmod(col("vec_id"), lit(2)) === 0, src)
       val stream = s.readStream.schema(emb.schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
       val indexPath = tmp.resolve("index").toString
