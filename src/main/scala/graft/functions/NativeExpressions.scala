@@ -212,6 +212,40 @@ case class HyperplaneSignatures(child: Expression, numPlanes: Int, numTables: In
     copy(child = newChild)
 }
 
+/** graft_hyperplane_probes(array<double>, numPlanes, numTables, nProbes)
+  * -> array<bigint> of numTables*nProbes multi-probe bucket keys,
+  * table-major (see VectorOps.hyperplaneProbes — Lv et al. VLDB'07).
+  * Query-side companion of graft_hyperplanes: element t*nProbes equals
+  * hyperplanes' element t, the rest are that table's cheapest margin
+  * perturbations.
+  */
+case class HyperplaneProbes(child: Expression, numPlanes: Int, numTables: Int,
+    nProbes: Int) extends UnaryExpression {
+  import NativeExprs._
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_hyperplane_probes"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isDoubleArray(child.dataType) && numPlanes > 0 && numPlanes <= 63 &&
+      numTables > 0 && nProbes > 0)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, 0 < numPlanes <= 63, " +
+        "numTables > 0, nProbes > 0")
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.hyperplaneProbes(input.asInstanceOf[ArrayData], numPlanes,
+      numTables, nProbes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = $Ops.hyperplaneProbes($c, $numPlanes, $numTables, $nProbes);")
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
 /** graft_project(array<double>, outDim) -> array<double> — deterministic
   * JL random projection (see VectorOps.project).
   */

@@ -98,6 +98,10 @@ object GraftFunctions {
       "graft_hyperplanes",
       exprs => HyperplaneSignatures(exprs(0), intArg(exprs(1)), intArg(exprs(2))), "built-in")
     reg.createOrReplaceTempFunction(
+      "graft_hyperplane_probes",
+      exprs => HyperplaneProbes(exprs(0), intArg(exprs(1)), intArg(exprs(2)),
+        intArg(exprs(3))), "built-in")
+    reg.createOrReplaceTempFunction(
       "graft_topk",
       exprs => TopKByScore(exprs(0), exprs(1), intArg(exprs(2))), "built-in")
     reg.createOrReplaceTempFunction(
@@ -139,6 +143,13 @@ object GraftFunctions {
     call_function("graft_nearest_centroid", v, centroids)
   def graft_nearest_centroid_l2(v: Column, centroids: Column): Column =
     call_function("graft_nearest_centroid_l2", v, centroids)
+  def graft_hyperplane_probes(v: Column, numPlanes: Int, numTables: Int,
+      nProbes: Int): Column =
+    call_function("graft_hyperplane_probes", v,
+      org.apache.spark.sql.functions.lit(numPlanes),
+      org.apache.spark.sql.functions.lit(numTables),
+      org.apache.spark.sql.functions.lit(nProbes))
+
   def graft_hyperplanes(v: Column, numPlanes: Int, numTables: Int): Column =
     call_function("graft_hyperplanes", v,
       org.apache.spark.sql.functions.lit(numPlanes),

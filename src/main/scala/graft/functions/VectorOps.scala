@@ -164,6 +164,114 @@ object VectorOps {
     new GenericArrayData(sigs)
   }
 
+  /** Multi-probe LSH probe set (Lv et al., VLDB'07): per table, the base
+    * signature plus the (nProbes-1) CHEAPEST sign perturbations, where
+    * flipping a set of planes costs the sum of their |projection| margins —
+    * the planes whose sign decision was closest to the boundary are the
+    * ones a true near neighbor most likely landed on the other side of.
+    * Perturbation sets are enumerated cheapest-first with the shift/expand
+    * successor heap over margin-ascending plane ranks (each set generated
+    * exactly once; successors never cost less than their parent).
+    *
+    * Why it matters at scale: recall that OR-amplification buys with MORE
+    * TABLES, multi-probe buys with more lookups into the SAME table — the
+    * corpus-side cost (tables x hashes per vector, tables x index copies
+    * for a persisted index) drops by the table ratio while only the
+    * driver-small query side fans out. lshTopK with (T=2, probes=4)
+    * matches the recall of (T=8, probes=1) at a quarter of the corpus
+    * hashing/explode work (measured in LshScheduleSpec).
+    *
+    * Layout: table-major — element t*nProbes+j is table t's j-th probe;
+    * j=0 is the base signature, bit-identical to hyperplaneSigs' element t.
+    * If nProbes exceeds the 2^numPlanes-1 possible perturbations the tail
+    * repeats the base signature (harmless duplicate lookups).
+    */
+  def hyperplaneProbes(vec: ArrayData, numPlanes: Int, numTables: Int,
+      nProbes: Int): ArrayData = {
+    val out = new Array[Long](numTables * nProbes)
+    val n = vec.numElements()
+    val proj = new Array[Double](numPlanes)
+    var t = 0
+    while (t < numTables) {
+      // projections + signature for this table (same weights as sigForTable)
+      var sig = 0L
+      var p = 0
+      while (p < numPlanes) {
+        var pr = 0.0
+        var d = 0
+        while (d < n) {
+          if (!vec.isNullAt(d)) {
+            val w = if ((XXH64.hashLong(p.toLong * 65536 + d, t.toLong) & 8L) == 8L) 1.0 else -1.0
+            pr += vec.getDouble(d) * w
+          }
+          d += 1
+        }
+        proj(p) = pr
+        if (pr > 0) sig |= (1L << p)
+        p += 1
+      }
+      out(t * nProbes) = sig
+      if (nProbes > 1) {
+        // plane indices in ascending |margin| order (insertion sort — ≤63)
+        val order = new Array[Int](numPlanes)
+        var i = 0
+        while (i < numPlanes) { order(i) = i; i += 1 }
+        i = 1
+        while (i < numPlanes) {
+          val v = order(i); val mv = math.abs(proj(v))
+          var j = i - 1
+          while (j >= 0 && math.abs(proj(order(j))) > mv) {
+            order(j + 1) = order(j); j -= 1
+          }
+          order(j + 1) = v
+          i += 1
+        }
+        val margin = new Array[Double](numPlanes)
+        i = 0
+        while (i < numPlanes) { margin(i) = math.abs(proj(order(i))); i += 1 }
+        // cheapest-first enumeration: sets over RANKS as a Long bitmask;
+        // successors of a set whose max rank is m: shift (m -> m+1) and
+        // expand (add m+1)
+        // heap entries: {costBits (raw double bits — cost is finite
+        // non-negative, safe to round-trip), rank-set bitmask, max rank}
+        val heap = new java.util.PriorityQueue[Array[Long]](
+          (a: Array[Long], b: Array[Long]) => java.lang.Double.compare(
+            java.lang.Double.longBitsToDouble(a(0)),
+            java.lang.Double.longBitsToDouble(b(0))))
+        heap.add(Array(java.lang.Double.doubleToRawLongBits(margin(0)), 1L, 0L))
+        var emitted = 1
+        while (emitted < nProbes && !heap.isEmpty) {
+          val top = heap.poll()
+          val cost = java.lang.Double.longBitsToDouble(top(0))
+          val set = top(1)
+          val maxRank = top(2).toInt
+          var probe = sig
+          var s = set
+          var r = 0
+          while (s != 0L) {
+            if ((s & 1L) != 0L) probe ^= (1L << order(r))
+            s >>>= 1; r += 1
+          }
+          out(t * nProbes + emitted) = probe
+          emitted += 1
+          if (maxRank + 1 < numPlanes) {
+            heap.add(Array(java.lang.Double.doubleToRawLongBits(
+              cost - margin(maxRank) + margin(maxRank + 1)),
+              (set ^ (1L << maxRank)) | (1L << (maxRank + 1)),
+              (maxRank + 1).toLong))
+            heap.add(Array(java.lang.Double.doubleToRawLongBits(
+              cost + margin(maxRank + 1)),
+              set | (1L << (maxRank + 1)),
+              (maxRank + 1).toLong))
+          }
+        }
+        while (emitted < nProbes) { out(t * nProbes + emitted) = sig; emitted += 1 }
+      }
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Plain-array cosine (for RDD-side k-means partials; same math as the
     * ArrayData overload).
     */

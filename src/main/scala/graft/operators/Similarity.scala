@@ -432,10 +432,11 @@ object Similarity {
     * ~0.4 — eight OR'd tables clear 0.95+ (measured in-query by x_ann_lsh).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, numPlanes: Int = 8, numTables: Int = 8): DataFrame = {
+      vecCol: String, k: Int, numPlanes: Int = 8, numTables: Int = 8,
+      nProbes: Int = 1): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     requireIntegralId(corpus, idCol)
-    import graft.functions.GraftFunctions.{graft_cosine, graft_hyperplanes}
+    import graft.functions.GraftFunctions.{graft_cosine, graft_hyperplanes, graft_hyperplane_probes}
     // The corpus row (vector included) is duplicated numTables-fold by the
     // posexplode — acceptable HERE, unlike in Dedup.embeddingNearDup, because
     // the duplicates never reach an exchange: generate -> project -> broadcast-
@@ -450,10 +451,21 @@ object Similarity {
       .select(col("vid"), col("cv"),
         posexplode(graft_hyperplanes(col("cv"), numPlanes, numTables))
           .as(Seq("t", "bucket")))
+    // Multi-probe (nProbes > 1): the QUERY side also probes, per table, the
+    // nProbes-1 cheapest margin perturbations of its signature (Lv et al.
+    // VLDB'07 — see VectorOps.hyperplaneProbes). The recall a plain schedule
+    // buys with more tables, multi-probe buys with more lookups into the
+    // same tables: corpus-side work (hashes per vector, index copies) stays
+    // at numTables while only the driver-small broadcast side fans out —
+    // the right trade whenever the corpus dwarfs the query set, i.e.
+    // exactly the broadcast-query contract this operator already has.
+    // probe layout is table-major, so table id = pos / nProbes.
     val q = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
       .select(col("qid"), col("qv"),
-        posexplode(graft_hyperplanes(col("qv"), numPlanes, numTables))
-          .as(Seq("t", "bucket")))
+        posexplode(graft_hyperplane_probes(col("qv"), numPlanes, numTables, nProbes))
+          .as(Seq("pos", "bucket")))
+      .select(col("qid"), col("qv"), (col("pos") / nProbes).cast("int").as("t"),
+        col("bucket"))
     // Score at candidate generation (both vectors are in hand), then collapse
     // multi-table duplicates keyed by (qid, vid) — cheaper than carrying the
     // vectors through a distinct and re-joining them back.

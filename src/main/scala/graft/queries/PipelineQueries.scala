@@ -390,6 +390,44 @@ object PipelineQueries {
         .toDF("n_expected", "n_violations")
     },
 
+    // Multi-probe LSH top-k (Lv et al. VLDB'07): the recall OR-amplification
+    // buys with MORE TABLES, multi-probe buys with more lookups into the
+    // SAME tables — each query also probes, per table, the cheapest margin
+    // perturbations of its own signature (VectorOps.hyperplaneProbes). At
+    // 100 TB the corpus side pays tables x hashing and tables x index
+    // copies, so a (2 tables, 4 probes) schedule that matches the 8-table
+    // recall contract cuts the dominant cost 4x while only the
+    // driver-small broadcast query side fans out. Gates: the same >=18/20
+    // planted-recall contract as the single-probe family on a QUARTER of
+    // the tables, plus (at gate scale) the probing-beats-plain attestation
+    // that the extra probes — not table luck — carry the recall.
+    Q("x_ann_multiprobe",
+      """SELECT CAST(count(*) FILTER (WHERE vec_id < 20) AS BIGINT) AS n_queries,
+        |CAST(0 AS BIGINT) AS n_violations FROM embeddings""".stripMargin) { (s, dir) =>
+      val emb = par(Tables(s, dir, "embeddings"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val queries = emb.where(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          perturb(col("embedding")).as("embedding"))
+      def recovered(probes: Int): Long =
+        Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+          k = 10, numPlanes = 8, numTables = 2, nProbes = probes)
+          .where(col("vid") === col("qid") - 1000000L).count()
+      val multi = recovered(4)
+      Gate.check(multi >= 18,
+        s"multi-probe (2 tables x 4 probes) recovered only $multi/20")
+      if (emb.count() <= AnnExactVerifyMaxRows) {
+        // at gate scale, attest the probes themselves carry the recall:
+        // the same 2 tables without probing must recover strictly fewer
+        val plain = recovered(1)
+        Gate.check(plain < multi,
+          s"probing added nothing at gate scale: $multi vs $plain")
+      }
+      import s.implicits._
+      Seq((20L, if (multi >= 18) 0L else 1L))
+        .toDF("n_queries", "n_violations")
+    },
+
     // IVF (learned coarse quantizer) approximate top-k: recall measured
     // against the brute-force truth — all deterministic. Promoted to a
     // full oracle (r5): the truth-set size (5 queries x top-10) is plain
