@@ -153,6 +153,37 @@ case class NearestCentroid(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** graft_nearest2_centroids(array<double>, array<array<double>>)
+  * -> array<int> of the two max-cosine centroid indices, best first (see
+  * VectorOps.nearest2Centroids — the multi-assignment boundary fix for
+  * cluster-bucketed semantic dedup). Same foldable-literal codegen shape
+  * as NearestCentroid.
+  */
+case class Nearest2Centroids(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import NativeExprs._
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_nearest2_centroids"
+
+  override def checkInputDataTypes(): TypeCheckResult = right.dataType match {
+    case ArrayType(inner, _) if isDoubleArray(left.dataType) && isDoubleArray(inner) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<double>, array<array<double>>), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.nearest2Centroids(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $Ops.nearest2Centroids($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** graft_nearest_centroid_l2(array<double>, array<array<double>>) -> int
   * 0-based index of the min-squared-L2 centroid (ties -> lowest index) —
   * the PQ-codebook assignment metric (Jégou TPAMI'11 fits each subspace's

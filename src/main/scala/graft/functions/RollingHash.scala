@@ -92,6 +92,9 @@ object GraftFunctions {
       "graft_nearest_centroid",
       exprs => NearestCentroid(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
+      "graft_nearest2_centroids",
+      exprs => Nearest2Centroids(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
       "graft_nearest_centroid_l2",
       exprs => NearestCentroidL2(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
@@ -141,6 +144,8 @@ object GraftFunctions {
     call_function("graft_shingles", tokens, org.apache.spark.sql.functions.lit(k))
   def graft_nearest_centroid(v: Column, centroids: Column): Column =
     call_function("graft_nearest_centroid", v, centroids)
+  def graft_nearest2_centroids(v: Column, centroids: Column): Column =
+    call_function("graft_nearest2_centroids", v, centroids)
   def graft_nearest_centroid_l2(v: Column, centroids: Column): Column =
     call_function("graft_nearest_centroid_l2", v, centroids)
   def graft_hyperplane_probes(v: Column, numPlanes: Int, numTables: Int,
@@ -198,6 +203,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => NearestCentroid(exprs(0), exprs(1)))
     inject("graft_nearest_centroid_l2", classOf[NearestCentroidL2],
       exprs => NearestCentroidL2(exprs(0), exprs(1)))
+    inject("graft_nearest2_centroids", classOf[Nearest2Centroids],
+      exprs => Nearest2Centroids(exprs(0), exprs(1)))
     inject("graft_hyperplanes", classOf[HyperplaneSignatures],
       exprs => HyperplaneSignatures(exprs(0), ia(exprs(1)), ia(exprs(2))))
     inject("graft_topk", classOf[TopKByScore],

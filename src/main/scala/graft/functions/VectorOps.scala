@@ -349,6 +349,34 @@ object VectorOps {
     best
   }
 
+  /** Indices of the TWO max-cosine centroids, best first (ties -> lowest
+    * index; a 1-centroid codebook repeats the winner). Multi-assignment is
+    * the boundary fix for cluster-bucketed semantic dedup (SemDeDup,
+    * Abbas et al. arXiv:2303.09540 §B notes near-dups straddling a k-means
+    * face are invisible to a single-cluster pass): a pair split by the
+    * Voronoi boundary still meets if EITHER point's runner-up list reaches
+    * across it, at exactly 2x the bucket-join work — the same cost shape
+    * as IVF's nprobe on the query side.
+    */
+  def nearest2Centroids(vec: ArrayData, centroids: ArrayData): ArrayData = {
+    val m = centroids.numElements()
+    var best = -1; var bestSim = Double.NegativeInfinity
+    var second = -1; var secondSim = Double.NegativeInfinity
+    var c = 0
+    while (c < m) {
+      if (!centroids.isNullAt(c)) {
+        val sim = cosine(vec, centroids.getArray(c))
+        if (sim > bestSim) {
+          secondSim = bestSim; second = best
+          bestSim = sim; best = c
+        } else if (sim > secondSim) { secondSim = sim; second = c }
+      }
+      c += 1
+    }
+    if (second < 0) second = best
+    new GenericArrayData(Array(best, second))
+  }
+
   /** Plain-array twin of nearestCentroidL2 (RDD-side k-means partials). */
   def nearestCentroidL2Arr(vec: Array[Double], centroids: Array[Array[Double]]): Int = {
     var best = -1

@@ -156,4 +156,77 @@ object Dedup {
     vecs.unpersist()
     out
   }
+
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al., arXiv:2303.09540):
+    * k-means CLUSTERS are the candidate buckets instead of LSH tables — the
+    * right trade when the corpus has real cluster structure (LSH planes are
+    * data-oblivious; learned centroids put density boundaries where the data
+    * is sparse, so a bucket holds semantic neighbors, not orthant-mates).
+    *
+    * Pipeline: fit nlist centroids (Lloyd's via treeAggregate — zero corpus
+    * shuffle, same fit ivfTopK uses) -> assign every vector to its TOP-2
+    * centroids (graft_nearest2_centroids, one narrow codegen'd projection;
+    * multi-assignment is the boundary fix — a near-dup pair straddling a
+    * Voronoi face still meets through either point's runner-up cluster) ->
+    * within-cluster candidate pairs (ids only through the exchange) -> exact
+    * cosine verify by join-back-by-id -> threshold.
+    *
+    * Scale: candidate work is sum over clusters of occupancy², so callers
+    * scale nlist ~ n/targetOccupancy exactly like adaptivePlanes scales LSH
+    * buckets; maxOccupancy splits skew-tail clusters by a secondary id-hash,
+    * bounding worst-case within-cluster work at n*maxOccupancy per
+    * assignment pass (a split can hide a pair ONLY in an oversized cluster —
+    * the documented SemDeDup trade for k-means buckets, which unlike LSH
+    * tables have no OR-amplification to absorb it; size maxOccupancy well
+    * above the expected occupancy so it only fires on the skew tail).
+    * The fit itself is nlist*dim driver state and iterations narrow passes.
+    *
+    * Returns (id1, id2, cosine) with id1 < id2, cosine >= threshold.
+    */
+  def semanticNearDup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.99, nlist: Int = 16, iterations: Int = 3,
+      maxOccupancy: Int = 0): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    import graft.functions.GraftFunctions.{graft_cosine, graft_nearest2_centroids}
+    val vecs = df.select(col(idCol).cast("long").as("vid"),
+      col(vecCol).cast("array<double>").as("cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val centroids = Similarity.fitCentroids(vecs, nlist, iterations)
+      val centroidLit = typedlit(centroids.map(_.toSeq).toSeq)
+      // (id, cid) assignment rows — array_distinct because a 1-centroid fit
+      // repeats the winner; only ids ride the bucket exchange.
+      val assigned = vecs.select(col("vid").as("id"),
+        explode(array_distinct(
+          graft_nearest2_centroids(col("cv"), centroidLit))).as("cid"))
+      val bucketed =
+        if (maxOccupancy <= 0) assigned.withColumn("sub", lit(0L))
+        else {
+          val over = assigned.groupBy("cid")
+            .agg(count(lit(1)).as("occ"))
+            .where(col("occ") > maxOccupancy)
+          // Sub-hash seeded by cid: a pair sharing BOTH clusters (source and
+          // runner-up) gets independent splits in each — the same
+          // decorrelation lshCandidatePairs gets from seeding by table.
+          assigned.join(broadcast(over), Seq("cid"), "left")
+            .withColumn("sub", when(col("occ").isNull, lit(0L)).otherwise(
+              pmod(xxhash64(col("id"), col("cid")),
+                ceil(col("occ") / maxOccupancy).cast("long"))))
+            .drop("occ")
+        }
+      val a = bucketed.select(col("cid"), col("sub"), col("id").as("id1"))
+      val b = bucketed.select(col("cid"), col("sub"), col("id").as("id2"))
+      val candidates = a.join(b, Seq("cid", "sub"))
+        .where(col("id1") < col("id2"))
+        .select("id1", "id2")
+        .dropDuplicates("id1", "id2")
+      val result = candidates
+        .join(vecs.select(col("vid").as("id1"), col("cv").as("v1")), "id1")
+        .join(vecs.select(col("vid").as("id2"), col("cv").as("v2")), "id2")
+        .withColumn("cosine", graft_cosine(col("v1"), col("v2")))
+        .where(col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+      result.localCheckpoint(true)
+    } finally vecs.unpersist()
+  }
 }

@@ -332,6 +332,49 @@ object PipelineQueries {
           (col("n_found") < 18).cast("long").as("n_violations"))
     },
 
+    // SemDeDup-style SEMANTIC dedup (Abbas et al. arXiv:2303.09540): k-means
+    // clusters as the candidate buckets instead of data-oblivious LSH
+    // tables — the curation pass that removes "same meaning, different
+    // words" duplicates at a high cosine threshold. 20 injected copies at
+    // +/-10% alternating per-dim scale (cosine ~0.995, above the 0.99
+    // threshold; direction moves ~5.7 degrees, so cluster assignment is
+    // genuinely at risk on a Voronoi face — which the operator's top-2
+    // multi-assignment exists to absorb). Oracle pins the SQL-computable
+    // population and a violation count the >=18/20 recall contract makes
+    // exactly 0; n_found itself stays gate-side (centroid-seed luck).
+    // Schedule: nlist ~ n/48 caps at 4096 — fit cost n*nlist per Lloyd's
+    // pass, candidate cost n*(2n/nlist), so the cap trades fit time for
+    // occupancy exactly where the maxOccupancy split takes over the bound.
+    Q("x_semdedup",
+      """SELECT CAST(count(*) AS BIGINT) AS n_expected,
+        |CAST(0 AS BIGINT) AS n_violations FROM embeddings
+        |WHERE vec_id < 20""".stripMargin) { (s, dir) =>
+      val emb = par(Tables(s, dir, "embeddings"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val injected = emb.where(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x * (lit(1.0) + lit(0.10) * when(pmod(i, lit(2)) === 0, lit(1.0))
+              .otherwise(lit(-1.0)))).as("embedding"))
+      val n = emb.count()
+      val nlist = math.max(16L, math.min(4096L, n / 48)).toInt
+      val pairs = Dedup.semanticNearDup(emb.unionByName(injected),
+        "vec_id", "embedding", threshold = 0.99,
+        nlist = nlist, iterations = 3, maxOccupancy = 384)
+      // >=18/20: a pair misses only if the copy's 5.7-degree rotation exits
+      // BOTH of the source's top-2 clusters AND both of its own — the
+      // multi-assignment overlap makes that a tail event; a broken
+      // assignment or pair kernel scores ~0.
+      Gate(pairs.agg(count(lit(1)).as("n_dup_pairs"),
+        lit(20L).as("n_expected"),
+        coalesce(sum(when(col("id1") < 20 &&
+          col("id2") === col("id1") + 1000000L, 1L)), lit(0L)).as("n_found")),
+        col("n_found") >= 18,
+        "semantic dedup must recover >=18/20 injected cosine-0.995 pairs")
+        .select(col("n_expected"),
+          (col("n_found") < 18).cast("long").as("n_violations"))
+    },
+
     // -- Similarity search ---------------------------------------------
 
     // Brute-force cosine top-10 for 5 query vectors — portable math, real
@@ -1909,6 +1952,46 @@ object PipelineQueries {
         .orderBy("source", "bin")
     },
 
+    // Deterministic training-order shuffle + sharding: the epoch-order step
+    // of a training-data pipeline. A seeded content hash gives every doc a
+    // 52-bit priority (portable md5, the x_group_sample discipline); shard
+    // comes from an INDEPENDENT hex span of the same digest (digits 14-15,
+    // so shard and within-shard order don't correlate), and the within-
+    // shard sequence is a row_number over (priority, id). The permutation
+    // is a pure function of (seed, doc_id) — reproducible across engines,
+    // cluster layouts and retries, which is the whole point (a .orderBy
+    // (rand()) epoch can never be re-materialized after a failure). At
+    // 100 TB: shard count scales with the corpus (1 shard ~ 1 output
+    // file), the window partitions by shard so no task ever sees more
+    // than corpus/shards rows, and the oracle's seq*id checksum pins the
+    // EXACT permutation, not just shard populations.
+    Q("x_train_shuffle",
+      """WITH pr AS (SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(concat('42#', CAST(doc_id AS VARCHAR))),
+        |    1, 13)) AS BIGINT) AS prio,
+        |  CAST(concat('0x', substr(md5(concat('42#', CAST(doc_id AS VARCHAR))),
+        |    14, 2)) AS BIGINT) % 16 AS shard
+        |  FROM documents),
+        |rk AS (SELECT shard, doc_id, row_number() OVER
+        |  (PARTITION BY shard ORDER BY prio, doc_id) AS seq FROM pr)
+        |SELECT shard, count(*) AS n_docs,
+        |CAST(sum(seq * doc_id) AS BIGINT) AS order_checksum
+        |FROM rk GROUP BY shard ORDER BY shard""".stripMargin) { (s, dir) =>
+      val digest = md5(concat(lit("42#"), col("doc_id").cast("string")).cast("binary"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy("prio", "doc_id")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          conv(substring(digest, 1, 13), 16, 10).cast("long").as("prio"),
+          pmod(conv(substring(digest, 14, 2), 16, 10).cast("long"), lit(16))
+            .as("shard"))
+        .withColumn("seq", row_number().over(w))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("seq") * col("doc_id")).as("order_checksum"))
+        .orderBy("shard")
+    },
+
     // Bigram language-model scoring — the classic LM-quality filter: train
     // add-1-smoothed bigram counts on the corpus, score every document by
     // total log-probability. Exact-hash floats via INTEGER QUANTIZATION:
@@ -1960,6 +2043,63 @@ object PipelineQueries {
       sc.where(col("doc_id") < 100)
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("logprob_scaled"))
+        .orderBy("doc_id")
+    },
+
+    // DSIR-style importance weighting for data selection (Xie et al.
+    // NeurIPS'23 arXiv:2302.03169): score every raw document by how much
+    // its hashed-unigram distribution looks like a TARGET domain —
+    // weight(doc) = sum over tokens of ln(p_target[bucket]/p_raw[bucket]),
+    // add-1 smoothed over B=256 hash buckets. The bucket tables are
+    // B-row broadcasts (the whole model is KB-sized at any corpus scale),
+    // so the corpus makes exactly two passes: one grouped count to fit,
+    // one broadcast-join map to score — no corpus shuffle anywhere.
+    // Portability: bucket = first 7 hex digits of md5(token) mod B (md5 is
+    // byte-identical across engines, 28 bits exact in BIGINT); the
+    // per-bucket log-ratio is computed as ONE ln of a single quotient of
+    // exactly-representable products (< 2^53), then floor(lr*1e6) makes
+    // per-doc weights integer sums — the x_lm_score float discipline.
+    Q("x_dsir",
+      """WITH tok AS (SELECT doc_id, source,
+        |  unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS t
+        |  FROM documents),
+        |tb AS (SELECT doc_id, source,
+        |  CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT) % 256 AS b FROM tok),
+        |bg AS (SELECT b, count(*) FILTER (WHERE source = 'src0') AS ct,
+        |  count(*) FILTER (WHERE source <> 'src0') AS cr FROM tb GROUP BY b),
+        |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
+        |  CAST(sum(cr) AS BIGINT) AS tr FROM bg),
+        |lr AS (SELECT bg.b, CAST(floor(ln(((bg.ct + 1.0) * (tot.tr + 256)) /
+        |  ((bg.cr + 1.0) * (tot.tt + 256))) * 1000000) AS BIGINT) AS lr
+        |  FROM bg CROSS JOIN tot),
+        |sc AS (SELECT tb.doc_id, lr.lr FROM tb JOIN lr USING (b)
+        |  WHERE tb.source <> 'src0')
+        |SELECT doc_id, count(*) AS n_tokens,
+        |CAST(sum(lr) AS BIGINT) AS weight_scaled
+        |FROM sc WHERE doc_id < 100 GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val B = 256
+      val tb = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(split(lower(col("text")), " ")).as("t"))
+        .where(col("t") =!= "")
+        .select(col("doc_id"), col("source"),
+          pmod(conv(substring(md5(col("t").cast("binary")), 1, 7), 16, 10)
+            .cast("long"), lit(B)).as("b"))
+      val bg = tb.groupBy("b").agg(
+        count(when(col("source") === "src0", 1)).as("ct"),
+        count(when(col("source") =!= "src0", 1)).as("cr"))
+      val tot = bg.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+      val lr = bg.crossJoin(broadcast(tot))
+        .withColumn("lr", floor(log(
+          ((col("ct") + lit(1.0)) * (col("tr") + lit(B))) /
+            ((col("cr") + lit(1.0)) * (col("tt") + lit(B)))) * lit(1000000))
+          .cast("long"))
+        .select("b", "lr")
+      tb.where(col("source") =!= "src0")
+        .join(broadcast(lr), "b")
+        .where(col("doc_id") < 100)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("lr").as("weight_scaled"))
         .orderBy("doc_id")
     },
 

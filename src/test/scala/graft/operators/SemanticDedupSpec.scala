@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.VectorOps
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+
+/** SemDeDup-style semantic dedup: the top-2 assignment kernel and the
+  * cluster-bucketed pair operator (Dedup.semanticNearDup).
+  */
+class SemanticDedupSpec extends SparkSpec {
+
+  private def arr(xs: Double*) = new GenericArrayData(xs.toArray)
+  private def mat(rows: Array[Double]*) =
+    new GenericArrayData(rows.map(r => new GenericArrayData(r)).toArray)
+
+  test("nearest2Centroids returns best-first, ties to lowest index") {
+    val cents = mat(Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 1.0))
+    // cos to (1,0.2): c0 = .981, c1 = .196, c2 = .832
+    val got = VectorOps.nearest2Centroids(arr(1.0, 0.2), cents)
+    assert(got.toIntArray().toSeq === Seq(0, 2))
+    // exact tie between c0 and a duplicate of c0 at index 1 -> lowest first
+    val tied = mat(Array(1.0, 0.0), Array(2.0, 0.0), Array(0.0, 1.0))
+    assert(VectorOps.nearest2Centroids(arr(3.0, 0.0), tied)
+      .toIntArray().toSeq === Seq(0, 1))
+  }
+
+  test("nearest2Centroids head equals nearestCentroid; 1-centroid codebook repeats") {
+    val cents = mat(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0), Array(0.0, 0.0, 1.0))
+    for (v <- Seq(arr(0.3, 0.9, 0.1), arr(0.9, 0.1, 0.2), arr(0.1, 0.2, 0.9))) {
+      assert(VectorOps.nearest2Centroids(v, cents).toIntArray()(0) ===
+        VectorOps.nearestCentroid(v, cents))
+    }
+    val one = mat(Array(1.0, 0.0))
+    assert(VectorOps.nearest2Centroids(arr(0.5, 0.5), one)
+      .toIntArray().toSeq === Seq(0, 0))
+  }
+
+  test("semanticNearDup recovers a boundary-straddling pair via top-2 assignment") {
+    import spark.implicits._
+    // Two tight clusters around e1 and e2 plus one near-dup pair placed ON
+    // the bisector between them: single-cluster assignment can split the
+    // pair (each point snaps to a different side), the top-2 runner-up
+    // always reaches across.
+    val a = Array(1.0, 0.02)  // barely on the e1 side of the bisector
+    val b = Array(1.02, 1.0)  // cosine(a,b) ~ 0.72 -- NOT a dup
+    val rows =
+      (0L to 9L).map(i => (i, Seq(1.0, 0.001 * i))) ++        // cluster 1
+      (10L to 19L).map(i => (i, Seq(0.001 * (i - 10), 1.0))) ++ // cluster 2
+      Seq((100L, Seq(1.0, 0.999)), (101L, Seq(0.999, 1.0)))   // bisector pair
+    val df = rows.toDF("id", "vec")
+    val pairs = Dedup.semanticNearDup(df, "id", "vec",
+      threshold = 0.999, nlist = 2, iterations = 5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((100L, 101L)),
+      s"boundary pair lost; got $pairs")
+    // and the threshold held: no cross-cluster (sub-0.999) pair leaked in
+    assert(pairs.forall { case (x, y) => (x < 10 && y < 10) ||
+      (x >= 10 && x < 20 && y >= 10 && y < 20) || (x, y) == ((100L, 101L)) },
+      s"sub-threshold pair leaked: $pairs")
+  }
+
+  test("semanticNearDup maxOccupancy split keeps the pair list a subset and bounded") {
+    import spark.implicits._
+    // One degenerate direction: every vector near-identical => one cluster
+    // holds everything, the split must fire and the result must stay a
+    // subset of the unsplit pairs (same threshold).
+    val rows = (0L until 64L).map(i => (i, Seq(1.0, 1e-6 * i, 1e-6 * (i % 7))))
+    val df = rows.toDF("id", "vec")
+    val full = Dedup.semanticNearDup(df, "id", "vec",
+      threshold = 0.9999, nlist = 4, iterations = 2, maxOccupancy = 0)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val split = Dedup.semanticNearDup(df, "id", "vec",
+      threshold = 0.9999, nlist = 4, iterations = 2, maxOccupancy = 8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(split.subsetOf(full), "split produced pairs the unsplit pass lacks")
+    // occupancy 8 over ~128 assignment rows in one hot cluster => the split
+    // really fired (full pair count is ~64*63/2 per shared cluster; the
+    // split count must be far below it)
+    assert(full.size > split.size, "maxOccupancy split never fired")
+  }
+}
