@@ -359,6 +359,52 @@ object VectorOps {
     * as IVF's nprobe on the query side.
     */
   def nearest2Centroids(vec: ArrayData, centroids: ArrayData): ArrayData = {
+    val cm = centroidMatrix(centroids)
+    if (cm.clean) {
+      // Fast path: the centroid literal is one ArrayData instance reused
+      // for EVERY row (a folded typedlit), so the matrix is converted to
+      // primitive arrays once per executor, not once per row, and the
+      // query vector's norm is hoisted out of the per-centroid loop —
+      // together ~3x on the n x nlist assignment pass that dominates
+      // semantic dedup at large n (SemDiag, 100x ScaleCheck corpus).
+      // Bit-identical to the general path on clean input: same ascending
+      // accumulation order, same dot/(sqrt(na)*sqrt(nb)) expression.
+      val len = vec.numElements()
+      var hasNull = false
+      var i = 0
+      while (i < len && !hasNull) { hasNull = vec.isNullAt(i); i += 1 }
+      if (!hasNull && len == cm.dim) {
+        val v = vec.toDoubleArray()
+        var na = 0.0
+        i = 0
+        while (i < len) { val x = v(i); na += x * x; i += 1 }
+        val sqNa = math.sqrt(na)
+        val rows = cm.rows
+        var best = -1; var bestSim = Double.NegativeInfinity
+        var second = -1; var secondSim = Double.NegativeInfinity
+        var c = 0
+        while (c < rows.length) {
+          val r = rows(c)
+          var dot = 0.0
+          var d = 0
+          while (d < len) { dot += v(d) * r(d); d += 1 }
+          val sim =
+            if (na == 0.0 || cm.norms(c) == 0.0) 0.0
+            else dot / (sqNa * cm.norms(c))
+          if (sim > bestSim) {
+            secondSim = bestSim; second = best
+            bestSim = sim; best = c
+          } else if (sim > secondSim) { secondSim = sim; second = c }
+          c += 1
+        }
+        if (second < 0) second = best
+        return new GenericArrayData(Array(best, second))
+      }
+    }
+    nearest2CentroidsGeneral(vec, centroids)
+  }
+
+  private def nearest2CentroidsGeneral(vec: ArrayData, centroids: ArrayData): ArrayData = {
     val m = centroids.numElements()
     var best = -1; var bestSim = Double.NegativeInfinity
     var second = -1; var secondSim = Double.NegativeInfinity
@@ -375,6 +421,57 @@ object VectorOps {
     }
     if (second < 0) second = best
     new GenericArrayData(Array(best, second))
+  }
+
+  /** Memoized primitive conversion of a centroid-matrix literal. `clean`
+    * means: no null rows, no null elements, uniform dimension — the fast
+    * path's preconditions (null elements carry "absent dimension"
+    * semantics the hoisted-norm loop can't honor; mixed dims make the
+    * query norm centroid-dependent). Single-entry identity cache: one
+    * operator's literal at a time is the access pattern, and a miss only
+    * costs the conversion.
+    */
+  private final class CentroidMatrix(val rows: Array[Array[Double]],
+      val norms: Array[Double], val dim: Int, val clean: Boolean)
+  @volatile private var n2cKey: ArrayData = null
+  @volatile private var n2cVal: CentroidMatrix = null
+
+  private def centroidMatrix(c: ArrayData): CentroidMatrix = {
+    val k = n2cKey
+    val cached = n2cVal
+    if ((k eq c) && cached != null) return cached
+    val m = c.numElements()
+    val rows = new Array[Array[Double]](m)
+    val norms = new Array[Double](m)
+    var clean = m > 0
+    var dim = -1
+    var i = 0
+    while (i < m && clean) {
+      if (c.isNullAt(i)) clean = false
+      else {
+        val r = c.getArray(i)
+        val len = r.numElements()
+        if (dim < 0) dim = len
+        if (len != dim) clean = false
+        else {
+          var j = 0
+          while (j < len && clean) { clean = !r.isNullAt(j); j += 1 }
+          if (clean) {
+            val arr = r.toDoubleArray()
+            rows(i) = arr
+            var nb = 0.0
+            j = 0
+            while (j < len) { val x = arr(j); nb += x * x; j += 1 }
+            norms(i) = math.sqrt(nb)
+          }
+        }
+      }
+      i += 1
+    }
+    val res = new CentroidMatrix(rows, norms, dim, clean)
+    n2cKey = c
+    n2cVal = res
+    res
   }
 
   /** Plain-array twin of nearestCentroidL2 (RDD-side k-means partials). */

@@ -185,48 +185,105 @@ object Dedup {
     */
   def semanticNearDup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.99, nlist: Int = 16, iterations: Int = 3,
-      maxOccupancy: Int = 0): DataFrame = {
+      maxOccupancy: Int = 0, fitSampleMax: Int = 20000,
+      refineTarget: Int = 12): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    import graft.functions.GraftFunctions.{graft_cosine, graft_nearest2_centroids}
+    import graft.functions.GraftFunctions.{graft_cosine, graft_hyperplanes, graft_nearest2_centroids}
     val vecs = df.select(col(idCol).cast("long").as("vid"),
       col(vecCol).cast("array<double>").as("cv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val centroids = Similarity.fitCentroids(vecs, nlist, iterations)
+      // Fit on a bounded hash-spread subset (SemDeDup fits its clustering
+      // on a corpus subset too): Lloyd's cost is passes x |fit set| x
+      // nlist x dim, and with nlist scaling ~n/occupancy an unsampled fit
+      // is O(n^2) — ScaleCheck measured the hump at exactly the nlist cap
+      // (24x time at 100x data, fit-dominated). Bucket quality needs
+      // centroids near the data's density modes, not per-point precision,
+      // so a 20k-row sample is plenty; the corpus-sized work drops to the
+      // ONE narrow top-2 assignment pass, linear in n once nlist caps.
+      // Deterministic subset (id-hash filter), so the fitted layout — and
+      // the oracle-gated recall — is reproducible run to run. No-op at
+      // gate SFs (n <= fitSampleMax there).
+      val n = vecs.count()
+      val fitSet =
+        if (n <= fitSampleMax) vecs
+        else vecs.where(pmod(xxhash64(col("vid")),
+          lit((n + fitSampleMax - 1) / fitSampleMax)) === 0)
+      val centroids = Similarity.fitCentroids(fitSet, nlist, iterations)
       val centroidLit = typedlit(centroids.map(_.toSeq).toSeq)
       // (id, cid) assignment rows — array_distinct because a 1-centroid fit
       // repeats the winner; only ids ride the bucket exchange.
-      val assigned = vecs.select(col("vid").as("id"),
+      // Within-cluster LSH refinement: nlist caps (the fit/assign cost
+      // wall), so beyond the cap the expected cluster occupancy — and the
+      // occupancy^2 pair stream — grows linearly with n. A p-plane
+      // hyperplane signature INSIDE each cluster restores bounded
+      // occupancy: p = log2(expOcc/refineTarget), i.e. exactly enough
+      // planes to land occupancy back at refineTarget. Recall stays a
+      // contract, not luck: at threshold 0.99 (theta/pi ~ 0.032) one
+      // p=3..4 signature keeps a true pair with prob ~0.88-0.91, and the
+      // top-2 multi-assignment gives two DECORRELATED shots — the
+      // signature table is chosen by cid (cid mod 4), so a pair's two
+      // shared clusters usually hash it with different planes —
+      // compounding to ~0.99 per pair. Choosing the table by cid (not by
+      // assignment rank) is load-bearing: both endpoints of a pair in
+      // cluster c must use c's planes or their signatures are
+      // incomparable.
+      val expOcc = 2.0 * n / nlist
+      val refinePlanes = math.max(0, math.min(12,
+        math.ceil(math.log(expOcc / math.max(1, refineTarget)) / math.log(2)).toInt))
+      val sigTables = 4
+      val assigned0 = vecs.select(col("vid").as("id"), col("cv"),
         explode(array_distinct(
           graft_nearest2_centroids(col("cv"), centroidLit))).as("cid"))
+      // The assignment pass (n x nlist kernel work — the operator's
+      // single most expensive narrow stage) feeds the occupancy aggregate
+      // AND both join sides: persist it or it runs three times.
+      val assigned =
+        (if (refinePlanes == 0) assigned0.withColumn("sig", lit(0L))
+         else assigned0.withColumn("sig", element_at(
+           graft_hyperplanes(col("cv"), refinePlanes, sigTables),
+           (pmod(col("cid"), lit(sigTables)) + 1).cast("int"))))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bucketed =
         if (maxOccupancy <= 0) assigned.withColumn("sub", lit(0L))
         else {
-          val over = assigned.groupBy("cid")
+          val over = assigned.groupBy("cid", "sig")
             .agg(count(lit(1)).as("occ"))
             .where(col("occ") > maxOccupancy)
           // Sub-hash seeded by cid: a pair sharing BOTH clusters (source and
           // runner-up) gets independent splits in each — the same
           // decorrelation lshCandidatePairs gets from seeding by table.
-          assigned.join(broadcast(over), Seq("cid"), "left")
+          assigned.join(broadcast(over), Seq("cid", "sig"), "left")
             .withColumn("sub", when(col("occ").isNull, lit(0L)).otherwise(
               pmod(xxhash64(col("id"), col("cid")),
                 ceil(col("occ") / maxOccupancy).cast("long"))))
             .drop("occ")
         }
-      val a = bucketed.select(col("cid"), col("sub"), col("id").as("id1"))
-      val b = bucketed.select(col("cid"), col("sub"), col("id").as("id2"))
-      val candidates = a.join(b, Seq("cid", "sub"))
+      // Verify-join shape: OPPOSITE of lshCandidatePairs' ids-only + two
+      // join-backs, deliberately. There the banded rows are n x T tables
+      // (T up to 22) and candidate dups across tables are re-verified
+      // T-fold without the pre-verify dedup — ids-only wins. Here the
+      // multiplicity is exactly 2 (top-2 clusters), so vectors ride the
+      // bucket exchange at 2n rows TOTAL, the joined pair stream hits the
+      // inline cosine filter WITHOUT ever being shuffled (a dedup
+      // verifier's filter passes ~nothing), and dropDuplicates runs on
+      // survivors, not candidates. Measured at the 100x ScaleCheck
+      // corpus: the ids-only shape shuffled 19.5M candidate pairs into
+      // two vector joins (~40s); this shape exchanges 2n vector-bearing
+      // rows (~200 MB) and streams the pairs (SemDiag decomposition).
+      val a = bucketed.select(col("cid"), col("sig"), col("sub"),
+        col("id").as("id1"), col("cv").as("v1"))
+      val b = bucketed.select(col("cid"), col("sig"), col("sub"),
+        col("id").as("id2"), col("cv").as("v2"))
+      val result = a.join(b, Seq("cid", "sig", "sub"))
         .where(col("id1") < col("id2"))
-        .select("id1", "id2")
-        .dropDuplicates("id1", "id2")
-      val result = candidates
-        .join(vecs.select(col("vid").as("id1"), col("cv").as("v1")), "id1")
-        .join(vecs.select(col("vid").as("id2"), col("cv").as("v2")), "id2")
         .withColumn("cosine", graft_cosine(col("v1"), col("v2")))
         .where(col("cosine") >= threshold)
         .select("id1", "id2", "cosine")
-      result.localCheckpoint(true)
+        .dropDuplicates("id1", "id2")
+      val out = result.localCheckpoint(true)
+      assigned.unpersist()
+      out
     } finally vecs.unpersist()
   }
 }

@@ -116,6 +116,54 @@ object PipelineQueries {
     */
   private val AnnExactVerifyMaxRows = 1000L
 
+  /** Shared DSIR weight model (x_dsir / x_dsir_sample): per-token
+    * integer-quantized log importance ratios against the src0 target
+    * domain. `sc` is (doc_id, lr) over every RAW (non-target) token; the
+    * bucket tables are B=256-row broadcasts, so the corpus makes exactly
+    * two passes (one grouped count to fit, one broadcast-join to score).
+    */
+  private val dsirWeightsSql: String =
+    """WITH tok AS (SELECT doc_id, source,
+      |  unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS t
+      |  FROM documents),
+      |tb AS (SELECT doc_id, source,
+      |  CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT) % 256 AS b FROM tok),
+      |bg AS (SELECT b, count(*) FILTER (WHERE source = 'src0') AS ct,
+      |  count(*) FILTER (WHERE source <> 'src0') AS cr FROM tb GROUP BY b),
+      |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
+      |  CAST(sum(cr) AS BIGINT) AS tr FROM bg),
+      |lr AS (SELECT bg.b, CAST(floor(ln(((bg.ct + 1.0) * (tot.tr + 256)) /
+      |  ((bg.cr + 1.0) * (tot.tt + 256))) * 1000000) AS BIGINT) AS lr
+      |  FROM bg CROSS JOIN tot),
+      |sc AS (SELECT tb.doc_id, lr.lr FROM tb JOIN lr USING (b)
+      |  WHERE tb.source <> 'src0')
+      |""".stripMargin
+
+  private def dsirTokenScores(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val B = 256
+    val tb = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(split(lower(col("text")), " ")).as("t"))
+      .where(col("t") =!= "")
+      .select(col("doc_id"), col("source"),
+        pmod(conv(substring(md5(col("t").cast("binary")), 1, 7), 16, 10)
+          .cast("long"), lit(B)).as("b"))
+    val bg = tb.groupBy("b").agg(
+      count(when(col("source") === "src0", 1)).as("ct"),
+      count(when(col("source") =!= "src0", 1)).as("cr"))
+    val tot = bg.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+    val lr = bg.crossJoin(broadcast(tot))
+      .withColumn("lr", floor(log(
+        ((col("ct") + lit(1.0)) * (col("tr") + lit(B))) /
+          ((col("cr") + lit(1.0)) * (col("tt") + lit(B)))) * lit(1000000))
+        .cast("long"))
+      .select("b", "lr")
+    tb.where(col("source") =!= "src0")
+      .join(broadcast(lr), "b")
+      .select("doc_id", "lr")
+  }
+
   val all: Seq[Q] = Seq(
 
     // -- Deduplication --------------------------------------------------
@@ -1992,6 +2040,100 @@ object PipelineQueries {
         .orderBy("shard")
     },
 
+    // Feature-hashing text embedder (Weinberger et al. ICML'09) — dense
+    // vectors for the documents table with no model and no vocabulary:
+    // the bridge from text to the ANN/dedup family. The full corpus is
+    // embedded (the at-scale path Bench times); the oracle re-derives
+    // every coordinate of the first 5 documents exactly (md5-hex hashes,
+    // integer-valued pre-normalization vectors), and a gate attests the
+    // map is a function of content: exact-duplicate texts must embed to
+    // identical vectors (corpus-size-switched, AnnExactVerifyMaxRows).
+    Q("x_text_embed",
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS t
+        |  FROM documents WHERE doc_id < 5),
+        |tb AS (SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT) % 64 AS d,
+        |  1 - 2 * (CAST(concat('0x', substr(md5(t), 8, 1)) AS BIGINT) % 2) AS s
+        |  FROM tok),
+        |grid AS (SELECT doc_id, r.d FROM (SELECT DISTINCT doc_id FROM tb)
+        |  CROSS JOIN range(64) AS r(d)),
+        |sp AS (SELECT doc_id, d, CAST(sum(s) AS BIGINT) AS v FROM tb
+        |  GROUP BY doc_id, d)
+        |SELECT grid.doc_id, grid.d AS dim,
+        |CAST(COALESCE(sp.v, 0) AS BIGINT) AS val
+        |FROM grid LEFT JOIN sp USING (doc_id, d)
+        |ORDER BY doc_id, dim""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val emb = graft.operators.TextEmbed.featureHash(docs, "doc_id", "text",
+        dim = 64)
+      val n = docs.count()
+      if (n <= AnnExactVerifyMaxRows) {
+        // content-function attestation: docs with identical text (the
+        // corpus has real exact dups — x_dedup_exact counts them) must
+        // embed to bit-identical vectors
+        val fp = docs.select(col("doc_id").as("id"),
+          TextFunctions.fingerprintMd5(col("text")).as("fp"))
+        val dupPair = fp.groupBy("fp")
+          .agg(min("id").as("id1"), max("id").as("id2"), count(lit(1)).as("c"))
+          .where(col("c") >= 2).limit(8)
+        val mismatches = dupPair
+          .join(emb.select(col("id").as("id1"), col("vec").as("v1")), "id1")
+          .join(emb.select(col("id").as("id2"), col("vec").as("v2")), "id2")
+          .where(col("v1") =!= col("v2")).count()
+        Gate.check(mismatches == 0,
+          s"$mismatches duplicate-text pairs embedded to different vectors")
+      }
+      emb.where(col("id") < 5)
+        .select(col("id").as("doc_id"), posexplode(col("vec")).as(Seq("dim", "val")))
+        .select(col("doc_id"), col("dim").cast("long").as("dim"),
+          col("val").cast("long").as("val"))
+        .orderBy("doc_id", "dim")
+    },
+
+    // End-to-end text -> hash-embedding -> LSH near-dup composition, with a
+    // DETERMINISTIC full oracle: docs with identical text embed to
+    // IDENTICAL vectors (TextEmbed is a pure content function), identical
+    // vectors share every LSH bucket in every table, so embeddingNearDup
+    // at threshold ~1 recovers EVERY exact-dup pair with probability 1 —
+    // no seed luck, no violation-count indirection. The oracle counts
+    // C(g,2) over md5-fingerprint groups; the Spark side counts recovered
+    // pairs whose endpoints share a fingerprint. Equality is exact in both
+    // directions: a missed pair lowers n_found, a broken embedder that
+    // merges distinct texts can only add pairs OUTSIDE the fingerprint
+    // match (filtered), never inflate it.
+    Q("x_embed_dedup",
+      """SELECT CAST(sum(c * (c - 1) / 2) AS BIGINT) AS n_expected,
+        |CAST(sum(c * (c - 1) / 2) AS BIGINT) AS n_found FROM
+        |(SELECT count(*) AS c FROM documents GROUP BY md5(lower(text))) g""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val emb = graft.operators.TextEmbed.featureHash(
+        docs, "doc_id", "text", dim = 64, normalize = true)
+        .localCheckpoint(true) // feeds LSH banding + both verify sides
+      val n = emb.count()
+      val planes = Similarity.adaptivePlanes(n, targetOccupancy = 2)
+      val tables = Similarity.tablesForRecall(planes, cosine = 0.999)
+      // maxOccupancy OFF: the determinism of the contract rests on
+      // identical vectors sharing every bucket, and an occupancy split
+      // separates same-bucket ids by hash — it would turn the guaranteed
+      // recovery back into a probabilistic one. Dup-group size IS the
+      // occupancy here, bounded by the corpus's dup multiplicity; at real
+      // scale the cap goes back on and the contract becomes >=.
+      val pairs = Dedup.embeddingNearDup(emb, "id", "vec",
+        threshold = 1.0 - 1e-9, numPlanes = planes, numTables = tables,
+        maxOccupancy = 0)
+      val fp = docs.select(col("doc_id"),
+        TextFunctions.fingerprintMd5(col("text")).as("fp"))
+      val matched = pairs
+        .join(fp.select(col("doc_id").as("id1"), col("fp").as("fp1")), "id1")
+        .join(fp.select(col("doc_id").as("id2"), col("fp").as("fp2")), "id2")
+        .where(col("fp1") === col("fp2"))
+      matched.agg(count(lit(1)).as("n_found"))
+        .crossJoin(fp.groupBy("fp").agg(count(lit(1)).as("c"))
+          .agg(sum(col("c") * (col("c") - 1) / 2).cast("long").as("n_expected")))
+        .select("n_expected", "n_found")
+    },
+
     // Bigram language-model scoring — the classic LM-quality filter: train
     // add-1-smoothed bigram counts on the corpus, score every document by
     // total log-probability. Exact-hash floats via INTEGER QUANTIZATION:
@@ -2060,47 +2202,48 @@ object PipelineQueries {
     // exactly-representable products (< 2^53), then floor(lr*1e6) makes
     // per-doc weights integer sums — the x_lm_score float discipline.
     Q("x_dsir",
-      """WITH tok AS (SELECT doc_id, source,
-        |  unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS t
-        |  FROM documents),
-        |tb AS (SELECT doc_id, source,
-        |  CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT) % 256 AS b FROM tok),
-        |bg AS (SELECT b, count(*) FILTER (WHERE source = 'src0') AS ct,
-        |  count(*) FILTER (WHERE source <> 'src0') AS cr FROM tb GROUP BY b),
-        |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
-        |  CAST(sum(cr) AS BIGINT) AS tr FROM bg),
-        |lr AS (SELECT bg.b, CAST(floor(ln(((bg.ct + 1.0) * (tot.tr + 256)) /
-        |  ((bg.cr + 1.0) * (tot.tt + 256))) * 1000000) AS BIGINT) AS lr
-        |  FROM bg CROSS JOIN tot),
-        |sc AS (SELECT tb.doc_id, lr.lr FROM tb JOIN lr USING (b)
-        |  WHERE tb.source <> 'src0')
-        |SELECT doc_id, count(*) AS n_tokens,
+      dsirWeightsSql +
+      """SELECT doc_id, count(*) AS n_tokens,
         |CAST(sum(lr) AS BIGINT) AS weight_scaled
         |FROM sc WHERE doc_id < 100 GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val B = 256
-      val tb = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          explode(split(lower(col("text")), " ")).as("t"))
-        .where(col("t") =!= "")
-        .select(col("doc_id"), col("source"),
-          pmod(conv(substring(md5(col("t").cast("binary")), 1, 7), 16, 10)
-            .cast("long"), lit(B)).as("b"))
-      val bg = tb.groupBy("b").agg(
-        count(when(col("source") === "src0", 1)).as("ct"),
-        count(when(col("source") =!= "src0", 1)).as("cr"))
-      val tot = bg.agg(sum("ct").as("tt"), sum("cr").as("tr"))
-      val lr = bg.crossJoin(broadcast(tot))
-        .withColumn("lr", floor(log(
-          ((col("ct") + lit(1.0)) * (col("tr") + lit(B))) /
-            ((col("cr") + lit(1.0)) * (col("tt") + lit(B)))) * lit(1000000))
-          .cast("long"))
-        .select("b", "lr")
-      tb.where(col("source") =!= "src0")
-        .join(broadcast(lr), "b")
+      dsirTokenScores(s, dir)
         .where(col("doc_id") < 100)
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"), sum("lr").as("weight_scaled"))
         .orderBy("doc_id")
+    },
+
+    // DSIR step 2 — importance RESAMPLING via the Gumbel top-k trick
+    // (Efraimidis-Spirakis weighted sampling without replacement; Xie et
+    // al. arXiv:2302.03169 §2.3 sample with probability ∝ exp(weight)):
+    // key = weight + Gumbel noise, take the k largest keys. The noise is
+    // DERIVED, not drawn — u = (md5-52bit(doc_id)+0.5)/2^52 (the +0.5
+    // keeps u in (0,1) exactly; /2^52 is exact binary scaling) — so the
+    // sample is a pure function of (seed, doc_id): reproducible across
+    // engines and retries, and the ORACLE can re-derive the exact sample.
+    // floor(gumbel*1e6) keeps the ranking key integer (the x_lm_score
+    // float discipline). Top-k by orderBy+limit = TakeOrderedAndProject
+    // (bounded per-partition heaps, no global sort).
+    Q("x_dsir_sample",
+      dsirWeightsSql +
+      """,w AS (SELECT doc_id, CAST(sum(lr) AS BIGINT) AS ws FROM sc GROUP BY doc_id),
+        |g AS (SELECT doc_id, ws + CAST(floor(-ln(-ln(
+        |  (CAST(concat('0x', substr(md5(concat('g#', CAST(doc_id AS VARCHAR))),
+        |    1, 13)) AS BIGINT) + 0.5) / 4503599627370496.0)) * 1000000) AS BIGINT)
+        |  AS key_scaled FROM w)
+        |SELECT doc_id, key_scaled FROM g
+        |ORDER BY key_scaled DESC, doc_id LIMIT 25""".stripMargin) { (s, dir) =>
+      val u = (conv(substring(md5(concat(lit("g#"), col("doc_id").cast("string"))
+        .cast("binary")), 1, 13), 16, 10).cast("double") + lit(0.5)) /
+        lit(4503599627370496.0)
+      dsirTokenScores(s, dir)
+        .groupBy("doc_id")
+        .agg(sum("lr").as("ws"))
+        .withColumn("key_scaled",
+          (col("ws") + floor(-log(-log(u)) * lit(1000000)).cast("long")))
+        .select("doc_id", "key_scaled")
+        .orderBy(col("key_scaled").desc, col("doc_id"))
+        .limit(25)
     },
 
     // STREAMING windowed aggregation, driver-visible: the batch twin is

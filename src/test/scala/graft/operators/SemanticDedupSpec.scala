@@ -36,6 +36,31 @@ class SemanticDedupSpec extends SparkSpec {
       .toIntArray().toSeq === Seq(0, 0))
   }
 
+  test("nearest2Centroids fast path matches brute-force cosine ranking") {
+    // 50 deterministic pseudo-random centroids, dim 8 (clean input -> the
+    // memoized primitive fast path); winners must equal an independent
+    // brute-force argmax over VectorOps.cosineArr.
+    def prng(seed: Int): Double = {
+      val x = seed * 2654435761L
+      ((x % 1000).toDouble / 500.0) - 1.0
+    }
+    val cents = Array.tabulate(50, 8)((i, j) => prng(i * 8 + j + 1))
+    val centsAd = mat(cents: _*)
+    for (q <- 0 until 20) {
+      val v = Array.tabulate(8)(j => prng(1000 + q * 8 + j))
+      val got = VectorOps.nearest2Centroids(arr(v.toIndexedSeq: _*), centsAd)
+        .toIntArray().toSeq
+      val ranked = cents.indices
+        .sortBy(i => (-VectorOps.cosineArr(v, cents(i)), i)).take(2)
+      assert(got === ranked, s"query $q: got $got want $ranked")
+    }
+    // a matrix with a null row takes the general path and skips that row
+    val withNull = new GenericArrayData(Array[Any](
+      null, new GenericArrayData(Array(1.0, 0.0)), new GenericArrayData(Array(0.0, 1.0))))
+    assert(VectorOps.nearest2Centroids(arr(1.0, 0.1), withNull)
+      .toIntArray().toSeq === Seq(1, 2))
+  }
+
   test("semanticNearDup recovers a boundary-straddling pair via top-2 assignment") {
     import spark.implicits._
     // Two tight clusters around e1 and e2 plus one near-dup pair placed ON
