@@ -68,6 +68,19 @@ object ScaleCheck {
         vecs, planes, tables, cap).count()
       println(s"SCALECHECK pairs $name planes=$planes tables=$tables n=$n pairs=$pairs")
       (name, pairs)
+    } :+ {
+      // x_semdedup's candidate count at its own adaptive schedule:
+      // threshold -1 turns the verify filter into a pass-through, so the
+      // pair count IS the cluster-bucketed candidate volume (post
+      // refinement + occupancy split) — the quantity the 100x ratio's
+      // sub-linearity rests on.
+      val nlist = math.max(16L, math.min(4096L, n / 48)).toInt
+      val pairs = graft.operators.Dedup.semanticNearDup(
+        vecs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        threshold = -1.0, nlist = nlist, iterations = 3,
+        maxOccupancy = 384).count()
+      println(s"SCALECHECK pairs x_semdedup nlist=$nlist n=$n pairs=$pairs")
+      ("x_semdedup", pairs)
     }
   }
 

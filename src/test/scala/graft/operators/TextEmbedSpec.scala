@@ -34,6 +34,20 @@ class TextEmbedSpec extends SparkSpec {
       s"non-unit norms: $out")
   }
 
+  test("featureHash is additive over token multisets") {
+    import spark.implicits._
+    // The hashing trick is linear in the token multiset: vec(A ++ B) ==
+    // vec(A) + vec(B) coordinate-wise (pre-normalization) — the property
+    // that makes sharded/streaming featurization composable by summing.
+    val a = "spark window merge batch"
+    val b = "join join agg stream table"
+    val df = Seq((1L, a), (2L, b), (3L, s"$a $b")).toDF("id", "text")
+    val v = TextEmbed.featureHash(df, "id", "text", dim = 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val summed = v(1L).zip(v(2L)).map { case (x, y) => x + y }
+    assert(v(3L) === summed, s"additivity broken: ${v(3L)} vs $summed")
+  }
+
   test("featureHash matches a hand-computed coordinate") {
     import spark.implicits._
     // md5("alpha") = 2c1743a391305fbf367df8e4f069f9f9 -> first 7 hex =
