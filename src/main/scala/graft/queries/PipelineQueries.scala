@@ -1504,6 +1504,156 @@ object PipelineQueries {
         .orderBy("user_id")
     },
 
+    // Blocked fuzzy-match join (record linkage): the entity-resolution
+    // primitive — a "dirty" feed whose keys are unusable joins back to the
+    // master table by STRING similarity, made tractable by blocking: an
+    // equi-join on a cheap blocking key bounds the candidate set, then
+    // codegen'd levenshtein verifies each candidate (never corpus x
+    // corpus). Fixture: 25 master names with one mid-string typo (the
+    // blocking key — a digit span the typo can't touch — survives) plus 5
+    // ghost records matching nothing. lev<=1 identifies the unique source
+    // deterministically: fixing the typo'd position forces the rest to
+    // match exactly. At 100 TB block sizing is the knob — |block_dirty| x
+    // |block_master| per key must stay bounded (multi-pass blocking with
+    // a second key ORs in recall, same shape as LSH tables).
+    Q("x_fuzzy_join",
+      """WITH dirty AS (
+        |  SELECT c_custkey + 1000000 AS d_key,
+        |    concat(substr(c_name, 1, 9), 'X', substr(c_name, 11)) AS d_name
+        |  FROM customer WHERE c_custkey < 25
+        |  UNION ALL
+        |  SELECT 2000000 + r.range,
+        |    concat('Ghost#00', CAST(r.range AS VARCHAR)) FROM range(5) r),
+        |m AS (SELECT d.d_key, c.c_custkey,
+        |    levenshtein(d.d_name, c.c_name) AS dist
+        |  FROM dirty d JOIN customer c
+        |  ON substr(d.d_name, 12, 4) = substr(c.c_name, 12, 4)
+        |  WHERE levenshtein(d.d_name, c.c_name) <= 1)
+        |SELECT d_key, c_custkey, dist FROM m
+        |ORDER BY d_key""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val cust = Tables(s, dir, "customer")
+      val typod = cust.where(col("c_custkey") < 25)
+        .select((col("c_custkey") + 1000000L).as("d_key"),
+          concat(substring(col("c_name"), 1, 9), lit("X"),
+            substring(col("c_name"), 11, 100)).as("d_name"))
+      val ghosts = (0 until 5)
+        .map(k => (2000000L + k, s"Ghost#00$k")).toDF("d_key", "d_name")
+      val dirty = typod.unionByName(ghosts)
+      dirty.join(cust,
+        substring(col("d_name"), 12, 4) === substring(col("c_name"), 12, 4))
+        .where(levenshtein(col("d_name"), col("c_name")) <= 1)
+        .select(col("d_key"), col("c_custkey"),
+          levenshtein(col("d_name"), col("c_name")).cast("long").as("dist"))
+        .orderBy("d_key")
+    },
+
+    // Time-series gap fill with last-observation-carried-forward: build
+    // each key's complete hourly grid (sequence/generate_series between
+    // its observed min and max hour — the explode is bounded by span, not
+    // corpus), left-join the observed hourly sums, then LOCF via
+    // last(ignoreNulls) over a key-partitioned running frame. The first
+    // grid hour is an observed hour by construction, so the fill is
+    // total. Integer cents keep the oracle exact; the output aggregates
+    // per user so no raw timestamp column crosses the engine boundary.
+    Q("x_gapfill",
+      """WITH h AS (SELECT user_id, date_trunc('hour', ts) AS hour,
+        |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events WHERE user_id < 10 GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1
+        |  FROM h GROUP BY user_id),
+        |grid AS (SELECT user_id,
+        |  unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM span),
+        |j AS (SELECT g.user_id, g.hour, h.cents FROM grid g
+        |  LEFT JOIN h USING (user_id, hour)),
+        |f AS (SELECT user_id, hour, cents,
+        |  last_value(cents IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS cents_filled FROM j)
+        |SELECT user_id, count(*) AS n_hours,
+        |count(*) FILTER (WHERE cents IS NULL) AS n_filled,
+        |CAST(sum(cents_filled) AS BIGINT) AS total_cents
+        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("hour")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val h = Tables(s, dir, "events").where(col("user_id") < 10)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      val grid = h.groupBy("user_id")
+        .agg(min("hour").as("h0"), max("hour").as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"),
+            expr("interval 1 hour"))).as("hour"))
+      grid.join(h, Seq("user_id", "hour"), "left")
+        .withColumn("cents_filled",
+          last(col("cents"), ignoreNulls = true).over(w))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_hours"),
+          count(when(col("cents").isNull, 1)).as("n_filled"),
+          sum("cents_filled").as("total_cents"))
+        .orderBy("user_id")
+    },
+
+    // Ordered-sequence funnel (view -> click -> purchase): each stage's
+    // earliest qualifying timestamp must be STRICTLY after the previous
+    // stage's — the product-analytics conversion funnel. The per-stage
+    // tables are user-level aggregates (tiny — one row per user), so the
+    // stage joins broadcast at any corpus scale; the events table is
+    // scanned once per stage with the stage filter pushed to the scan.
+    Q("x_funnel",
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM v) AS n_viewed,
+        |(SELECT count(*) FROM c) AS n_clicked,
+        |(SELECT count(*) FROM p) AS n_converted""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val c = ev.where(col("event_type") === "click")
+        .join(broadcast(v), Seq("user_id"))
+        .where(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val p = ev.where(col("event_type") === "purchase")
+        .join(broadcast(c), Seq("user_id"))
+        .where(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      v.agg(count(lit(1)).as("n_viewed"))
+        .crossJoin(c.agg(count(lit(1)).as("n_clicked")))
+        .crossJoin(p.agg(count(lit(1)).as("n_converted")))
+    },
+
+    // PageRank over a deterministic directed ring on the embeddings ids —
+    // the canonical iterative-dataflow workload, exercised through
+    // operators.PageRank (edges hash-partitioned once, one shuffle per
+    // sweep, per-iteration localCheckpoint to cap lineage). The ring's
+    // closed form makes the contract EXACT: out-degree 1 everywhere and a
+    // uniform start keep the distribution exactly uniform at every sweep,
+    // so after 10 iterations every rank must still equal 1/N to within
+    // accumulated ulps. A broken degree count, join, or teleport term
+    // breaks uniformity immediately.
+    Q("x_pagerank",
+      """SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |CAST(0 AS BIGINT) AS n_violations FROM embeddings""".stripMargin) { (s, dir) =>
+      val ids = Tables(s, dir, "embeddings").select(col("vec_id").as("src"))
+      val nTotal = ids.count()
+      val edges = ids.withColumn("dst",
+        pmod(col("src") + 1, lit(nTotal)))
+      val ranks = graft.operators.PageRank.run(edges, iterations = 10)
+      Gate(ranks.agg(count(lit(1)).as("n_nodes"),
+        coalesce(sum(when(
+          abs(col("rank") - lit(1.0 / nTotal)) > lit(1e-12), 1L)), lit(0L))
+          .as("n_violations")),
+        col("n_nodes") === nTotal && col("n_violations") === 0,
+        s"ring PageRank must stay uniform at 1/$nTotal")
+    },
+
     // Stream-stream join, batch twin: purchases joined to the same user's
     // clicks within the preceding 30 minutes (watermarks are no-ops in
     // batch; the streaming side with state eviction is covered in
