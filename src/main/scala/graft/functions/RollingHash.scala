@@ -114,6 +114,15 @@ object GraftFunctions {
       "graft_qsketch",
       exprs => QuantileSketch(exprs(0), exprs(1), exprs(2))
         .toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_hll",
+      exprs => HllBuild(exprs(0)).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_hll_merge",
+      exprs => HllMerge(exprs(0)).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_hll_card",
+      exprs => HllCardinality(exprs(0)), "built-in")
     // Spark's own runtime-filter expressions, surfaced for EXPLICIT
     // semi-join prefilters (Catalyst injects them only under its own
     // InjectRuntimeFilter heuristics; a pipeline author building a
@@ -163,6 +172,11 @@ object GraftFunctions {
     call_function("graft_topk", id, score, org.apache.spark.sql.functions.lit(k))
   def graft_project(v: Column, outDim: Int): Column =
     call_function("graft_project", v, org.apache.spark.sql.functions.lit(outDim))
+  def graft_hll(hash: Column): Column = call_function("graft_hll", hash)
+  def graft_hll_merge(sketch: Column): Column =
+    call_function("graft_hll_merge", sketch)
+  def graft_hll_card(sketch: Column): Column =
+    call_function("graft_hll_card", sketch)
   def graft_qsketch(v: Column, k: Int, ps: Seq[Double]): Column =
     call_function("graft_qsketch", v,
       org.apache.spark.sql.functions.lit(k),
@@ -211,6 +225,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => TopKByScore(exprs(0), exprs(1), ia(exprs(2))))
     inject("graft_project", classOf[RandomProjection],
       exprs => RandomProjection(exprs(0), ia(exprs(1))))
+    inject("graft_hll", classOf[HllBuild],
+      exprs => HllBuild(exprs(0)).toAggregateExpression())
+    inject("graft_hll_merge", classOf[HllMerge],
+      exprs => HllMerge(exprs(0)).toAggregateExpression())
+    inject("graft_hll_card", classOf[HllCardinality],
+      exprs => HllCardinality(exprs(0)))
     inject("graft_qsketch", classOf[QuantileSketch],
       exprs => QuantileSketch(exprs(0), exprs(1), exprs(2)).toAggregateExpression())
     // Plan linter: fail fast on 100 TB scale-killers (un-partitioned Window

@@ -1595,6 +1595,49 @@ object PipelineQueries {
         .orderBy("user_id")
     },
 
+    // Mergeable-HLL rollup: per-day user sketches (graft_hll, 4 KB binary
+    // each) are WRITTEN to parquet — a sketch rollup table — read back,
+    // and merged (graft_hll_merge) into the all-time distinct estimate
+    // without rescanning raw events. This is the re-aggregation pattern
+    // approx_count_distinct can't express (its sketch never leaves the
+    // aggregation). Two gates: (1) merged-of-stored == direct-over-raw
+    // EXACTLY — register max is associative/commutative, so the rollup
+    // path must be bit-identical; (2) the estimate is within 3 x 1.6%
+    // rsd of the true cardinality. The oracle pins the SQL-computable
+    // population (days, exact users) and both gates as violation counts.
+    Q("x_hll_rollup",
+      """SELECT CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+        |CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |CAST(0 AS BIGINT) AS n_violations FROM events""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions.{graft_hll, graft_hll_card, graft_hll_merge}
+      val ev = Tables(s, dir, "events")
+      val tmp = Tmp.dir("graft-hll")
+      val rollup = tmp.resolve("daily").toString
+      ev.groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(graft_hll(xxhash64(col("user_id"))).as("sketch"))
+        .write.mode("overwrite").parquet(rollup)
+      val stored = s.read.parquet(rollup)
+      val merged = stored.agg(
+        graft_hll_card(graft_hll_merge(col("sketch"))).as("est"),
+        count(lit(1)).as("n_days"))
+        .collect()(0)
+      val direct = ev.agg(
+        graft_hll_card(graft_hll(xxhash64(col("user_id")))).as("est"),
+        countDistinct("user_id").as("exact")).collect()(0)
+      val (mergedEst, nDays) = (merged.getLong(0), merged.getLong(1))
+      val (directEst, exact) = (direct.getLong(0), direct.getLong(1))
+      Gate.check(mergedEst == directEst,
+        s"stored-rollup merge ($mergedEst) != direct sketch ($directEst)")
+      Gate.check(math.abs(mergedEst - exact) <= math.max(3, 3 * 0.016 * exact),
+        s"HLL estimate $mergedEst outside 3-rsd of exact $exact")
+      import s.implicits._
+      Seq((nDays, exact,
+        (if (mergedEst == directEst) 0L else 1L) +
+          (if (math.abs(mergedEst - exact) <= math.max(3, 3 * 0.016 * exact)) 0L else 1L)))
+        .toDF("n_days", "n_exact", "n_violations")
+    },
+
     // Ordered-sequence funnel (view -> click -> purchase): each stage's
     // earliest qualifying timestamp must be STRICTLY after the previous
     // stage's — the product-analytics conversion funnel. The per-stage
