@@ -111,6 +111,129 @@ case class QuantileSketch(
     copy(valueExpr = newChildren(0), kExpr = newChildren(1), psExpr = newChildren(2))
 }
 
+/** graft_qsketch_state(value double, k int) -> binary — the SAME centroid
+  * summary as graft_qsketch, but eval returns the serialized sketch
+  * instead of quantile estimates: the storable half of a quantile rollup
+  * table (one digest per day/source/partition, written to parquet).
+  * Pairs with graft_qsketch_merged, which re-aggregates stored digests —
+  * together the rank-statistics twin of the graft_hll/graft_hll_merge
+  * pattern.
+  */
+case class QuantileSketchState(
+    valueExpr: Expression,
+    kExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[QuantileSketch.Buffer] {
+
+  import QuantileSketch.Buffer
+
+  private lazy val k: Int = GraftFunctions.intArg(kExpr)
+
+  override def children: Seq[Expression] = Seq(valueExpr, kExpr)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_qsketch_state"
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (valueExpr.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a double value column, got ${valueExpr.dataType.catalogString}")
+    else if (!kExpr.foldable ||
+      !Seq[DataType](ByteType, ShortType, IntegerType, LongType).contains(kExpr.dataType))
+      TypeCheckResult.TypeCheckFailure(s"$prettyName k must be an integer literal")
+    else if (k < 16)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName needs k >= 16, got $k")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def createAggregationBuffer(): Buffer = new Buffer(k)
+
+  override def update(buf: Buffer, input: InternalRow): Buffer = {
+    val v = valueExpr.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[Double], 1.0)
+    buf
+  }
+
+  override def merge(buf: Buffer, other: Buffer): Buffer = { buf.absorb(other); buf }
+  override def eval(buf: Buffer): Any = buf.toBytes
+  override def serialize(buf: Buffer): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): Buffer = Buffer.fromBytes(k, bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): QuantileSketchState =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): QuantileSketchState =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): QuantileSketchState =
+    copy(valueExpr = newChildren(0), kExpr = newChildren(1))
+}
+
+/** graft_qsketch_merged(state binary, k int, ps array<double>) ->
+  * array<double> — merge STORED digests (from graft_qsketch_state) and
+  * answer quantiles over their union, without rescanning the raw data.
+  */
+case class QuantileSketchMerged(
+    stateExpr: Expression,
+    kExpr: Expression,
+    psExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[QuantileSketch.Buffer] {
+
+  import QuantileSketch.Buffer
+
+  private lazy val k: Int = GraftFunctions.intArg(kExpr)
+  private lazy val ps: Array[Double] =
+    psExpr.eval().asInstanceOf[ArrayData].toDoubleArray()
+
+  override def children: Seq[Expression] = Seq(stateExpr, kExpr, psExpr)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_qsketch_merged"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (stateExpr.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a binary digest column, got ${stateExpr.dataType.catalogString}")
+    else if (!kExpr.foldable || !psExpr.foldable)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName k and quantiles must be literals")
+    else if (!Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(kExpr.dataType))
+      TypeCheckResult.TypeCheckFailure(s"$prettyName k must be an integer literal")
+    else if (!(psExpr.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName quantiles must be array<double> (write 0.5D)")
+    else if (k < 16)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName needs k >= 16, got $k")
+    else if (ps.isEmpty || ps.exists(p => p.isNaN || p < 0.0 || p > 1.0))
+      TypeCheckResult.TypeCheckFailure(s"$prettyName quantiles must be in [0, 1]")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def createAggregationBuffer(): Buffer = new Buffer(k)
+
+  override def update(buf: Buffer, input: InternalRow): Buffer = {
+    val v = stateExpr.eval(input)
+    if (v != null) buf.absorb(Buffer.fromBytes(k, v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+
+  override def merge(buf: Buffer, other: Buffer): Buffer = { buf.absorb(other); buf }
+  override def eval(buf: Buffer): Any = new GenericArrayData(ps.map(buf.quantile))
+  override def serialize(buf: Buffer): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): Buffer = Buffer.fromBytes(k, bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): QuantileSketchMerged =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): QuantileSketchMerged =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): QuantileSketchMerged =
+    copy(stateExpr = newChildren(0), kExpr = newChildren(1), psExpr = newChildren(2))
+}
+
 object QuantileSketch {
 
   /** Centroid summary: sorted (value, weight) pairs ≤ k entries, plus an

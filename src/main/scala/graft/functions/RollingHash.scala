@@ -115,6 +115,14 @@ object GraftFunctions {
       exprs => QuantileSketch(exprs(0), exprs(1), exprs(2))
         .toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction(
+      "graft_qsketch_state",
+      exprs => QuantileSketchState(exprs(0), exprs(1))
+        .toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_qsketch_merged",
+      exprs => QuantileSketchMerged(exprs(0), exprs(1), exprs(2))
+        .toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction(
       "graft_hll",
       exprs => HllBuild(exprs(0)).toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction(
@@ -172,6 +180,14 @@ object GraftFunctions {
     call_function("graft_topk", id, score, org.apache.spark.sql.functions.lit(k))
   def graft_project(v: Column, outDim: Int): Column =
     call_function("graft_project", v, org.apache.spark.sql.functions.lit(outDim))
+  def graft_qsketch_state(v: Column, k: Int): Column =
+    call_function("graft_qsketch_state", v,
+      org.apache.spark.sql.functions.lit(k))
+  def graft_qsketch_merged(state: Column, k: Int, ps: Seq[Double]): Column =
+    call_function("graft_qsketch_merged", state,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.array(
+        ps.map(p => org.apache.spark.sql.functions.lit(p)): _*))
   def graft_hll(hash: Column): Column = call_function("graft_hll", hash)
   def graft_hll_merge(sketch: Column): Column =
     call_function("graft_hll_merge", sketch)
@@ -225,6 +241,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => TopKByScore(exprs(0), exprs(1), ia(exprs(2))))
     inject("graft_project", classOf[RandomProjection],
       exprs => RandomProjection(exprs(0), ia(exprs(1))))
+    inject("graft_qsketch_state", classOf[QuantileSketchState],
+      exprs => QuantileSketchState(exprs(0), exprs(1)).toAggregateExpression())
+    inject("graft_qsketch_merged", classOf[QuantileSketchMerged],
+      exprs => QuantileSketchMerged(exprs(0), exprs(1), exprs(2)).toAggregateExpression())
     inject("graft_hll", classOf[HllBuild],
       exprs => HllBuild(exprs(0)).toAggregateExpression())
     inject("graft_hll_merge", classOf[HllMerge],

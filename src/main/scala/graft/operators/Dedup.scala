@@ -91,6 +91,18 @@ object Dedup {
       .withColumn("__th", tokenHashes(col(textCol)))
       .select(col(idCol).as("id"),
         graft.functions.GraftFunctions.graft_simhash(col("__th")).as("h"))
+    hammingPairs(hashed, maxHamming)
+  }
+
+  /** Hamming near-dup pairs over ANY (id, h: bigint) 64-bit signature
+    * frame — the banding machinery shared by text simhash and image dHash:
+    * 4x16-bit bands, a pair is a candidate when any band matches exactly
+    * (guaranteed for hamming <= 3 by pigeonhole; probabilistic above),
+    * then the exact popcount distance verifies. Signatures are 8 bytes, so
+    * unlike the vector paths the hash RIDES the band join — there is no
+    * cheaper key to carry.
+    */
+  def hammingPairs(hashed: DataFrame, maxHamming: Int): DataFrame = {
     val banded = hashed.select(col("id"), col("h"),
       explode(simhashBands("h")).as("bk"))
       .select(col("id"), col("h"), col("bk.band"), col("bk.bkey"))

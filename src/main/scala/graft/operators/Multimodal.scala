@@ -257,6 +257,82 @@ object Multimodal {
       } finally iis.close()
     } catch { case scala.util.control.NonFatal(_) => Nil }
 
+  /** Perceptual difference-hash (dHash) of a decoded image: area-average
+    * grayscale down to a 9x8 grid, one bit per adjacent-column comparison
+    * (left < right), 64 bits total. Robust to small pixel edits and
+    * re-encodes — the image analogue of simhash, and it composes with the
+    * SAME Hamming band-bucket machinery (Dedup.hammingPairs): image
+    * near-dup at corpus scale is a band join on dHash bands, never a
+    * pairwise pixel compare.
+    */
+  def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val gw = 9; val gh = 8
+    val w = img.getWidth; val h = img.getHeight
+    // area-average grayscale: each grid cell sums the pixels whose centers
+    // fall in [x0, x1) x [y0, y1) under uniform subdivision
+    val cell = Array.ofDim[Double](gh, gw)
+    var gy = 0
+    while (gy < gh) {
+      val y0 = gy * h / gh; val y1 = math.max(y0 + 1, (gy + 1) * h / gh)
+      var gx = 0
+      while (gx < gw) {
+        val x0 = gx * w / gw; val x1 = math.max(x0 + 1, (gx + 1) * w / gw)
+        var sum = 0.0; var n = 0
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            val rgb = img.getRGB(x, y)
+            sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        cell(gy)(gx) = if (n == 0) 0.0 else sum / n
+        gx += 1
+      }
+      gy += 1
+    }
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      val r = i / 8; val c = i % 8
+      if (cell(r)(c) < cell(r)(c + 1)) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  /** (doc_id, h) perceptual hashes for every decodable payload — batched
+    * decode + hash in one mapPartitions pass; undecodable rows drop (a
+    * 100 TB corpus always has corrupt bytes; callers count them upstream
+    * via extractImageFeatures.ok if they need the tally).
+    */
+  def imageHashes(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      try {
+        Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(r.payload)))
+          .map(img => (r.doc_id, dHash64(img)))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }).toDF("doc_id", "h")
+  }
+
+  /** Re-encode a PNG with one corner pixel inverted — the deterministic
+    * near-duplicate fixture for image dedup (same content, one edit plus a
+    * fresh encode pass).
+    */
+  def invertOnePixel(png: Array[Byte]): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(png))
+    img.setRGB(0, 0, img.getRGB(0, 0) ^ 0xffffff)
+    val out = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   // ---- table builders ----
 
   /** Wrap the documents table's text as a raw binary payload column (the

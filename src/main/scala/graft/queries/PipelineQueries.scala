@@ -1595,6 +1595,85 @@ object PipelineQueries {
         .orderBy("user_id")
     },
 
+    // Image near-dup via perceptual dHash: render -> REAL decode -> 9x8
+    // difference hash -> the SAME Hamming band-bucket join text simhash
+    // uses (Dedup.hammingPairs). 20 injected copies re-encode the source
+    // PNG with one corner pixel inverted — same content, one edit, fresh
+    // encode pass — and must land within Hamming 4 of their source
+    // (deterministic: renderer, codec and hash are all pure functions).
+    // This is the multimodal x dedup composition: payload bytes never
+    // shuffle (hashes extracted per-partition), candidates confined to
+    // 16-bit band buckets.
+    Q("x_media_dedup",
+      """SELECT CAST(count(*) AS BIGINT) AS n_expected,
+        |CAST(0 AS BIGINT) AS n_violations FROM documents
+        |WHERE doc_id < 20""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val images = Multimodal.asImageTable(docs)
+      val injected = docs.where(col("doc_id") < 20)
+        .select(col("doc_id"), col("source"), col("text"))
+        .as[(Long, String, String)]
+        .mapPartitions(_.map { case (id, src, text) =>
+          val png = Multimodal.invertOnePixel(Multimodal.renderPng(id, text))
+          Multimodal.MediaRow(id + 1000000L, src, "image/png",
+            png.length.toLong, png)
+        })
+      val hashed = Multimodal.imageHashes(images.unionByName(injected))
+        .withColumnRenamed("doc_id", "id")
+      val pairs = Dedup.hammingPairs(hashed, maxHamming = 4)
+      val nFound = pairs.where(col("id1") < 20 &&
+        col("id2") === col("id1") + 1000000L).count()
+      Gate.check(nFound >= 18,
+        s"image dHash recovered only $nFound/20 one-pixel-edited copies")
+      Seq((20L, if (nFound >= 18) 0L else 1L))
+        .toDF("n_expected", "n_violations")
+    },
+
+    // Quantile-digest rollup — the rank-statistics twin of x_hll_rollup:
+    // per-day centroid digests (graft_qsketch_state, ~2 KB binary each)
+    // are WRITTEN to parquet, read back, and merged
+    // (graft_qsketch_merged) into all-time p50/p90 without rescanning raw
+    // events. Unlike HLL the merge is order-sensitive inside its error
+    // bound, so the gate is the same bracketed-rank contract
+    // x_grouped_quantiles pins: the true rank of each estimate must fall
+    // within ~6/k (+1/n granularity) of its target.
+    Q("x_qsketch_rollup",
+      """SELECT CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+        |CAST(0 AS BIGINT) AS n_violations FROM events""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions.{graft_qsketch_merged, graft_qsketch_state}
+      val k = 256
+      val ev = Tables(s, dir, "events")
+        .select(col("ts"), round(col("value") * 100, 0).cast("long")
+          .cast("double").as("v"))
+      val tmp = Tmp.dir("graft-qsk")
+      val rollup = tmp.resolve("daily").toString
+      ev.groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(graft_qsketch_state(col("v"), k).as("digest"))
+        .write.mode("overwrite").parquet(rollup)
+      val stored = s.read.parquet(rollup)
+      val m = stored.agg(
+        graft_qsketch_merged(col("digest"), k, Seq(0.5, 0.9)).as("qs"),
+        count(lit(1)).as("n_days")).collect()(0)
+      val (p50, p90) = (m.getSeq[Double](0)(0), m.getSeq[Double](0)(1))
+      val nDays = m.getLong(1)
+      val ranks = ev.agg(
+        (sum(when(col("v") < p50, 1.0)) / count(lit(1))).as("r50lo"),
+        (sum(when(col("v") <= p50, 1.0)) / count(lit(1))).as("r50hi"),
+        (sum(when(col("v") < p90, 1.0)) / count(lit(1))).as("r90lo"),
+        (sum(when(col("v") <= p90, 1.0)) / count(lit(1))).as("r90hi"),
+        count(lit(1)).as("n")).collect()(0)
+      val bound = 6.0 / k + 1.0 / ranks.getLong(4)
+      val err50 = math.max(0.0, math.max(ranks.getDouble(0) - 0.5, 0.5 - ranks.getDouble(1)))
+      val err90 = math.max(0.0, math.max(ranks.getDouble(2) - 0.9, 0.9 - ranks.getDouble(3)))
+      Gate.check(err50 <= bound && err90 <= bound,
+        f"merged digest rank error outside bound: err50=$err50%.4f err90=$err90%.4f bound=$bound%.4f")
+      import s.implicits._
+      Seq((nDays, if (err50 <= bound && err90 <= bound) 0L else 1L))
+        .toDF("n_days", "n_violations")
+    },
+
     // Mergeable-HLL rollup: per-day user sketches (graft_hll, 4 KB binary
     // each) are WRITTEN to parquet — a sketch rollup table — read back,
     // and merged (graft_hll_merge) into the all-time distinct estimate

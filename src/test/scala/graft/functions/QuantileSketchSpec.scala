@@ -117,4 +117,30 @@ class QuantileSketchSpec extends SparkSpec {
         |FROM li_qs GROUP BY l_returnflag""".stripMargin).collect()
     assert(r.length >= 3 && r.forall(_.getSeq[Double](1).length == 2))
   }
+
+  test("stored digests (state -> parquet -> merged) answer inside the rank bound") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    import GraftFunctions.{graft_qsketch_merged, graft_qsketch_state}
+    val k = 128
+    val df = (1 to 20000).map(i => (i % 13, (i * 37 % 10007).toDouble)).toDF("g", "v")
+    val tmp = java.nio.file.Files.createTempDirectory("qsk-spec")
+    try {
+      df.groupBy("g").agg(graft_qsketch_state(col("v"), k).as("d"))
+        .write.mode("overwrite").parquet(tmp.resolve("d").toString)
+      val qs = spark.read.parquet(tmp.resolve("d").toString)
+        .agg(graft_qsketch_merged(col("d"), k, Seq(0.5, 0.9)).as("qs"))
+        .collect()(0).getSeq[Double](0)
+      val vs = df.select("v").as[Double].collect().sorted
+      def trueRank(x: Double): Double = vs.count(_ <= x).toDouble / vs.length
+      assert(math.abs(trueRank(qs(0)) - 0.5) <= 6.0 / k + 1.0 / vs.length,
+        s"p50=${qs(0)} rank=${trueRank(qs(0))}")
+      assert(math.abs(trueRank(qs(1)) - 0.9) <= 6.0 / k + 1.0 / vs.length,
+        s"p90=${qs(1)} rank=${trueRank(qs(1))}")
+    } finally {
+      java.nio.file.Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    }
+  }
 }

@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MediaDedupSpec extends SparkSpec {
+
+  test("dHash64: invariant under re-encode, close under one-pixel edit, far for different content") {
+    def img(bytes: Array[Byte]) =
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val a = Multimodal.renderPng(1L, "spark window merge batch table join")
+    val b = Multimodal.renderPng(2L, "an entirely different document body here")
+    val ha = Multimodal.dHash64(img(a))
+    // decode + re-encode must not move the hash at all (lossless codec)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img(a), "png", out)
+    assert(Multimodal.dHash64(img(out.toByteArray)) === ha)
+    // one inverted pixel: small, bounded drift
+    val edited = Multimodal.dHash64(img(Multimodal.invertOnePixel(a)))
+    val editDist = java.lang.Long.bitCount(ha ^ edited)
+    assert(editDist <= 4, s"one-pixel edit moved $editDist bits")
+    // different content: far apart (band-bucket join must not flood)
+    val hb = Multimodal.dHash64(img(b))
+    assert(java.lang.Long.bitCount(ha ^ hb) > 8)
+  }
+
+  test("hammingPairs over image hashes recovers edited copies, nothing else at distance 0-4") {
+    import spark.implicits._
+    val texts = (0L until 30L).map(i =>
+      (i, s"doc $i body with content token$i filler words ${i * 7}"))
+    val base = texts.map { case (id, t) =>
+      val png = Multimodal.renderPng(id, t)
+      Multimodal.MediaRow(id, "s", "image/png", png.length.toLong, png)
+    }
+    val edited = texts.take(5).map { case (id, t) =>
+      val png = Multimodal.invertOnePixel(Multimodal.renderPng(id, t))
+      Multimodal.MediaRow(id + 1000L, "s", "image/png", png.length.toLong, png)
+    }
+    val media = spark.createDataset(base ++ edited)
+    val hashed = Multimodal.imageHashes(media).withColumnRenamed("doc_id", "id")
+    val pairs = Dedup.hammingPairs(hashed, maxHamming = 4)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    for (i <- 0L until 5L)
+      assert(pairs.contains((i, i + 1000L)), s"edited copy of $i not recovered: $pairs")
+  }
+}
