@@ -381,6 +381,67 @@ object Similarity {
     } finally vecs.unpersist()
   }
 
+  /** Bipartite ANN join: top-k RIGHT-side cosine neighbors for EVERY left
+    * row when BOTH sides are large — the batch-vs-index regime (today's
+    * ingest against yesterday's corpus), where neither lshTopK's
+    * broadcast-query contract nor knnJoin's self-join shape applies.
+    * knnJoin's discipline on two frames: ids-only banded exchange per
+    * side, cross-side bucket join (candidates never materialize a
+    * vector), dedup, full-precision verify by join-back, bounded-heap
+    * top-k per left id. maxOccupancy splits skew buckets on the COMBINED
+    * occupancy with the same t-seeded sub-hash — a cross pair separated
+    * by one table's split still collides in the others.
+    */
+  def annJoin(left: DataFrame, right: DataFrame, idCol: String,
+      vecCol: String, k: Int, numPlanes: Int = 8, numTables: Int = 8,
+      maxOccupancy: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(left.sparkSession)
+    requireIntegralId(left, idCol)
+    requireIntegralId(right, idCol)
+    import graft.functions.GraftFunctions.{graft_cosine, graft_hyperplanes}
+    val l = left.select(col(idCol).cast("long").as("lid"),
+      col(vecCol).cast("array<double>").as("lv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val r = right.select(col(idCol).cast("long").as("rid"),
+      col(vecCol).cast("array<double>").as("rv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def banded(df: DataFrame, idName: String, vecName: String): DataFrame =
+        df.select(col(idName).as("id"),
+          posexplode(graft_hyperplanes(col(vecName), numPlanes, numTables))
+            .as(Seq("t", "bucket")))
+      val lb0 = banded(l, "lid", "lv")
+      val rb0 = banded(r, "rid", "rv")
+      val (lb, rb) =
+        if (maxOccupancy <= 0) (lb0.withColumn("sub", lit(0L)),
+          rb0.withColumn("sub", lit(0L)))
+        else {
+          val over = lb0.unionByName(rb0).groupBy("t", "bucket")
+            .agg(count(lit(1)).as("occ"))
+            .where(col("occ") > maxOccupancy)
+          def split(df: DataFrame): DataFrame =
+            df.join(broadcast(over), Seq("t", "bucket"), "left")
+              .withColumn("sub", when(col("occ").isNull, lit(0L)).otherwise(
+                pmod(xxhash64(col("id"), col("t")),
+                  ceil(col("occ") / maxOccupancy).cast("long"))))
+              .drop("occ")
+          (split(lb0), split(rb0))
+        }
+      val candidates = lb.select(col("t"), col("bucket"), col("sub"),
+          col("id").as("lid"))
+        .join(rb.select(col("t"), col("bucket"), col("sub"), col("id").as("rid")),
+          Seq("t", "bucket", "sub"))
+        .select("lid", "rid")
+        .dropDuplicates("lid", "rid")
+      val scored = candidates
+        .join(l, "lid")
+        .join(r, "rid")
+        .withColumn("sim", round(graft_cosine(col("lv"), col("rv")), 4))
+        .select(col("lid").as("qid"), col("rid").as("vid"), col("sim"))
+      topKPerQuery(scored, k).localCheckpoint(true)
+    } finally { l.unpersist(); r.unpersist() }
+  }
+
   /** Scalar int8 quantization of an array<double> vector: per-vector
     * symmetric max-abs scaling, `round(v / maxabs * 127)` stored as
     * array<tinyint> — 4x fewer bytes than float32 (16x vs double) in scan,

@@ -423,6 +423,55 @@ object PipelineQueries {
           (col("n_found") < 18).cast("long").as("n_violations"))
     },
 
+    // SemDeDup pruned-corpus materialization — the paper's actual output:
+    // pairs -> connected components -> keep the min-id representative per
+    // duplicate group, everything else drops. Composes semanticNearDup
+    // with the same CC machinery x_dedup_clusters proves for minhash.
+    // The fixture is fully characterized (DuckDB brute force: ZERO
+    // organic cosine>=0.99 pairs at every SF), so the gates pin the set
+    // algebra exactly: survivors + dropped == corpus+injected, only
+    // injected ids (>=1e6) ever drop, every dropped id's keeper is its
+    // own source, and >=18/20 injected copies are pruned.
+    Q("x_semdedup_prune",
+      """SELECT CAST(count(*) AS BIGINT) AS n_corpus,
+        |CAST(0 AS BIGINT) AS n_violations FROM embeddings""".stripMargin) { (s, dir) =>
+      val emb = par(Tables(s, dir, "embeddings"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val injected = emb.where(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x * (lit(1.0) + lit(0.10) * when(pmod(i, lit(2)) === 0, lit(1.0))
+              .otherwise(lit(-1.0)))).as("embedding"))
+      val corpus = emb.unionByName(injected)
+      val n = emb.count()
+      val nlist = math.max(16L, math.min(4096L, n / 48)).toInt
+      val pairs = Dedup.semanticNearDup(corpus, "vec_id", "embedding",
+        threshold = 0.99, nlist = nlist, iterations = 3, maxOccupancy = 384)
+      val reps = graft.operators.ConnectedComponents.representatives(
+        corpus.select("vec_id"), "vec_id", pairs, "id1", "id2")
+        .localCheckpoint(true)
+      val stats = reps.agg(
+        count(lit(1)).as("total"),
+        coalesce(sum(when(col("is_representative"), 1L)), lit(0L)).as("survivors"),
+        coalesce(sum(when(!col("is_representative"), 1L)), lit(0L)).as("dropped"),
+        coalesce(sum(when(!col("is_representative") &&
+          col("vec_id") < 1000000L, 1L)), lit(0L)).as("organic_drops"),
+        coalesce(sum(when(!col("is_representative") &&
+          col("cluster") =!= col("vec_id") - 1000000L, 1L)), lit(0L))
+          .as("wrong_keeper")).collect()(0)
+      val (total, survivors, dropped) =
+        (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+      Gate.check(total == n + 20 && survivors + dropped == total,
+        s"prune set algebra broken: total=$total survivors=$survivors dropped=$dropped")
+      Gate.check(stats.getLong(3) == 0,
+        s"${stats.getLong(3)} organic rows pruned (fixture has zero organic pairs)")
+      Gate.check(stats.getLong(4) == 0,
+        s"${stats.getLong(4)} dropped copies kept by a non-source representative")
+      Gate.check(dropped >= 18, s"only $dropped/20 injected copies pruned")
+      import s.implicits._
+      Seq((n, if (dropped >= 18) 0L else 1L)).toDF("n_corpus", "n_violations")
+    },
+
     // -- Similarity search ---------------------------------------------
 
     // Brute-force cosine top-10 for 5 query vectors — portable math, real
@@ -479,6 +528,48 @@ object PipelineQueries {
       import s.implicits._
       Seq((25L, if (nFound >= 22) 0L else 1L))
         .toDF("n_expected", "n_violations")
+    },
+
+    // Bipartite ANN join — BOTH sides large (today's ingest against
+    // yesterday's index), the regime where lshTopK's broadcast-query
+    // contract doesn't hold and knnJoin's self-join shape doesn't apply.
+    // Left = the full corpus re-identified (+3e6) plus 20 perturbed
+    // copies (+1e6); right = the corpus. Two contracts: every identical
+    // re-identified row must find its twin at sim 1.0 (identical vectors
+    // share every bucket in every table — deterministic, no seed luck),
+    // and >=18/20 perturbed copies find their source as top-1.
+    Q("x_ann_bipartite",
+      """SELECT CAST(count(*) + 20 AS BIGINT) AS n_left,
+        |CAST(0 AS BIGINT) AS n_violations FROM embeddings""".stripMargin) { (s, dir) =>
+      val emb = par(Tables(s, dir, "embeddings"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val n = emb.count()
+      val twins = emb.select((col("vec_id") + 3000000L).as("vec_id"), col("embedding"))
+      val perturbed = emb.where(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          perturb(col("embedding")).as("embedding"))
+      val left = twins.unionByName(perturbed)
+      val planes = Similarity.adaptivePlanes(n, targetOccupancy = 8)
+      val tables = Similarity.tablesForRecall(planes, cosine = 0.97)
+      val topk = Similarity.annJoin(left, emb, "vec_id", "embedding",
+        k = 3, numPlanes = planes, numTables = tables)
+        .localCheckpoint(true)
+      // top-1 per left id (topKPerQuery emits rank-ordered rows per qid)
+      val top1 = topk.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("sim").desc, col("vid"))))
+        .where(col("rn") === 1)
+      val twinOk = top1.where(col("qid") >= 3000000L &&
+        col("vid") === col("qid") - 3000000L && col("sim") === 1.0).count()
+      val planted = top1.where(col("qid") >= 1000000L && col("qid") < 2000000L &&
+        col("vid") === col("qid") - 1000000L).count()
+      Gate.check(twinOk == n,
+        s"only $twinOk/$n identical twins found at sim 1.0 (deterministic contract)")
+      Gate.check(planted >= 18,
+        s"only $planted/20 perturbed copies ranked their source top-1")
+      import s.implicits._
+      Seq((n + 20, if (twinOk == n && planted >= 18) 0L else 1L))
+        .toDF("n_left", "n_violations")
     },
 
     // Multi-probe LSH top-k (Lv et al. VLDB'07): the recall OR-amplification
