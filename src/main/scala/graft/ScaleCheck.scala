@@ -33,6 +33,7 @@ object ScaleCheck {
   private val Heavy = Seq(
     "x_dedup_exact", "x_dedup_minhash", "x_dedup_simhash", "x_dedup_clusters",
     "x_cluster_cc", "x_span_dedup", "x_dedup_embedding", "x_semdedup",
+    "x_semdedup_prune", "x_ann_bipartite",
     "x_ann_bruteforce", "x_ann_lsh", "x_ann_multiprobe", "x_ann_quantized",
     "x_ann_ivf", "x_ann_pq", "x_ann_ivfpq", "x_knn_join")
 
