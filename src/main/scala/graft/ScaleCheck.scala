@@ -70,6 +70,19 @@ object ScaleCheck {
       println(s"SCALECHECK pairs $name planes=$planes tables=$tables n=$n pairs=$pairs")
       (name, pairs)
     } :+ {
+      // x_ann_bipartite's candidate count at its schedule (left = corpus
+      // twins + 20, right = corpus): the 100x ratio's cost axis — the
+      // family's steepest at 14.2x — decomposed the same way knn's was
+      // in r7/r8: pairs per left row, published next to the times.
+      val planes = Similarity.adaptivePlanes(n, targetOccupancy = 8)
+      val tables = Similarity.tablesForRecall(planes, cosine = 0.97)
+      val l = vecs.select((col("id") + 3000000L).as("lid"), col("v").as("lv"))
+      val r = vecs.select(col("id").as("rid"), col("v").as("rv"))
+      val pairs = Similarity.bipartiteCandidates(l, r, planes, tables,
+        maxOccupancy = 64).count()
+      println(s"SCALECHECK pairs x_ann_bipartite planes=$planes tables=$tables n=$n pairs=$pairs")
+      ("x_ann_bipartite", pairs)
+    } :+ {
       // x_semdedup's candidate count at its own adaptive schedule:
       // threshold -1 turns the verify filter into a pass-through, so the
       // pair count IS the cluster-bucketed candidate volume (post

@@ -406,33 +406,7 @@ object Similarity {
       col(vecCol).cast("array<double>").as("rv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      def banded(df: DataFrame, idName: String, vecName: String): DataFrame =
-        df.select(col(idName).as("id"),
-          posexplode(graft_hyperplanes(col(vecName), numPlanes, numTables))
-            .as(Seq("t", "bucket")))
-      val lb0 = banded(l, "lid", "lv")
-      val rb0 = banded(r, "rid", "rv")
-      val (lb, rb) =
-        if (maxOccupancy <= 0) (lb0.withColumn("sub", lit(0L)),
-          rb0.withColumn("sub", lit(0L)))
-        else {
-          val over = lb0.unionByName(rb0).groupBy("t", "bucket")
-            .agg(count(lit(1)).as("occ"))
-            .where(col("occ") > maxOccupancy)
-          def split(df: DataFrame): DataFrame =
-            df.join(broadcast(over), Seq("t", "bucket"), "left")
-              .withColumn("sub", when(col("occ").isNull, lit(0L)).otherwise(
-                pmod(xxhash64(col("id"), col("t")),
-                  ceil(col("occ") / maxOccupancy).cast("long"))))
-              .drop("occ")
-          (split(lb0), split(rb0))
-        }
-      val candidates = lb.select(col("t"), col("bucket"), col("sub"),
-          col("id").as("lid"))
-        .join(rb.select(col("t"), col("bucket"), col("sub"), col("id").as("rid")),
-          Seq("t", "bucket", "sub"))
-        .select("lid", "rid")
-        .dropDuplicates("lid", "rid")
+      val candidates = bipartiteCandidates(l, r, numPlanes, numTables, maxOccupancy)
       val scored = candidates
         .join(l, "lid")
         .join(r, "rid")
@@ -440,6 +414,42 @@ object Similarity {
         .select(col("lid").as("qid"), col("rid").as("vid"), col("sim"))
       topKPerQuery(scored, k).localCheckpoint(true)
     } finally { l.unpersist(); r.unpersist() }
+  }
+
+  /** annJoin's candidate generation, factored so ScaleCheck can publish
+    * the cross-side pair count per scale (the cost axis of the bipartite
+    * curve, same diagnostics discipline as lshCandidatePairsForDiag).
+    * Expects projected (lid, lv) / (rid, rv) frames.
+    */
+  private[graft] def bipartiteCandidates(l: DataFrame, r: DataFrame,
+      numPlanes: Int, numTables: Int, maxOccupancy: Int): DataFrame = {
+    import graft.functions.GraftFunctions.graft_hyperplanes
+    def banded(df: DataFrame, idName: String, vecName: String): DataFrame =
+      df.select(col(idName).as("id"),
+        posexplode(graft_hyperplanes(col(vecName), numPlanes, numTables))
+          .as(Seq("t", "bucket")))
+    val lb0 = banded(l, "lid", "lv")
+    val rb0 = banded(r, "rid", "rv")
+    val (lb, rb) =
+      if (maxOccupancy <= 0) (lb0.withColumn("sub", lit(0L)),
+        rb0.withColumn("sub", lit(0L)))
+      else {
+        val over = lb0.unionByName(rb0).groupBy("t", "bucket")
+          .agg(count(lit(1)).as("occ"))
+          .where(col("occ") > maxOccupancy)
+        def split(df: DataFrame): DataFrame =
+          df.join(broadcast(over), Seq("t", "bucket"), "left")
+            .withColumn("sub", when(col("occ").isNull, lit(0L)).otherwise(
+              pmod(xxhash64(col("id"), col("t")),
+                ceil(col("occ") / maxOccupancy).cast("long"))))
+            .drop("occ")
+        (split(lb0), split(rb0))
+      }
+    lb.select(col("t"), col("bucket"), col("sub"), col("id").as("lid"))
+      .join(rb.select(col("t"), col("bucket"), col("sub"), col("id").as("rid")),
+        Seq("t", "bucket", "sub"))
+      .select("lid", "rid")
+      .dropDuplicates("lid", "rid")
   }
 
   /** Scalar int8 quantization of an array<double> vector: per-vector

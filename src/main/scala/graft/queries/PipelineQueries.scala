@@ -2330,6 +2330,43 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("sum_qty"))
     },
 
+    // One-pass moment/Gram matrix — the sufficient statistics for the full
+    // covariance/correlation matrix and for least-squares fits, computed
+    // in ONE partial-aggregated scan (the distributed-ML pattern: never
+    // one pass per variable pair — 4 variables = 15 sums in a single
+    // Aggregate). All-integer inputs (quantities; prices rounded to whole
+    // units, discount/tax to cents) keep every sum exact and the oracle
+    // hash-identical; downstream corr/regression is driver-side arithmetic
+    // on this one row.
+    Q("x_corr_stats",
+      """WITH v AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+        |  CAST(round(l_extendedprice, 0) AS BIGINT) AS p,
+        |  CAST(round(l_discount * 100, 0) AS BIGINT) AS d,
+        |  CAST(round(l_tax * 100, 0) AS BIGINT) AS t FROM lineitem)
+        |SELECT count(*) AS n,
+        |CAST(sum(q) AS BIGINT) AS s_q, CAST(sum(p) AS BIGINT) AS s_p,
+        |CAST(sum(d) AS BIGINT) AS s_d, CAST(sum(t) AS BIGINT) AS s_t,
+        |CAST(sum(q * q) AS BIGINT) AS s_qq, CAST(sum(p * p) AS BIGINT) AS s_pp,
+        |CAST(sum(d * d) AS BIGINT) AS s_dd, CAST(sum(t * t) AS BIGINT) AS s_tt,
+        |CAST(sum(q * p) AS BIGINT) AS s_qp, CAST(sum(q * d) AS BIGINT) AS s_qd,
+        |CAST(sum(q * t) AS BIGINT) AS s_qt, CAST(sum(p * d) AS BIGINT) AS s_pd,
+        |CAST(sum(p * t) AS BIGINT) AS s_pt, CAST(sum(d * t) AS BIGINT) AS s_dt
+        |FROM v""".stripMargin) { (s, dir) =>
+      val v = Tables(s, dir, "lineitem").select(
+        col("l_quantity").cast("long").as("q"),
+        round(col("l_extendedprice"), 0).cast("long").as("p"),
+        round(col("l_discount") * 100, 0).cast("long").as("d"),
+        round(col("l_tax") * 100, 0).cast("long").as("t"))
+      v.agg(count(lit(1)).as("n"),
+        sum("q").as("s_q"), sum("p").as("s_p"),
+        sum("d").as("s_d"), sum("t").as("s_t"),
+        sum(col("q") * col("q")).as("s_qq"), sum(col("p") * col("p")).as("s_pp"),
+        sum(col("d") * col("d")).as("s_dd"), sum(col("t") * col("t")).as("s_tt"),
+        sum(col("q") * col("p")).as("s_qp"), sum(col("q") * col("d")).as("s_qd"),
+        sum(col("q") * col("t")).as("s_qt"), sum(col("p") * col("d")).as("s_pd"),
+        sum(col("p") * col("t")).as("s_pt"), sum(col("d") * col("t")).as("s_dt"))
+    },
+
     // Sequence packing — the training-prep step that concatenates documents
     // into fixed token-budget bins (one bin ≈ one training sequence):
     // deterministic sequential packing via a running token sum PER SOURCE
