@@ -2700,6 +2700,76 @@ object PipelineQueries {
       } finally deleteRecursively(tmp)
     },
 
+    // Stream-stream LEFT OUTER interval join, driver-visible END-TO-END:
+    // unlike x_stream_join (inner, batch twin), this runs the real
+    // watermarked stream — the outer (null-click) rows are the part batch
+    // mode can't fake, because each one is a watermark assertion that no
+    // matching click can still arrive, emitted exactly when the click
+    // state for its window is EVICTED. Two time-split micro-batches, then
+    // two far-future sentinels: the first advances both watermarks past
+    // every real window, the second forces the extra trigger outer
+    // results flush in (outer emission happens in the batch AFTER
+    // eviction — with a file source and no new file, that batch would
+    // never run). Oracle: the exact LEFT JOIN per-user matched/unmatched
+    // counts in DuckDB.
+    Q("x_stream_join_outer",
+      """WITH p AS (SELECT user_id, ts FROM events
+        |  WHERE event_type = 'purchase' AND user_id < 40),
+        |c AS (SELECT user_id, ts FROM events
+        |  WHERE event_type = 'click' AND user_id < 40)
+        |SELECT p.user_id AS user_id, count(*) AS n_rows,
+        |count(c.ts) AS n_matched
+        |FROM p LEFT JOIN c ON c.user_id = p.user_id
+        |AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+        |GROUP BY p.user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val tmp = Tmp.dir("graft-sjoin")
+      try {
+        val src = tmp.resolve("src").toString
+        val ev = Tables(s, dir, "events").where(col("user_id") < 40)
+          .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+            col("event_type"))
+        val bounds = ev.agg(
+          expr("approx_percentile(unix_millis(ts), 0.5)"),
+          max(unix_millis(col("ts")))).first()
+        val (mid, maxMs) = (bounds.getLong(0), bounds.getLong(1))
+        val stamped = scala.collection.mutable.Set.empty[String]
+        val t0 = System.currentTimeMillis()
+        ev.where(unix_millis(col("ts")) < mid)
+          .coalesce(1).write.mode("overwrite").parquet(src)
+        stampNewFiles(src, stamped, t0)
+        ev.where(unix_millis(col("ts")) >= mid)
+          .coalesce(1).write.mode("append").parquet(src)
+        stampNewFiles(src, stamped, t0 + 60000L)
+        import s.implicits._
+        def sentinel(offsetMs: Long, fileTs: Long): Unit = {
+          Seq((-1L, new java.sql.Timestamp(maxMs + offsetMs), "sentinel"))
+            .toDF("user_id", "ts", "event_type")
+            .coalesce(1).write.mode("append").parquet(src)
+          stampNewFiles(src, stamped, fileTs)
+        }
+        sentinel(10800000L, t0 + 120000L)
+        sentinel(21600000L, t0 + 180000L)
+        val qname = "graft_stream_sjo_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        withShufflePartitions(s, 4) {
+          val stream = s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+          val joined = graft.streaming.EventStreams
+            .clickPurchaseLeftJoin(stream, 30)
+          val query = joined.writeStream.format("memory").queryName(qname)
+            .option("checkpointLocation", tmp.resolve("ckpt").toString)
+            .outputMode("append").start()
+          try { query.processAllAvailable() } finally query.stop()
+        }
+        s.table(qname).where(col("p_type") === "purchase")
+          .groupBy(col("p_user").as("user_id"))
+          .agg(count(lit(1)).as("n_rows"), count(col("click_ts")).as("n_matched"))
+          .select(col("user_id"), col("n_rows"), col("n_matched"))
+          .orderBy("user_id")
+          .localCheckpoint(true)
+      } finally deleteRecursively(tmp)
+    },
+
     // Stream-STATIC enrichment join — the standard streaming-ingest shape:
     // every micro-batch of facts joins a broadcast dimension (customer ->
     // nation here) with NO streaming state (unlike stream-stream joins,

@@ -132,6 +132,40 @@ object EventStreams extends Serializable {
         && col("click_ts") <= col("purchase_ts"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: every purchase emits, matched
+    * to its preceding-window clicks or — once the watermark PROVES no
+    * matching click can still arrive — with a null click side. The outer
+    * row is a watermark assertion, not a timeout: state eviction IS the
+    * semantics (Spark only emits the null-side result when the click
+    * watermark has passed the whole match window, else a late click could
+    * contradict it).
+    *
+    * Sentinel tolerance: both sides keep `sentinel` rows so a far-future
+    * sentinel advances BOTH watermark operators. The trap this dodges
+    * (measured, StreamJoinDiag): a post-watermark `c_type === 'click'`
+    * filter gets PUSHED BELOW the EventTimeWatermark node by Catalyst, so
+    * the sentinel never reaches the click-side watermark — the global
+    * (min) watermark pins at the last real click and the final outer
+    * cohort never flushes. Instead the sentinel row simply RIDES the
+    * click side: with user_id -1 it can only ever match the sentinel
+    * purchase, whose row the caller drops by p_type.
+    */
+  def clickPurchaseLeftJoin(events: DataFrame, windowMinutes: Int = 30): DataFrame = {
+    val wm = s"$windowMinutes minutes"
+    val clicks = events.where(col("event_type").isin("click", "sentinel"))
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", wm)
+    val purchases = events.where(col("event_type").isin("purchase", "sentinel"))
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_type").as("p_type"))
+      .withWatermark("purchase_ts", wm)
+    purchases.join(clicks,
+      col("c_user") === col("p_user")
+        && col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowMinutes MINUTES")
+        && col("click_ts") <= col("purchase_ts"),
+      "left_outer")
+  }
+
   // ---- Stateful sessionization (flatMapGroupsWithState) ----
 
   case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
