@@ -549,7 +549,13 @@ object PipelineQueries {
         .select((col("vec_id") + 1000000L).as("vec_id"),
           perturb(col("embedding")).as("embedding"))
       val left = twins.unionByName(perturbed)
-      val planes = Similarity.adaptivePlanes(n, targetOccupancy = 8)
+      // occupancy scales with K: knn (k=10) needs ~8 so heaps fill, but at
+      // k=3 occupancy 4 already yields ~4*tables candidates per left row —
+      // an order of magnitude over k — and candidate pairs are the curve's
+      // cost axis (published in SCALECHECK: 127/row at 100x under
+      // occupancy 8). Recall is signature-contract, not crowd: the
+      // tablesForRecall table count is unchanged.
+      val planes = Similarity.adaptivePlanes(n, targetOccupancy = 4)
       val tables = Similarity.tablesForRecall(planes, cosine = 0.97)
       val topk = Similarity.annJoin(left, emb, "vec_id", "embedding",
         k = 3, numPlanes = planes, numTables = tables)
