@@ -239,7 +239,7 @@ object QuantileSketch {
   /** Centroid summary: sorted (value, weight) pairs ≤ k entries, plus an
     * unsorted intake of single values compressed in batches of 2k.
     */
-  final class Buffer(k: Int) {
+  final class Buffer(val k: Int) {
     // parallel arrays, sorted by value after compress()
     private[QuantileSketch] var cVal = new Array[Double](0)
     private[QuantileSketch] var cW = new Array[Double](0)
@@ -341,9 +341,20 @@ object QuantileSketch {
       cVal(cVal.length - 1)
     }
 
+    /** Self-describing wire format: [magic 'Q'][version 1][k int][n int]
+      * [n x (value double, weight double)]. The header carries the
+      * writer's k because the 6/k rank bound only holds when every merged
+      * digest was built at the READER's k — silently accepting a foreign
+      * k would loosen the published error contract; and the magic/length
+      * check turns a corrupt or non-digest binary into a clear error
+      * instead of an unvalidated-length allocation (negative size / OOM).
+      */
     def toBytes: Array[Byte] = {
       compress(Array.empty, Array.empty)
-      val bb = ByteBuffer.allocate(4 + cVal.length * 16)
+      val bb = ByteBuffer.allocate(10 + cVal.length * 16)
+      bb.put(Buffer.Magic)
+      bb.put(Buffer.Version)
+      bb.putInt(k)
       bb.putInt(cVal.length)
       var i = 0
       while (i < cVal.length) { bb.putDouble(cVal(i)); bb.putDouble(cW(i)); i += 1 }
@@ -352,9 +363,24 @@ object QuantileSketch {
   }
 
   object Buffer {
+    val Magic: Byte = 'Q'.toByte
+    val Version: Byte = 1.toByte
+
     def fromBytes(k: Int, bytes: Array[Byte]): Buffer = {
+      require(bytes.length >= 10,
+        s"quantile digest too short (${bytes.length} bytes, need >= 10-byte header)")
       val bb = ByteBuffer.wrap(bytes)
+      val magic = bb.get()
+      val version = bb.get()
+      require(magic == Magic && version == Version,
+        s"not a graft quantile digest (magic=$magic version=$version)")
+      val kw = bb.getInt
+      require(kw == k,
+        s"digest written with k=$kw cannot merge under reader k=$k " +
+          "(the 6/k rank bound assumes writer k == reader k)")
       val n = bb.getInt
+      require(n >= 0 && 10 + 16L * n == bytes.length,
+        s"corrupt digest: header says $n centroids but payload is ${bytes.length} bytes")
       val vs = new Array[Double](n)
       val ws = new Array[Double](n)
       var i = 0

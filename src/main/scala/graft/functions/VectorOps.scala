@@ -360,7 +360,7 @@ object VectorOps {
     */
   def nearest2Centroids(vec: ArrayData, centroids: ArrayData): ArrayData = {
     val cm = centroidMatrix(centroids)
-    if (cm.clean) {
+    if (cm != null && cm.clean) {
       // Fast path: the centroid literal is one ArrayData instance reused
       // for EVERY row (a folded typedlit), so the matrix is converted to
       // primitive arrays once per executor, not once per row, and the
@@ -427,19 +427,36 @@ object VectorOps {
     * means: no null rows, no null elements, uniform dimension — the fast
     * path's preconditions (null elements carry "absent dimension"
     * semantics the hoisted-norm loop can't honor; mixed dims make the
-    * query norm centroid-dependent). Single-entry identity cache: one
-    * operator's literal at a time is the access pattern, and a miss only
-    * costs the conversion.
+    * query norm centroid-dependent). Single-entry identity cache holding
+    * the key INSIDE the value so publication is one volatile write — two
+    * separate key/value fields can interleave under concurrent queries
+    * with different codebooks and pair one query's key with the other's
+    * matrix (a silent wrong-assignment race). A racy miss-streak counter
+    * turns the cache off when the argument is not a reused literal
+    * (per-row centroid column, or concurrent literals ping-ponging):
+    * past the streak bound callers fall back to the general path instead
+    * of paying an O(nlist*dim) conversion per row.
     */
-  private final class CentroidMatrix(val rows: Array[Array[Double]],
+  private final class CentroidMatrix(val key: ArrayData,
+      val rows: Array[Array[Double]],
       val norms: Array[Double], val dim: Int, val clean: Boolean)
-  @volatile private var n2cKey: ArrayData = null
-  @volatile private var n2cVal: CentroidMatrix = null
+  @volatile private var n2cCache: CentroidMatrix = null
+  @volatile private var n2cMisses: Int = 0
+  private final val N2cMissBail = 64
 
+  /** Returns null when the access pattern defeated the cache (see above)
+    * — callers must then use the general per-row path.
+    */
   private def centroidMatrix(c: ArrayData): CentroidMatrix = {
-    val k = n2cKey
-    val cached = n2cVal
-    if ((k eq c) && cached != null) return cached
+    val cached = n2cCache
+    if (cached != null && (cached.key eq c)) {
+      // Literal is stable again: cheaply re-arm the streak counter
+      // (write only when non-zero so the hot hit path stays read-only).
+      if (n2cMisses != 0) n2cMisses = 0
+      return cached
+    }
+    if (n2cMisses >= N2cMissBail) return null
+    n2cMisses += 1 // racy increment — a heuristic, not a correctness guard
     val m = c.numElements()
     val rows = new Array[Array[Double]](m)
     val norms = new Array[Double](m)
@@ -468,9 +485,8 @@ object VectorOps {
       }
       i += 1
     }
-    val res = new CentroidMatrix(rows, norms, dim, clean)
-    n2cKey = c
-    n2cVal = res
+    val res = new CentroidMatrix(c, rows, norms, dim, clean)
+    n2cCache = res
     res
   }
 

@@ -241,7 +241,22 @@ object Dedup {
       // cluster c must use c's planes or their signatures are
       // incomparable.
       val expOcc = 2.0 * n / nlist
-      val refinePlanes = math.max(0, math.min(12,
+      // Recall-capped plane budget: occupancy sizing alone keeps the plane
+      // count fixed as threshold drops, but the collision angle theta
+      // grows — the same p planes then cost far more per-pair recall. Cap
+      // p so the two-decorrelated-shot survival 1-(1-p1)^2 stays >= 0.97
+      // (p1 = (1-theta/pi)^p, Charikar), the same contract-first sizing
+      // tablesForRecall applies to table counts. At the default 0.99
+      // threshold the cap is 4 (today's schedule untouched); at 0.95 it
+      // is 1, and by ~0.9 refinement shuts off rather than silently
+      // dropping pairs — occupancy is then bounded by maxOccupancy alone.
+      val thetaFrac =
+        math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+      val p1Min = 1.0 - math.sqrt(1.0 - 0.97)
+      val pCap =
+        if (thetaFrac <= 0.0) 12
+        else math.max(0, math.floor(math.log(p1Min) / math.log1p(-thetaFrac)).toInt)
+      val refinePlanes = math.max(0, math.min(math.min(12, pCap),
         math.ceil(math.log(expOcc / math.max(1, refineTarget)) / math.log(2)).toInt))
       val sigTables = 4
       val assigned0 = vecs.select(col("vid").as("id"), col("cv"),

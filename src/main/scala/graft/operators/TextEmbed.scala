@@ -25,7 +25,12 @@ import org.apache.spark.sql.functions._
 object TextEmbed {
 
   /** (id, vec: array<double>) — signed-count vectors, L2-normalized when
-    * `normalize` (all-zero vectors stay zero rather than NaN).
+    * `normalize` (all-zero vectors stay zero rather than NaN). Every id in
+    * `df` gets a row: documents whose text tokenizes to nothing (empty or
+    * whitespace-only) embed as the zero vector rather than silently
+    * vanishing — downstream exact-count contracts (x_embed_dedup's
+    * n_expected == n_found over identical-text groups) assume the id
+    * universe is preserved.
     */
   def featureHash(df: DataFrame, idCol: String, textCol: String,
       dim: Int = 64, normalize: Boolean = false): DataFrame = {
@@ -39,13 +44,17 @@ object TextEmbed {
           .as("d"),
         (lit(1L) - lit(2L) * pmod(conv(substring(digest, 8, 1), 16, 10)
           .cast("long"), lit(2L))).as("s"))
-    val dense = tb.groupBy("id", "d").agg(sum("s").as("v"))
+    val dense0 = tb.groupBy("id", "d").agg(sum("s").as("v"))
       .groupBy("id")
       .agg(map_from_entries(collect_list(struct(col("d"), col("v")))).as("m"))
       .select(col("id"),
         transform(sequence(lit(0L), lit(dim - 1L)),
           i => coalesce(element_at(col("m"), i), lit(0L)).cast("double"))
           .as("vec"))
+    val dense = df.select(col(idCol).cast("long").as("id")).distinct()
+      .join(dense0, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("vec"), array_repeat(lit(0.0), lit(dim))).as("vec"))
     if (!normalize) dense
     else dense
       .withColumn("__n", sqrt(aggregate(col("vec"), lit(0.0),

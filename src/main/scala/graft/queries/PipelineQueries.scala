@@ -2341,9 +2341,16 @@ object PipelineQueries {
     // in ONE partial-aggregated scan (the distributed-ML pattern: never
     // one pass per variable pair — 4 variables = 15 sums in a single
     // Aggregate). All-integer inputs (quantities; prices rounded to whole
-    // units, discount/tax to cents) keep every sum exact and the oracle
-    // hash-identical; downstream corr/regression is driver-side arithmetic
-    // on this one row.
+    // units, discount/tax to cents) keep every sum exact. Overflow
+    // contract at the 100 TB design point: every product is accumulated
+    // in DECIMAL(38,0) (DuckDB's sum(BIGINT) is HUGEINT — also 128-bit),
+    // so the ACCUMULATION never wraps at any scale. The dominant term,
+    // sum(p*p) at ~1e10/row, exceeds 2^63 past ~9e8 lineitem rows
+    // (~150 GB), so s_pp is emitted as exact hi/lo BIGINT parts
+    // (hi*1e18 + lo) — exact to 1e38 total, ~1e27 rows. Every other
+    // emitted BIGINT is exact while its total < 2^63; the next-worst
+    // term, sum(q*p) at ~5e6/row, holds to ~1.8e12 rows (~300 TB of
+    // lineitem), so the single-column form is safe there by margin.
     Q("x_corr_stats",
       """WITH v AS (SELECT CAST(l_quantity AS BIGINT) AS q,
         |  CAST(round(l_extendedprice, 0) AS BIGINT) AS p,
@@ -2352,7 +2359,9 @@ object PipelineQueries {
         |SELECT count(*) AS n,
         |CAST(sum(q) AS BIGINT) AS s_q, CAST(sum(p) AS BIGINT) AS s_p,
         |CAST(sum(d) AS BIGINT) AS s_d, CAST(sum(t) AS BIGINT) AS s_t,
-        |CAST(sum(q * q) AS BIGINT) AS s_qq, CAST(sum(p * p) AS BIGINT) AS s_pp,
+        |CAST(sum(q * q) AS BIGINT) AS s_qq,
+        |CAST(sum(p * p) // 1000000000000000000 AS BIGINT) AS s_pp_hi,
+        |CAST(sum(p * p) % 1000000000000000000 AS BIGINT) AS s_pp_lo,
         |CAST(sum(d * d) AS BIGINT) AS s_dd, CAST(sum(t * t) AS BIGINT) AS s_tt,
         |CAST(sum(q * p) AS BIGINT) AS s_qp, CAST(sum(q * d) AS BIGINT) AS s_qd,
         |CAST(sum(q * t) AS BIGINT) AS s_qt, CAST(sum(p * d) AS BIGINT) AS s_pd,
@@ -2363,14 +2372,24 @@ object PipelineQueries {
         round(col("l_extendedprice"), 0).cast("long").as("p"),
         round(col("l_discount") * 100, 0).cast("long").as("d"),
         round(col("l_tax") * 100, 0).cast("long").as("t"))
+      def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        sum(c.cast("decimal(38,0)"))
+      val eLit = lit("1000000000000000000").cast("decimal(38,0)")
+      val spp = dsum(col("p") * col("p"))
       v.agg(count(lit(1)).as("n"),
         sum("q").as("s_q"), sum("p").as("s_p"),
         sum("d").as("s_d"), sum("t").as("s_t"),
-        sum(col("q") * col("q")).as("s_qq"), sum(col("p") * col("p")).as("s_pp"),
-        sum(col("d") * col("d")).as("s_dd"), sum(col("t") * col("t")).as("s_tt"),
-        sum(col("q") * col("p")).as("s_qp"), sum(col("q") * col("d")).as("s_qd"),
-        sum(col("q") * col("t")).as("s_qt"), sum(col("p") * col("d")).as("s_pd"),
-        sum(col("p") * col("t")).as("s_pt"), sum(col("d") * col("t")).as("s_dt"))
+        dsum(col("q") * col("q")).cast("long").as("s_qq"),
+        ((spp - pmod(spp, eLit)) / eLit).cast("long").as("s_pp_hi"),
+        pmod(spp, eLit).cast("long").as("s_pp_lo"),
+        dsum(col("d") * col("d")).cast("long").as("s_dd"),
+        dsum(col("t") * col("t")).cast("long").as("s_tt"),
+        dsum(col("q") * col("p")).cast("long").as("s_qp"),
+        dsum(col("q") * col("d")).cast("long").as("s_qd"),
+        dsum(col("q") * col("t")).cast("long").as("s_qt"),
+        dsum(col("p") * col("d")).cast("long").as("s_pd"),
+        dsum(col("p") * col("t")).cast("long").as("s_pt"),
+        dsum(col("d") * col("t")).cast("long").as("s_dt"))
     },
 
     // Sequence packing — the training-prep step that concatenates documents
