@@ -143,7 +143,7 @@ object Dedup {
     */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, numPlanes: Int = 8, numTables: Int = 8,
-      maxOccupancy: Int = 32): DataFrame = {
+      maxOccupancy: Int = 32, contentSeededSplit: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     import graft.functions.GraftFunctions.graft_cosine
     // Vectors feed the signature pass AND both sides of the verify join —
@@ -157,7 +157,7 @@ object Dedup {
     // for a VERIFIER the cohabitant crowd is pure waste (recall comes from
     // the signature), so the worst-case bound costs essentially no recall.
     val candidates = Similarity.lshCandidatePairs(vecs, numPlanes, numTables,
-      maxOccupancy)
+      maxOccupancy, contentSeededSplit)
     val result = candidates
       .join(vecs.select(col("id").as("id1"), col("v").as("v1")), "id1")
       .join(vecs.select(col("id").as("id2"), col("v").as("v2")), "id2")

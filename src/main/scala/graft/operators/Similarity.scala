@@ -286,20 +286,35 @@ object Similarity {
   /** Diagnostics-only alias for KnnDiag (keeps lshCandidatePairs package-
     * private to operators for real callers). */
   private[graft] def lshCandidatePairsForDiag(vecs: DataFrame, numPlanes: Int,
-      numTables: Int, maxOccupancy: Int = 0): DataFrame =
-    lshCandidatePairs(vecs, numPlanes, numTables, maxOccupancy)
+      numTables: Int, maxOccupancy: Int = 0,
+      contentSeededSplit: Boolean = false): DataFrame =
+    lshCandidatePairs(vecs, numPlanes, numTables, maxOccupancy,
+      contentSeededSplit)
 
   private[operators] def lshCandidatePairs(vecs: DataFrame, numPlanes: Int,
-      numTables: Int, maxOccupancy: Int = 0): DataFrame = {
+      numTables: Int, maxOccupancy: Int = 0,
+      contentSeededSplit: Boolean = false): DataFrame = {
     import graft.functions.GraftFunctions.graft_hyperplanes
-    val banded0 = vecs.select(col("id"),
+    // Occupancy-split seed: by default the row id (pairs split apart in
+    // one table recollide in the others — fine for probabilistic recall
+    // contracts). `contentSeededSplit` seeds by a hash of the VECTOR
+    // instead: bit-identical vectors then share every sub-bucket by
+    // construction, so exact-recovery contracts over identical content
+    // (x_embed_dedup's n_expected == n_found) survive with the cap ON.
+    // The bound degrades only on the irreducible term: a bucket that is
+    // one giant identical-content group can't be split, but its C(g,2)
+    // pairs are the operator's OUTPUT, not avoidable work.
+    val keyed =
+      if (contentSeededSplit) vecs.withColumn("__ck", xxhash64(col("v")))
+      else vecs.withColumn("__ck", col("id"))
+    val banded0 = keyed.select(col("id"), col("__ck"),
       posexplode(graft_hyperplanes(col("v"), numPlanes, numTables))
         .as(Seq("t", "bucket")))
     // Skew guard: adaptivePlanes bounds the EXPECTED occupancy, but real
     // embedding corpora cluster — one hot orthant can hold a bucket whose
     // occupancy^2 pair work dwarfs the rest of the table. Buckets over
-    // maxOccupancy are split by a per-table secondary hash of the id into
-    // ~maxOccupancy-sized sub-buckets, bounding within-bucket work at
+    // maxOccupancy are split by a per-table secondary hash of the seed
+    // into ~maxOccupancy-sized sub-buckets, bounding within-bucket work at
     // n*maxOccupancy/2 per table WORST-case, not just in expectation. A
     // pair split apart in one table still collides in the others (the
     // sub-hash is seeded by t, so splits decorrelate across tables) — the
@@ -314,7 +329,7 @@ object Similarity {
           .where(col("occ") > maxOccupancy)
         banded0.join(broadcast(over), Seq("t", "bucket"), "left")
           .withColumn("sub", when(col("occ").isNull, lit(0L)).otherwise(
-            pmod(xxhash64(col("id"), col("t")),
+            pmod(xxhash64(col("__ck"), col("t")),
               ceil(col("occ") / maxOccupancy).cast("long"))))
           .drop("occ")
       }

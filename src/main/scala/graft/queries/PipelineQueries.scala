@@ -2538,15 +2538,17 @@ object PipelineQueries {
       val n = emb.count()
       val planes = Similarity.adaptivePlanes(n, targetOccupancy = 2)
       val tables = Similarity.tablesForRecall(planes, cosine = 0.999)
-      // maxOccupancy OFF: the determinism of the contract rests on
-      // identical vectors sharing every bucket, and an occupancy split
-      // separates same-bucket ids by hash — it would turn the guaranteed
-      // recovery back into a probabilistic one. Dup-group size IS the
-      // occupancy here, bounded by the corpus's dup multiplicity; at real
-      // scale the cap goes back on and the contract becomes >=.
+      // maxOccupancy ON with a CONTENT-seeded split: the occupancy
+      // sub-hash is seeded by the vector's own hash, so bit-identical
+      // vectors (identical texts) share every sub-bucket by construction
+      // and the exact n_expected == n_found contract survives the cap.
+      // Worst-case within-bucket work is bounded at occ*maxOccupancy per
+      // table EXCEPT the irreducible term — an identical-content group
+      // bigger than the cap can't be split, but its C(g,2) pairs are the
+      // operator's output, not avoidable candidate waste.
       val pairs = Dedup.embeddingNearDup(emb, "id", "vec",
         threshold = 1.0 - 1e-9, numPlanes = planes, numTables = tables,
-        maxOccupancy = 0)
+        maxOccupancy = 8, contentSeededSplit = true)
       val fp = docs.select(col("doc_id"),
         TextFunctions.fingerprintMd5(col("text")).as("fp"))
       val matched = pairs

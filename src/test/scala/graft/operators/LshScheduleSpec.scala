@@ -80,6 +80,32 @@ class LshScheduleSpec extends SparkSpec {
       s"cap destroyed recall: $cappedCount of $uncapped pairs survive")
   }
 
+  test("content-seeded occupancy split never separates identical vectors") {
+    // A hot bucket mixing identical-vector GROUPS (ids 0-59: 20 groups of
+    // 3 sharing a vector) with 180 distinct same-direction vectors. With
+    // the id-seeded split an identical pair can land in different
+    // sub-buckets (probabilistic recovery); with the content seed the
+    // group's rows share every sub-bucket by construction, so ALL
+    // C(3,2)*20 identical pairs must survive ANY cap value.
+    val groups = (0 until 60).map { i =>
+      (i.toLong, Array(1.0, 2.0, 3.0, 4.0 + (i / 3)))
+    }
+    val distinct = (60 until 240).map { i =>
+      (i.toLong, Array(1.0, 2.0, 3.0, 104.0 + i))
+    }
+    val hot = (groups ++ distinct).toDF("id", "v")
+    for (cap <- Seq(4, 16, 60)) {
+      val capped = Similarity.lshCandidatePairsForDiag(hot, 8, 4,
+        maxOccupancy = cap, contentSeededSplit = true)
+      val identicalPairs = capped
+        .where(col("id1") < 60 && col("id2") < 60 &&
+          (col("id1") / 3).cast("long") === (col("id2") / 3).cast("long"))
+        .count()
+      assert(identicalPairs == 60L,
+        s"cap=$cap recovered $identicalPairs of 60 identical pairs")
+    }
+  }
+
   test("knnJoin emits each undirected pair to both endpoints, no self-edges") {
     // 20 vectors in two well-separated clusters of 10 — every row's
     // neighbors must come from its own cluster at k=3
