@@ -92,7 +92,7 @@ object ScaleCheck {
       val pairs = graft.operators.Dedup.semanticNearDup(
         vecs.toDF("vec_id", "embedding"), "vec_id", "embedding",
         threshold = -1.0, nlist = nlist, iterations = 3,
-        maxOccupancy = 384).count()
+        maxOccupancy = 384, refineThreshold = 0.99).count()
       println(s"SCALECHECK pairs x_semdedup nlist=$nlist n=$n pairs=$pairs")
       ("x_semdedup", pairs)
     }

@@ -379,6 +379,8 @@ object VectorOps {
         i = 0
         while (i < len) { val x = v(i); na += x * x; i += 1 }
         val sqNa = math.sqrt(na)
+        if (na > 0.0 && cm.coarse != null)
+          return nearest2Pruned(v, sqNa, cm)
         val rows = cm.rows
         var best = -1; var bestSim = Double.NegativeInfinity
         var second = -1; var secondSim = Double.NegativeInfinity
@@ -404,6 +406,114 @@ object VectorOps {
     nearest2CentroidsGeneral(vec, centroids)
   }
 
+  /** Exact top-2 via angular pruning over the coarse index (built once per
+    * centroid literal in centroidMatrix). The reverse triangle inequality
+    * on the sphere — angle(v,c) >= |angle(v,g) - angle(c,g)| for any group
+    * center g — upper-bounds every member's cosine from ONE dot product
+    * with its group center, so most of the n x nlist kernel work is
+    * skipped once two good candidates are in hand. Pruning is by STRICT
+    * comparison against the running second-best angle (with a 1e-6 rad
+    * slack absorbing acos round-off), so the result is EXACTLY the
+    * brute-force top-2 under the (sim desc, index asc) order — the same
+    * ranking the ascending brute scan with strict `>` produces.
+    */
+  private def nearest2Pruned(v: Array[Double], sqNa: Double,
+      cm: CentroidMatrix): ArrayData = {
+    val ci = cm.coarse
+    val g = ci.centers.length
+    val len = v.length
+    val eps = 1e-6
+    // angle from v to every group center (centers are unit vectors)
+    val tv = new Array[Double](g)
+    var gi = 0
+    while (gi < g) {
+      val cen = ci.centers(gi)
+      var dot = 0.0
+      var d = 0
+      while (d < len) { dot += v(d) * cen(d); d += 1 }
+      var cosv = dot / sqNa
+      if (cosv > 1.0) cosv = 1.0 else if (cosv < -1.0) cosv = -1.0
+      tv(gi) = math.acos(cosv)
+      gi += 1
+    }
+    // visit groups by ascending angular distance to their member-angle
+    // band: the most promising group first, so the second-best angle
+    // tightens immediately and later groups prune wholesale
+    val prio = new Array[Double](g)
+    val order = new Array[Int](g)
+    gi = 0
+    while (gi < g) {
+      var p = tv(gi) - ci.maxAngle(gi)
+      val q = ci.minAngle(gi) - tv(gi)
+      if (q > p) p = q
+      if (p < 0.0) p = 0.0
+      prio(gi) = p
+      order(gi) = gi
+      gi += 1
+    }
+    // insertion sort on (prio, index): G ~ sqrt(nlist), tiny
+    var a = 1
+    while (a < g) {
+      val o = order(a); val pk = prio(o)
+      var b = a - 1
+      while (b >= 0 && (prio(order(b)) > pk ||
+        (prio(order(b)) == pk && order(b) > o))) {
+        order(b + 1) = order(b); b -= 1
+      }
+      order(b + 1) = o
+      a += 1
+    }
+    var best = -1; var bestSim = Double.NegativeInfinity
+    var second = -1; var secondSim = Double.NegativeInfinity
+    // second-best as an ANGLE so member pruning needs no cos() per skip
+    var secondAngle = Double.PositiveInfinity
+    def offer(idx: Int, sim: Double): Unit = {
+      if (sim > bestSim || (sim == bestSim && idx < best)) {
+        secondSim = bestSim; second = best
+        bestSim = sim; best = idx
+      } else if (sim > secondSim || (sim == secondSim && idx < second)) {
+        secondSim = sim; second = idx
+      } else return
+      if (second >= 0)
+        secondAngle =
+          if (secondSim >= 1.0) 0.0
+          else if (secondSim <= -1.0) math.Pi
+          else math.acos(secondSim)
+    }
+    // zero-norm centroids score exactly 0 (the brute convention)
+    var z = 0
+    while (z < ci.zeroNorm.length) { offer(ci.zeroNorm(z), 0.0); z += 1 }
+    val rows = cm.rows
+    var oi = 0
+    var done = false
+    while (oi < g && !done) {
+      val cg = order(oi)
+      if (second >= 0 && prio(cg) - eps > secondAngle) done = true // groups sorted: all later ones prune too
+      else {
+        val mem = ci.members(cg)
+        val ang = ci.angles(cg)
+        val t = tv(cg)
+        var j = 0
+        while (j < mem.length) {
+          var dist = t - ang(j)
+          if (dist < 0.0) dist = -dist
+          if (second < 0 || dist - eps <= secondAngle) {
+            val c = mem(j)
+            val r = rows(c)
+            var dot = 0.0
+            var d = 0
+            while (d < len) { dot += v(d) * r(d); d += 1 }
+            offer(c, dot / (sqNa * cm.norms(c)))
+          }
+          j += 1
+        }
+      }
+      oi += 1
+    }
+    if (second < 0) second = best
+    new GenericArrayData(Array(best, second))
+  }
+
   private def nearest2CentroidsGeneral(vec: ArrayData, centroids: ArrayData): ArrayData = {
     val m = centroids.numElements()
     var best = -1; var bestSim = Double.NegativeInfinity
@@ -427,36 +537,168 @@ object VectorOps {
     * means: no null rows, no null elements, uniform dimension — the fast
     * path's preconditions (null elements carry "absent dimension"
     * semantics the hoisted-norm loop can't honor; mixed dims make the
-    * query norm centroid-dependent). Single-entry identity cache holding
-    * the key INSIDE the value so publication is one volatile write — two
-    * separate key/value fields can interleave under concurrent queries
-    * with different codebooks and pair one query's key with the other's
-    * matrix (a silent wrong-assignment race). A racy miss-streak counter
-    * turns the cache off when the argument is not a reused literal
-    * (per-row centroid column, or concurrent literals ping-ponging):
-    * past the streak bound callers fall back to the general path instead
-    * of paying an O(nlist*dim) conversion per row.
+    * query norm centroid-dependent). The cache is THREAD-LOCAL, single
+    * entry per task thread: each Spark task deserializes its own literal
+    * instance, so under local[32] a process-wide identity cache ping-
+    * pongs between 32 concurrent instances and rebuilds per call (the
+    * r9 regression that surfaced when the build got a coarse index —
+    * 82s at the 100x corpus). Thread confinement makes the unit of reuse
+    * match the unit of literal identity (one task = one instance = one
+    * partition of rows), removes all shared mutable state (no race by
+    * construction), and bounds rebuilds at one per task. The per-thread
+    * miss-streak counter still turns the cache off when the argument is
+    * not a reused literal (a genuinely per-row centroid column): past the
+    * bound, calls fall back to the general path instead of paying an
+    * O(nlist*dim) conversion per row.
     */
   private final class CentroidMatrix(val key: ArrayData,
       val rows: Array[Array[Double]],
-      val norms: Array[Double], val dim: Int, val clean: Boolean)
-  @volatile private var n2cCache: CentroidMatrix = null
-  @volatile private var n2cMisses: Int = 0
+      val norms: Array[Double], val dim: Int, val clean: Boolean,
+      val coarse: CoarseIndex)
+
+  /** Angular coarse index over a large centroid codebook: the codebook's
+    * own spherical k-means into ~sqrt(nlist) groups, with each member's
+    * exact angle to its (unit) group center. Built once per literal at
+    * cache-build time (~sqrt-factor more work than ONE row's brute
+    * assignment), it turns the per-row n x nlist scan into G center dots
+    * plus a mostly-pruned member walk — the index powering
+    * nearest2Pruned's exact reverse-triangle bound. Group QUALITY only
+    * affects pruning efficiency, never correctness: bounds are computed
+    * from the actual member angles, whatever the partition.
+    */
+  private final class CoarseIndex(val centers: Array[Array[Double]],
+      val members: Array[Array[Int]], val angles: Array[Array[Double]],
+      val minAngle: Array[Double], val maxAngle: Array[Double],
+      val zeroNorm: Array[Int])
+
+  /** Below this codebook size brute force wins (the coarse walk has fixed
+    * overhead per row); above it the pruned path takes over. */
+  private final val CoarseMinCentroids = 192
+
+  private def buildCoarse(rows: Array[Array[Double]], norms: Array[Double],
+      dim: Int): CoarseIndex = {
+    val m = rows.length
+    val nzIdx = (0 until m).filter(norms(_) > 0.0).toArray
+    val zero = (0 until m).filter(norms(_) == 0.0).toArray
+    if (nzIdx.length < 8) return null
+    val nz = nzIdx.length
+    val unit = new Array[Array[Double]](nz)
+    var i = 0
+    while (i < nz) {
+      val c = nzIdx(i); val r = rows(c); val u = new Array[Double](dim)
+      val inv = 1.0 / norms(c)
+      var d = 0
+      while (d < dim) { u(d) = r(d) * inv; d += 1 }
+      unit(i) = u; i += 1
+    }
+    val g = math.max(2, math.min(nz / 4, math.ceil(math.sqrt(nz)).toInt))
+    // deterministic init (evenly strided members), 3 Lloyd sweeps + a
+    // final assignment — all driver/executor-local primitive arrays
+    val centers = Array.tabulate(g)(k => unit(k.toLong.toInt * nz / g).clone())
+    val assign = new Array[Int](nz)
+    def assignAll(): Unit = {
+      var i2 = 0
+      while (i2 < nz) {
+        val u = unit(i2)
+        var bi = 0; var bd = Double.NegativeInfinity
+        var k = 0
+        while (k < g) {
+          val cen = centers(k)
+          var dot = 0.0; var d = 0
+          while (d < dim) { dot += u(d) * cen(d); d += 1 }
+          if (dot > bd) { bd = dot; bi = k }
+          k += 1
+        }
+        assign(i2) = bi
+        i2 += 1
+      }
+    }
+    var iter = 0
+    while (iter < 3) {
+      assignAll()
+      val sums = Array.fill(g)(new Array[Double](dim))
+      val cnt = new Array[Int](g)
+      i = 0
+      while (i < nz) {
+        val s = sums(assign(i)); val u = unit(i)
+        var d = 0
+        while (d < dim) { s(d) += u(d); d += 1 }
+        cnt(assign(i)) += 1
+        i += 1
+      }
+      var k = 0
+      while (k < g) {
+        if (cnt(k) > 0) {
+          var nn = 0.0; var d = 0
+          while (d < dim) { val x = sums(k)(d); nn += x * x; d += 1 }
+          if (nn > 0.0) {
+            val inv = 1.0 / math.sqrt(nn)
+            d = 0
+            while (d < dim) { sums(k)(d) *= inv; d += 1 }
+            centers(k) = sums(k)
+          }
+        }
+        k += 1
+      }
+      iter += 1
+    }
+    assignAll()
+    val lists = Array.fill(g)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    i = 0
+    while (i < nz) { lists(assign(i)) += i; i += 1 }
+    val members = new Array[Array[Int]](g)
+    val angles = new Array[Array[Double]](g)
+    val minA = new Array[Double](g)
+    val maxA = new Array[Double](g)
+    var k = 0
+    while (k < g) {
+      val l = lists(k)
+      val mem = new Array[Int](l.length)
+      val ang = new Array[Double](l.length)
+      var lo = Double.PositiveInfinity
+      var hi = Double.NegativeInfinity
+      var j = 0
+      while (j < l.length) {
+        val ui = l(j)
+        val u = unit(ui); val cen = centers(k)
+        var dot = 0.0; var d = 0
+        while (d < dim) { dot += u(d) * cen(d); d += 1 }
+        if (dot > 1.0) dot = 1.0 else if (dot < -1.0) dot = -1.0
+        val a = math.acos(dot)
+        mem(j) = nzIdx(ui) // original codebook index, ascending within group
+        ang(j) = a
+        if (a < lo) lo = a
+        if (a > hi) hi = a
+        j += 1
+      }
+      members(k) = mem; angles(k) = ang
+      minA(k) = lo; maxA(k) = hi // empty group: +inf/-inf => always pruned
+      k += 1
+    }
+    new CoarseIndex(centers, members, angles, minA, maxA, zero)
+  }
+  private final class N2cSlot {
+    var cm: CentroidMatrix = null
+    var misses: Int = 0
+  }
+  private val n2cSlot = new ThreadLocal[N2cSlot] {
+    override def initialValue(): N2cSlot = new N2cSlot
+  }
   private final val N2cMissBail = 64
 
   /** Returns null when the access pattern defeated the cache (see above)
     * — callers must then use the general per-row path.
     */
   private def centroidMatrix(c: ArrayData): CentroidMatrix = {
-    val cached = n2cCache
+    val slot = n2cSlot.get()
+    val cached = slot.cm
     if (cached != null && (cached.key eq c)) {
-      // Literal is stable again: cheaply re-arm the streak counter
-      // (write only when non-zero so the hot hit path stays read-only).
-      if (n2cMisses != 0) n2cMisses = 0
+      // Literal is stable again: re-arm the streak counter
+      if (slot.misses != 0) slot.misses = 0
       return cached
     }
-    if (n2cMisses >= N2cMissBail) return null
-    n2cMisses += 1 // racy increment — a heuristic, not a correctness guard
+    if (slot.misses >= N2cMissBail) return null
+    slot.misses += 1
     val m = c.numElements()
     val rows = new Array[Array[Double]](m)
     val norms = new Array[Double](m)
@@ -485,8 +727,11 @@ object VectorOps {
       }
       i += 1
     }
-    val res = new CentroidMatrix(c, rows, norms, dim, clean)
-    n2cCache = res
+    val coarse =
+      if (clean && m >= CoarseMinCentroids) buildCoarse(rows, norms, dim)
+      else null
+    val res = new CentroidMatrix(c, rows, norms, dim, clean, coarse)
+    slot.cm = res
     res
   }
 

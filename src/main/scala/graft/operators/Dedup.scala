@@ -198,7 +198,7 @@ object Dedup {
   def semanticNearDup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.99, nlist: Int = 16, iterations: Int = 3,
       maxOccupancy: Int = 0, fitSampleMax: Int = 20000,
-      refineTarget: Int = 12): DataFrame = {
+      refineTarget: Int = 12, refineThreshold: Double = Double.NaN): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     import graft.functions.GraftFunctions.{graft_cosine, graft_hyperplanes, graft_nearest2_centroids}
     val vecs = df.select(col(idCol).cast("long").as("vid"),
@@ -250,8 +250,13 @@ object Dedup {
       // threshold the cap is 4 (today's schedule untouched); at 0.95 it
       // is 1, and by ~0.9 refinement shuts off rather than silently
       // dropping pairs — occupancy is then bounded by maxOccupancy alone.
+      // refineThreshold (diagnostic knob): lets a candidate-counting pass
+      // (verify threshold -1 = pass-through) size the refinement planes
+      // from the PRODUCTION threshold, so the counted candidate volume is
+      // the one the real query generates.
+      val refT = if (refineThreshold.isNaN) threshold else refineThreshold
       val thetaFrac =
-        math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+        math.acos(math.max(-1.0, math.min(1.0, refT))) / math.Pi
       val p1Min = 1.0 - math.sqrt(1.0 - 0.97)
       val pCap =
         if (thetaFrac <= 0.0) 12

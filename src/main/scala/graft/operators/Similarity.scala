@@ -409,7 +409,7 @@ object Similarity {
     */
   def annJoin(left: DataFrame, right: DataFrame, idCol: String,
       vecCol: String, k: Int, numPlanes: Int = 8, numTables: Int = 8,
-      maxOccupancy: Int = 64): DataFrame = {
+      maxOccupancy: Int = 64, contentSeededSplit: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.register(left.sparkSession)
     requireIntegralId(left, idCol)
     requireIntegralId(right, idCol)
@@ -421,7 +421,8 @@ object Similarity {
       col(vecCol).cast("array<double>").as("rv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val candidates = bipartiteCandidates(l, r, numPlanes, numTables, maxOccupancy)
+      val candidates = bipartiteCandidates(l, r, numPlanes, numTables,
+        maxOccupancy, contentSeededSplit)
       val scored = candidates
         .join(l, "lid")
         .join(r, "rid")
@@ -437,10 +438,20 @@ object Similarity {
     * Expects projected (lid, lv) / (rid, rv) frames.
     */
   private[graft] def bipartiteCandidates(l: DataFrame, r: DataFrame,
-      numPlanes: Int, numTables: Int, maxOccupancy: Int): DataFrame = {
+      numPlanes: Int, numTables: Int, maxOccupancy: Int,
+      contentSeededSplit: Boolean = false): DataFrame = {
     import graft.functions.GraftFunctions.graft_hyperplanes
+    // contentSeededSplit: the occupancy sub-hash is seeded by the VECTOR
+    // hash, not the row id — a cross-side pair of bit-identical vectors
+    // (the twin-contract population) then shares every sub-bucket by
+    // construction, instead of relying on other tables' OR to recover a
+    // split pair. That turns the exact twin gate from probabilistic back
+    // to structural AND lets the cap drop aggressively (the cap is what
+    // bounds the cohabitant pair stream, the bipartite curve's cost axis).
     def banded(df: DataFrame, idName: String, vecName: String): DataFrame =
       df.select(col(idName).as("id"),
+        (if (contentSeededSplit) xxhash64(col(vecName)) else col(idName))
+          .as("ck"),
         posexplode(graft_hyperplanes(col(vecName), numPlanes, numTables))
           .as(Seq("t", "bucket")))
     val lb0 = banded(l, "lid", "lv")
@@ -455,7 +466,7 @@ object Similarity {
         def split(df: DataFrame): DataFrame =
           df.join(broadcast(over), Seq("t", "bucket"), "left")
             .withColumn("sub", when(col("occ").isNull, lit(0L)).otherwise(
-              pmod(xxhash64(col("id"), col("t")),
+              pmod(xxhash64(col("ck"), col("t")),
                 ceil(col("occ") / maxOccupancy).cast("long"))))
             .drop("occ")
         (split(lb0), split(rb0))

@@ -61,6 +61,42 @@ class SemanticDedupSpec extends SparkSpec {
       .toIntArray().toSeq === Seq(1, 2))
   }
 
+  test("pruned coarse-index path (>=192 centroids) is exactly brute force") {
+    // 400 deterministic centroids at dim 16 trip the CoarseMinCentroids
+    // threshold, so nearest2Centroids runs the angular-pruned search;
+    // every query must match an independent (sim desc, index asc) top-2 —
+    // including exact-duplicate centroids (ties) and zero-norm rows.
+    def prng(seed: Int): Double = {
+      val x = seed * 2654435761L
+      ((x % 1000).toDouble / 500.0) - 1.0
+    }
+    val cents = Array.tabulate(400, 16) { (i, j) =>
+      if (i == 57) 0.0 // a zero-norm centroid (sim defined as 0)
+      else if (i == 201) prng(7 * 16 + j + 1) // exact duplicate of row 7
+      else prng(i * 16 + j + 1)
+    }
+    val centsAd = mat(cents: _*)
+    for (q <- 0 until 50) {
+      val v = Array.tabulate(16)(j => prng(5000 + q * 16 + j))
+      val got = VectorOps.nearest2Centroids(arr(v.toIndexedSeq: _*), centsAd)
+        .toIntArray().toSeq
+      val ranked = cents.indices
+        .sortBy(i => (-VectorOps.cosineArr(v, cents(i)), i)).take(2)
+      assert(got === ranked, s"query $q: got $got want $ranked")
+    }
+    // a query whose top-1 IS a duplicated direction must rank the
+    // identical centroids in index order (the prng collides every 125
+    // rows, so 7 == 132 == 201 == 257 == 382: the tie group is real and
+    // the first two BY INDEX must win)
+    val dupDir = cents(7).clone()
+    val gotDup = VectorOps.nearest2Centroids(arr(dupDir.toIndexedSeq: _*),
+      centsAd).toIntArray().toSeq
+    val rankedDup = cents.indices
+      .sortBy(i => (-VectorOps.cosineArr(dupDir, cents(i)), i)).take(2)
+    assert(gotDup === rankedDup && gotDup === Seq(7, 132),
+      s"tie order broken: $gotDup want $rankedDup")
+  }
+
   test("semanticNearDup recovers a boundary-straddling pair via top-2 assignment") {
     import spark.implicits._
     // Two tight clusters around e1 and e2 plus one near-dup pair placed ON
