@@ -79,7 +79,7 @@ object ScaleCheck {
       val l = vecs.select((col("id") + 3000000L).as("lid"), col("v").as("lv"))
       val r = vecs.select(col("id").as("rid"), col("v").as("rv"))
       val pairs = Similarity.bipartiteCandidates(l, r, planes, tables,
-        maxOccupancy = 64).count()
+        maxOccupancy = 16, contentSeededSplit = true).count()
       println(s"SCALECHECK pairs x_ann_bipartite planes=$planes tables=$tables n=$n pairs=$pairs")
       ("x_ann_bipartite", pairs)
     } :+ {

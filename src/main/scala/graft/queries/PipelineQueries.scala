@@ -554,11 +554,18 @@ object PipelineQueries {
       // an order of magnitude over k — and candidate pairs are the curve's
       // cost axis (published in SCALECHECK: 127/row at 100x under
       // occupancy 8). Recall is signature-contract, not crowd: the
-      // tablesForRecall table count is unchanged.
+      // tablesForRecall table count is unchanged. The occupancy cap is
+      // CONTENT-seeded (r9): a twin pair is bit-identical, so no split
+      // can separate it — the sim-1.0 gate is structural, not an OR-over-
+      // tables recovery — which is what lets the cap drop 64 -> 16
+      // (BipDiag A/B/C/D at the 100x corpus: pairs 80 -> 52 per left row,
+      // annJoin 31.0s -> 14.9s; the denser occ-2/17-plane schedule cut
+      // pairs to 39/row but paid more in banding than it saved).
       val planes = Similarity.adaptivePlanes(n, targetOccupancy = 4)
       val tables = Similarity.tablesForRecall(planes, cosine = 0.97)
       val topk = Similarity.annJoin(left, emb, "vec_id", "embedding",
-        k = 3, numPlanes = planes, numTables = tables)
+        k = 3, numPlanes = planes, numTables = tables,
+        maxOccupancy = 16, contentSeededSplit = true)
         .localCheckpoint(true)
       // top-1 per left id (topKPerQuery emits rank-ordered rows per qid)
       val top1 = topk.withColumn("rn", row_number().over(
