@@ -1884,8 +1884,16 @@ object PipelineQueries {
         |CAST(0 AS BIGINT) AS n_violations FROM embeddings""".stripMargin) { (s, dir) =>
       val ids = Tables(s, dir, "embeddings").select(col("vec_id").as("src"))
       val nTotal = ids.count()
+      // Ring = each id points at the NEXT id in sorted order, wrapping at
+      // the top — id-layout-agnostic (the ScaleCheck corpora stride their
+      // copy ids, so `(id+1) mod n` would dangle off the id gaps). The
+      // unpartitioned lead() window is fixture construction over an
+      // ids-only frame, n x 8 bytes — far under PlanGuard's bound.
+      val minId = ids.agg(min("src")).first().getLong(0)
       val edges = ids.withColumn("dst",
-        pmod(col("src") + 1, lit(nTotal)))
+        coalesce(lead(col("src"), 1).over(
+          org.apache.spark.sql.expressions.Window.orderBy("src")),
+          lit(minId)))
       val ranks = graft.operators.PageRank.run(edges, iterations = 10)
       Gate(ranks.agg(count(lit(1)).as("n_nodes"),
         coalesce(sum(when(
