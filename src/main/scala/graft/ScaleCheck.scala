@@ -310,7 +310,9 @@ object ScaleCheck {
     // optional 4th arg: comma-separated query filter (dev iteration — e.g.
     // re-measure one family member without paying for the whole table)
     val all = Heavy ++ Streaming
-    val toRun = args.lift(3) match {
+    // "all" runs the whole table (so the 5th `merge` arg stays reachable
+    // for unfiltered passes)
+    val toRun = args.lift(3).filter(f => f.nonEmpty && f != "all") match {
       case Some(f) => all.filter(f.split(",").toSet)
       case None => all
     }

@@ -2236,6 +2236,128 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Hybrid retrieval with reciprocal-rank fusion (Cormack et al. SIGIR'09)
+    // — the two-arm search every retrieval/curation pipeline runs: a
+    // LEXICAL arm (BM25, the x_bm25 scorer over the full corpus) and a
+    // VECTOR arm (feature-hash embedding dot product against the query's
+    // own embedding — integer-exact, so the arm's ranking is portable by
+    // construction), each reduced to a top-50 ranked list, fused by
+    // rrf = sum over arms of 1/(60 + rank). Scale shape: each arm is
+    // corpus-scan + TakeOrdered (no global sort, no corpus-wide window —
+    // the rank window runs AFTER the top-50 cut, over 50 rows); the fuse
+    // is a 50x50 full-outer join. Output is all-integer (ranks + 1e6-
+    // scaled floored rrf); the oracle recomputes both arms end to end in
+    // DuckDB, md5 feature hashing included.
+    Q("x_hybrid_search",
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS t
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |stats AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok
+        |  WHERE t IN ('spark','vector','stream') GROUP BY doc_id, t),
+        |dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        |sc AS (SELECT tf.doc_id, tf.t,
+        |  ln(1.0 + (n.n - dfq.df + 0.5) / (dfq.df + 0.5))
+        |    * (tf.tf * (1.2 + 1.0))
+        |    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS s
+        |  FROM tf JOIN dfq USING (t) JOIN dl USING (doc_id)
+        |  CROSS JOIN stats CROSS JOIN n),
+        |pv AS (SELECT doc_id,
+        |  coalesce(max(CASE WHEN t = 'spark' THEN s END), 0)
+        |  + coalesce(max(CASE WHEN t = 'vector' THEN s END), 0)
+        |  + coalesce(max(CASE WHEN t = 'stream' THEN s END), 0) AS score
+        |  FROM sc GROUP BY doc_id),
+        |lex AS (SELECT doc_id,
+        |  row_number() OVER (ORDER BY score DESC, doc_id) AS r_lex
+        |  FROM pv QUALIFY r_lex <= 50),
+        |tb AS (SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT) % 64 AS d,
+        |  1 - 2 * (CAST(concat('0x', substr(md5(t), 8, 1)) AS BIGINT) % 2) AS s
+        |  FROM tok),
+        |sp AS (SELECT doc_id, d, CAST(sum(s) AS BIGINT) AS v FROM tb
+        |  GROUP BY doc_id, d),
+        |qt AS (SELECT unnest(['spark','vector','stream']) AS t),
+        |qb AS (SELECT CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT) % 64 AS d,
+        |  1 - 2 * (CAST(concat('0x', substr(md5(t), 8, 1)) AS BIGINT) % 2) AS s
+        |  FROM qt),
+        |qc AS (SELECT d, CAST(sum(s) AS BIGINT) AS qv FROM qb GROUP BY d),
+        |dots AS (SELECT sp.doc_id, CAST(sum(sp.v * qc.qv) AS BIGINT) AS dot
+        |  FROM sp JOIN qc USING (d) GROUP BY sp.doc_id
+        |  HAVING sum(sp.v * qc.qv) <> 0),
+        |vec AS (SELECT doc_id,
+        |  row_number() OVER (ORDER BY dot DESC, doc_id) AS r_vec
+        |  FROM dots QUALIFY r_vec <= 50),
+        |fused AS (SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+        |  lex.r_lex, vec.r_vec,
+        |  COALESCE(1.0 / (60 + lex.r_lex), 0)
+        |  + COALESCE(1.0 / (60 + vec.r_vec), 0) AS rrf
+        |  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+        |SELECT doc_id, CAST(COALESCE(r_lex, 0) AS BIGINT) AS r_lex,
+        |CAST(COALESCE(r_vec, 0) AS BIGINT) AS r_vec,
+        |CAST(floor(rrf * 1000000) AS BIGINT) AS rrf_e6
+        |FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val w50lex = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id"))
+      val w50vec = org.apache.spark.sql.expressions.Window
+        .orderBy(col("dot").desc, col("doc_id"))
+      val docs = Tables(s, dir, "documents")
+      val qTerms = Seq("spark", "vector", "stream")
+      // lexical arm — the x_bm25 scorer, unrestricted population
+      val tok2 = docs.select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("t"))
+        .where(col("t") =!= "")
+      val dl = tok2.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg((sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val tf = tok2.where(col("t").isin(qTerms: _*))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      val sc = tf.join(broadcast(dfq), "t")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .crossJoin(broadcast(n))
+        .withColumn("s",
+          log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+            * (col("tf") * (lit(1.2) + lit(1.0)))
+            / (col("tf") + lit(1.2)
+              * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))))
+      val pv = sc.groupBy("doc_id").agg(
+        (coalesce(max(when(col("t") === "spark", col("s"))), lit(0.0))
+          + coalesce(max(when(col("t") === "vector", col("s"))), lit(0.0))
+          + coalesce(max(when(col("t") === "stream", col("s"))), lit(0.0)))
+          .as("score"))
+      val lexRank = pv.orderBy(col("score").desc, col("doc_id")).limit(50)
+        .withColumn("r_lex", row_number().over(w50lex))
+        .select(col("doc_id"), col("r_lex").cast("long").as("r_lex"))
+      // vector arm — unnormalized feature-hash vectors, integer dot: the
+      // ranking key is exact, so cross-engine rank portability is free
+      val emb = graft.operators.TextEmbed.featureHash(docs, "doc_id", "text",
+        dim = 64)
+      val qdf = Seq((0L, qTerms.mkString(" "))).toDF("doc_id", "text")
+      val qvec = graft.operators.TextEmbed.featureHash(qdf, "doc_id", "text",
+        dim = 64).select(col("vec").as("qv"))
+      val dots = emb.crossJoin(broadcast(qvec))
+        .withColumn("dot", aggregate(zip_with(col("vec"), col("qv"),
+          (a, b) => a * b), lit(0.0), (acc, x) => acc + x).cast("long"))
+        .where(col("dot") =!= 0)
+      val vecRank = dots.select(col("id").as("doc_id"), col("dot"))
+        .orderBy(col("dot").desc, col("doc_id")).limit(50)
+        .withColumn("r_vec", row_number().over(w50vec))
+        .select(col("doc_id"), col("r_vec").cast("long").as("r_vec"))
+      lexRank.join(vecRank, Seq("doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+        .select(col("doc_id"),
+          coalesce(col("r_lex"), lit(0L)).cast("long").as("r_lex"),
+          coalesce(col("r_vec"), lit(0L)).cast("long").as("r_vec"),
+          floor(col("rrf") * 1000000).cast("long").as("rrf_e6"))
+    },
+
     // STREAMING sessionization, driver-visible: the subset arrives in two
     // time-ordered micro-batches (sessions spanning the split must merge in
     // state), then a far-future sentinel event (user -1, excluded from the
