@@ -51,7 +51,8 @@ object Bench {
   private[graft] def officialLine(results: Seq[(String, Double)], sfDir: String,
       warm: Seq[(String, Double)] = Nil, budget: Int = 1600,
       wall: Option[Double] = None, workers: Int = 1,
-      cal: Option[Double] = None, warmNorm: Seq[(String, Double)] = Nil): String = {
+      cal: Option[Double] = None, warmNorm: Seq[(String, Double)] = Nil,
+      calPar: Option[Double] = None): String = {
     val serialSum = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val value = wall.getOrElse(serialSum)
     def ent(kv: (String, Double)): String = s""""${kv._1}":${fmt("%.2f", kv._2)}"""
@@ -70,6 +71,7 @@ object Bench {
     val head = s"""{"metric":"total","value":${fmt("%.2f", value)},"unit":"sec",""" +
       s""""proto":2,""" +
       cal.map(c => s""""cal":${fmt("%.3f", c)},""").getOrElse("") +
+      calPar.map(c => s""""cal_par":${fmt("%.3f", c)},""").getOrElse("") +
       s""""n":${results.size},"workers":$workers,"serial_sum":${fmt("%.2f", serialSum)},"""
     val warmJson = warm.sortBy(_._1).map(ent).mkString(""""warm":{""", ",", "},")
     // warm_norm: per-query regression ratio vs the PREVIOUS round's
@@ -105,11 +107,22 @@ object Bench {
     * signals (r6: a 2x-slower driver box made every raw delta noise).
     */
   private[graft] def normalizeWarm(warm: Seq[(String, Double)], calNow: Double,
-      prevWarm: Map[String, Double], prevCal: Double): Seq[(String, Double)] =
-    if (prevCal <= 0 || calNow <= 0) Nil
-    else warm.flatMap { case (q, t) =>
-      prevWarm.get(q).filter(_ > 0).map(p => q -> (t * prevCal / calNow) / p)
+      prevWarm: Map[String, Double], prevCal: Double,
+      calParNow: Option[Double] = None,
+      prevCalPar: Option[Double] = None): Seq[(String, Double)] = {
+    // Prefer the 32-thread cal_par ratio when both rounds published one:
+    // warm serials exercise the box's PARALLEL throughput, and the
+    // single-thread cal misreads a box whose core contention changed.
+    val factor = (calParNow, prevCalPar) match {
+      case (Some(nw), Some(pv)) if nw > 0 && pv > 0 => pv / nw
+      case _ if prevCal > 0 && calNow > 0 => prevCal / calNow
+      case _ => 0.0
     }
+    if (factor <= 0) Nil
+    else warm.flatMap { case (q, t) =>
+      prevWarm.get(q).filter(_ > 0).map(p => q -> (t * factor) / p)
+    }
+  }
 
   /** Latest committed BENCH_r{N}.json in the working directory -> its
     * parsed (cal, warm) — the cross-round comparison base. Absent file,
@@ -117,7 +130,7 @@ object Bench {
     * on the line, never a crash).
     */
   private[graft] def readPrevBench(dir: java.nio.file.Path = java.nio.file.Paths.get(".")):
-      Option[(Double, Map[String, Double])] =
+      Option[(Double, Option[Double], Map[String, Double])] =
     try {
       val re = """BENCH_r(\d+)\.json""".r
       val names = Option(dir.toFile.list()).getOrElse(Array.empty[String])
@@ -132,6 +145,7 @@ object Bench {
         if (parsed == null || parsed.get("cal") == null) None
         else {
           val cal = parsed.get("cal").asDouble()
+          val calPar = Option(parsed.get("cal_par")).map(_.asDouble()).filter(_ > 0)
           val w = parsed.get("warm")
           val warm = if (w == null) Map.empty[String, Double]
             else {
@@ -140,7 +154,7 @@ object Bench {
               while (it.hasNext) { val e = it.next(); m(e.getKey) = e.getValue.asDouble() }
               m.toMap
             }
-          if (cal > 0) Some((cal, warm)) else None
+          if (cal > 0) Some((cal, calPar, warm)) else None
         }
       }
     } catch { case _: Throwable => None }
@@ -165,13 +179,13 @@ object Bench {
     * loop cannot be dead-code-eliminated.
     */
   @volatile private var calSink: Long = 0L
+  private def burn(n: Int): Long = {
+    var h = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < n) { h = (h ^ (h >>> 33)) * 0xFF51AFD7ED558CCDL + i; i += 1 }
+    h
+  }
   private[graft] def calibrate(): Double = {
-    def burn(n: Int): Long = {
-      var h = 0x9E3779B97F4A7C15L
-      var i = 0
-      while (i < n) { h = (h ^ (h >>> 33)) * 0xFF51AFD7ED558CCDL + i; i += 1 }
-      h
-    }
     calSink = burn(20000000) // JIT warm (C2-compiles burn before timing)
     // min of 4 samples: a single sample moved 20% between otherwise-idle
     // runs (r8: 0.769 vs 0.928 — scheduler/turbo jitter), and cal noise
@@ -181,6 +195,29 @@ object Bench {
       val t0 = System.nanoTime()
       calSink += burn(100000000)
       (System.nanoTime() - t0) / 1e9 * 4
+    }.min
+  }
+
+  /** Parallel-throughput calibration: the SAME fixed loop on 32 threads
+    * simultaneously (pinned thread count so the number is comparable
+    * across boxes), wall-clocked. Single-thread cal cannot see a box
+    * whose PARALLEL throughput degraded relative to its single-core
+    * speed — r9 measured exactly that: cal said the box was 13% faster
+    * than r8's while untouched shuffle-heavy control queries ran
+    * 20-45% slower warm. The cal_par ratio is the right divisor for
+    * warm serials (each runs the 32-thread local scheduler flat out);
+    * normalizeWarm prefers it when both rounds publish one.
+    */
+  private[graft] def calibratePar(): Double = {
+    calSink = burn(20000000)
+    (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      val ts = (1 to 32).map { _ =>
+        val t = new Thread(() => { calSink += burn(100000000) })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
     }.min
   }
 
@@ -239,6 +276,8 @@ object Bench {
     // Fixed-work CPU calibration, timed in the untimed preamble (after the
     // JVM is warm, before any measured query) — rides the line as `cal`.
     val cal = calibrate()
+    val calPar = calibratePar()
+    println(s"BENCH-CALPAR ${fmt("%.3f", calPar)}")
     def run1(s: SparkSession, name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -322,12 +361,14 @@ object Bench {
       java.nio.file.Files.write(p, fullJson.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     val warmNorm = readPrevBench() match {
-      case Some((prevCal, prevWarm)) => normalizeWarm(warm, cal, prevWarm, prevCal)
+      case Some((prevCal, prevCalPar, prevWarm)) =>
+        normalizeWarm(warm, cal, prevWarm, prevCal, Some(calPar), prevCalPar)
       case None => Nil
     }
     warmNorm.foreach { case (k, v) => println(s"BENCH-NORM $k ${fmt("%.4f", v)}") }
     val line = officialLine(results, sfDir, warm, wall = Some(wall),
-      workers = nWorkers, cal = Some(cal), warmNorm = warmNorm)
+      workers = nWorkers, cal = Some(cal), warmNorm = warmNorm,
+      calPar = Some(calPar))
     spark.stop()
     println(line)
   }

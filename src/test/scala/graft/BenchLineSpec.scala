@@ -162,6 +162,18 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.normalizeWarm(Seq("a" -> 1.0), 0.0, Map("a" -> 1.0), 0.5).isEmpty)
     assert(Bench.normalizeWarm(Seq("a" -> 1.0), 1.0, Map("a" -> 1.0), 0.0).isEmpty)
     assert(Bench.normalizeWarm(Seq("a" -> 1.0), 1.0, Map("a" -> 0.0), 0.5).isEmpty)
+    // cal_par preferred when BOTH rounds carry one (here the parallel
+    // ratio says the boxes are equal while single-thread cal claims 2x —
+    // the parallel ratio must win for warm serials)
+    val parNorm = Bench.normalizeWarm(Seq("a" -> 2.0), calNow = 1.0,
+      prevWarm = Map("a" -> 2.0), prevCal = 0.5,
+      calParNow = Some(3.0), prevCalPar = Some(3.0))
+    assert(math.abs(parNorm.toMap.apply("a") - 1.0) < 1e-9)
+    // one side missing cal_par -> falls back to the single-thread ratio
+    val fb = Bench.normalizeWarm(Seq("a" -> 2.0), calNow = 1.0,
+      prevWarm = Map("a" -> 2.0), prevCal = 0.5,
+      calParNow = Some(3.0), prevCalPar = None)
+    assert(math.abs(fb.toMap.apply("a") - 0.5) < 1e-9)
   }
 
   test("warm_norm rides the line as valid JSON and readPrevBench parses the committed artifact shape") {
@@ -179,9 +191,10 @@ class BenchLineSpec extends AnyFunSuite {
         """{"parsed":{"cal":0.757,"warm":{"l4_cache":1.4,"x_knn_join":2.54}}}""".getBytes("UTF-8"))
       java.nio.file.Files.write(dir.resolve("BENCH_r03.json"),
         """{"parsed":{"cal":9.9,"warm":{"l4_cache":9.9}}}""".getBytes("UTF-8"))
-      val Some((cal, warm)) = Bench.readPrevBench(dir)
-      assert(cal == 0.757 && warm == Map("l4_cache" -> 1.4, "x_knn_join" -> 2.54),
-        "latest round wins, fields parsed")
+      val Some((cal, calPar, warm)) = Bench.readPrevBench(dir)
+      assert(cal == 0.757 && calPar.isEmpty &&
+        warm == Map("l4_cache" -> 1.4, "x_knn_join" -> 2.54),
+        "latest round wins, fields parsed; missing cal_par degrades to None")
       // a pre-cal round (no parsed.cal) degrades to None
       java.nio.file.Files.write(dir.resolve("BENCH_r08.json"),
         """{"parsed":{"warm":{"l4_cache":1.0}}}""".getBytes("UTF-8"))
