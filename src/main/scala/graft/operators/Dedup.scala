@@ -101,14 +101,47 @@ object Dedup {
     * then the exact popcount distance verifies. Signatures are 8 bytes, so
     * unlike the vector paths the hash RIDES the band join — there is no
     * cheaper key to carry.
+    *
+    * maxOccupancy: the bands are FIXED 16-bit keys (65536 buckets each),
+    * so past ~65k rows expected occupancy — and the occupancy^2 pair
+    * stream — grows linearly with n (quadratic total): the 1000x wall
+    * the adaptive-plane LSH paths don't have. Oversized buckets split by
+    * a sub-hash seeded by the SIGNATURE itself (content-seeded, the r9
+    * LSH discipline): bit-identical signatures — true duplicates, whose
+    * C(g,2) pairs are the output — can never be separated, while a
+    * near-pair (distance 1..maxHamming) split in one band still collides
+    * through the other bands' OR. Default 64 never fires at gate-SF
+    * occupancies.
     */
-  def hammingPairs(hashed: DataFrame, maxHamming: Int): DataFrame = {
-    val banded = hashed.select(col("id"), col("h"),
+  def hammingPairs(hashed0: DataFrame, maxHamming: Int,
+      maxOccupancy: Int = 64): DataFrame = {
+    // The signature frame is 16 bytes/row, but its LINEAGE carries the
+    // expensive part (PNG render+decode for image dHash, tokenize+simhash
+    // for text), and the band join consumes it up to three times
+    // (occupancy aggregate + both join sides). Pin the tiny frame ONCE —
+    // measured at the 100x corpus: x_media_dedup re-rendered the whole
+    // 500k-image table per consumption without this.
+    val hashed = hashed0.localCheckpoint(true)
+    val banded0 = hashed.select(col("id"), col("h"),
       explode(simhashBands("h")).as("bk"))
       .select(col("id"), col("h"), col("bk.band"), col("bk.bkey"))
-    val a = banded.select(col("band"), col("bkey"), col("id").as("id1"), col("h").as("h1"))
-    val b = banded.select(col("band"), col("bkey"), col("id").as("id2"), col("h").as("h2"))
-    a.join(b, Seq("band", "bkey"))
+    val banded =
+      if (maxOccupancy <= 0) banded0.withColumn("sub", lit(0L))
+      else {
+        val over = banded0.groupBy("band", "bkey")
+          .agg(count(lit(1)).as("occ"))
+          .where(col("occ") > maxOccupancy)
+        banded0.join(broadcast(over), Seq("band", "bkey"), "left")
+          .withColumn("sub", when(col("occ").isNull, lit(0L)).otherwise(
+            pmod(xxhash64(col("h"), col("band")),
+              ceil(col("occ") / maxOccupancy).cast("long"))))
+          .drop("occ")
+      }
+    val a = banded.select(col("band"), col("bkey"), col("sub"),
+      col("id").as("id1"), col("h").as("h1"))
+    val b = banded.select(col("band"), col("bkey"), col("sub"),
+      col("id").as("id2"), col("h").as("h2"))
+    a.join(b, Seq("band", "bkey", "sub"))
       .where(col("id1") < col("id2"))
       .dropDuplicates("id1", "id2")
       .withColumn("hamming", hammingDist(col("h1"), col("h2")))

@@ -68,9 +68,14 @@ object PipelineQueries {
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         round(col("value") * 100, 0).cast("long").as("cents"))
 
-  /** Per-stream-query fixture writers keyed by query name — ScaleCheck
-    * times these against a scratch dir to publish the fixture share of
-    * each streaming scale ratio.
+  /** Per-query fixture writers/forcers keyed by query name — ScaleCheck
+    * times these to publish the fixture-construction share of each scale
+    * ratio (the part of the timed path that is strictly linear in data
+    * and exists only because the query builds its own input). Streaming
+    * queries write their file-source fixture to the scratch dir;
+    * x_media_dedup's entry forces the per-document PNG RENDER — in
+    * production the image bytes exist, so the render is fixture, and it
+    * dominates the query's 100x point (~linear decode-per-row work).
     */
   private[graft] def streamFixtureWriters(s: org.apache.spark.sql.SparkSession,
       dir: String): Map[String, String => Unit] = Map(
@@ -79,7 +84,13 @@ object PipelineQueries {
       s.sparkContext.defaultParallelism)),
     "x_stream_index_probe" -> (src => twoFileStreamFixture(
       Tables(s, dir, "embeddings"), pmod(col("vec_id"), lit(2)) === 0, src,
-      s.sparkContext.defaultParallelism)))
+      s.sparkContext.defaultParallelism)),
+    "x_media_dedup" -> (_ => {
+      import s.implicits._
+      Multimodal.asImageTable(Tables(s, dir, "documents"))
+        .map(_.payload.length.toLong).reduce(_ + _)
+      ()
+    }))
 
   /** Run `body` with spark.sql.shuffle.partitions temporarily lowered —
     * for small-subset streaming sections, where every shuffle partition
