@@ -50,13 +50,27 @@ object PipelineQueries {
     */
   private[graft] def twoFileStreamFixture(df: org.apache.spark.sql.DataFrame,
       firstHalf: org.apache.spark.sql.Column, src: String,
-      shards: Int = 1): Unit = {
+      shards: Int = 1): Int = {
+    // Natural partitioning: each half writes with the SOURCE's own split
+    // count — no corpus exchange (the r9 repartition form still paid a
+    // full shuffle per half; the source's layout is already the sharding
+    // a real stream has). `shards` is retained in the signature for
+    // callers that want a floor but is no longer used to force an
+    // exchange. Returns the larger generation's file count so callers
+    // can set maxFilesPerTrigger to ingest ~one generation per trigger.
+    def partFiles(): Int = {
+      val fs = new java.io.File(src).listFiles()
+      if (fs == null) 0 else fs.count(f => f.isFile && f.getName.startsWith("part-"))
+    }
     val seen = scala.collection.mutable.Set.empty[String]
     val t0 = System.currentTimeMillis()
-    df.where(firstHalf).repartition(shards).write.mode("overwrite").parquet(src)
+    df.where(firstHalf).write.mode("overwrite").parquet(src)
+    val gen1 = partFiles()
     stampNewFiles(src, seen, t0)
-    df.where(!firstHalf).repartition(shards).write.mode("append").parquet(src)
+    df.where(!firstHalf).write.mode("append").parquet(src)
+    val gen2 = partFiles() - gen1
     stampNewFiles(src, seen, t0 + 60000)
+    math.max(1, math.max(gen1, gen2))
   }
 
   /** x_stream_upsert's source projection (shared with the ScaleCheck
@@ -79,12 +93,16 @@ object PipelineQueries {
     */
   private[graft] def streamFixtureWriters(s: org.apache.spark.sql.SparkSession,
       dir: String): Map[String, String => Unit] = Map(
-    "x_stream_upsert" -> (src => twoFileStreamFixture(
-      upsertSourceEvents(s, dir), dayofmonth(col("ts")) <= 15, src,
-      s.sparkContext.defaultParallelism)),
-    "x_stream_index_probe" -> (src => twoFileStreamFixture(
-      Tables(s, dir, "embeddings"), pmod(col("vec_id"), lit(2)) === 0, src,
-      s.sparkContext.defaultParallelism)),
+    "x_stream_upsert" -> (src => {
+      twoFileStreamFixture(
+        upsertSourceEvents(s, dir), dayofmonth(col("ts")) <= 15, src)
+      ()
+    }),
+    "x_stream_index_probe" -> (src => {
+      twoFileStreamFixture(
+        Tables(s, dir, "embeddings"), pmod(col("vec_id"), lit(2)) === 0, src)
+      ()
+    }),
     "x_media_dedup" -> (_ => {
       import s.implicits._
       Multimodal.asImageTable(Tables(s, dir, "documents"))
@@ -1987,10 +2005,9 @@ object PipelineQueries {
       try {
         val src = tmp.resolve("src").toString
         val ev = upsertSourceEvents(s, dir)
-        val shards = s.sparkContext.defaultParallelism
-        twoFileStreamFixture(ev, dayofmonth(col("ts")) <= 15, src, shards)
+        val genFiles = twoFileStreamFixture(ev, dayofmonth(col("ts")) <= 15, src)
         val stream = s.readStream.schema(s.read.parquet(src).schema)
-          .option("maxFilesPerTrigger", shards).parquet(src)
+          .option("maxFilesPerTrigger", genFiles).parquet(src)
         val stateRef = new java.util.concurrent.atomic.AtomicReference[String](null)
         var version = 0
         def latest(df: org.apache.spark.sql.DataFrame) = df.groupBy("user_id")
@@ -2040,10 +2057,9 @@ object PipelineQueries {
       try {
       val src = tmp.resolve("src").toString
       val emb = Tables(s, dir, "embeddings")
-      val shards = s.sparkContext.defaultParallelism
-      twoFileStreamFixture(emb, pmod(col("vec_id"), lit(2)) === 0, src, shards)
+      val genFiles = twoFileStreamFixture(emb, pmod(col("vec_id"), lit(2)) === 0, src)
       val stream = s.readStream.schema(emb.schema)
-        .option("maxFilesPerTrigger", shards).parquet(src)
+        .option("maxFilesPerTrigger", genFiles).parquet(src)
       val indexPath = tmp.resolve("index").toString
       // 2 planes (4 buckets/table): collision ~0.86 per table at cos 0.97,
       // ~0.98 OR-ed over 2 tables — deterministic here (seeded planes,
