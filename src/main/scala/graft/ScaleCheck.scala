@@ -99,7 +99,8 @@ object ScaleCheck {
         .select(col("id"), col("vec").as("v"))
       val nd = embv.count()
       val planes = Similarity.adaptivePlanes(nd, targetOccupancy = 2)
-      val tables = Similarity.tablesForRecall(planes, cosine = 0.999)
+      val tables = Similarity.tablesForRecall(planes, cosine = 0.999,
+        minTables = 3)
       val pairs = Similarity.lshCandidatePairsForDiag(embv, planes, tables,
         maxOccupancy = 8, contentSeededSplit = true).count()
       println(s"SCALECHECK pairs x_embed_dedup planes=$planes tables=$tables n=$nd pairs=$pairs")

@@ -44,13 +44,19 @@ object TextEmbed {
           .as("d"),
         (lit(1L) - lit(2L) * pmod(conv(substring(digest, 8, 1), 16, 10)
           .cast("long"), lit(2L))).as("s"))
-    val dense0 = tb.groupBy("id", "d").agg(sum("s").as("v"))
-      .groupBy("id")
-      .agg(map_from_entries(collect_list(struct(col("d"), col("v")))).as("m"))
+    // ONE shuffle, not two: pivot over the (known, small) dimension domain
+    // turns the token-level (id, d, s) stream into a per-doc wide row in a
+    // single partial-aggregated exchange — the previous groupBy(id,d) ->
+    // groupBy(id) shape shuffled the token stream twice and carried a
+    // map_from_entries per doc. Map-side partial aggregation compresses
+    // the ~100-tokens/doc stream to <= dim cells per (doc, map task)
+    // before anything rides the wire.
+    val dense0 = tb.groupBy("id")
+      .pivot("d", (0L until dim.toLong).map(_.asInstanceOf[Any]))
+      .agg(sum("s"))
       .select(col("id"),
-        transform(sequence(lit(0L), lit(dim - 1L)),
-          i => coalesce(element_at(col("m"), i), lit(0L)).cast("double"))
-          .as("vec"))
+        array((0 until dim).map(i =>
+          coalesce(col(s"$i"), lit(0L)).cast("double")): _*).as("vec"))
     val dense = df.select(col(idCol).cast("long").as("id")).distinct()
       .join(dense0, Seq("id"), "left")
       .select(col("id"),

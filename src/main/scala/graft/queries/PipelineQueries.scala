@@ -2717,8 +2717,16 @@ object PipelineQueries {
         docs, "doc_id", "text", dim = 64, normalize = true)
         .localCheckpoint(true) // feeds LSH banding + both verify sides
       val n = emb.count()
+      // minTables 3, not the default floor of 8: at cosine 0.999 a single
+      // table already collides a true pair with p1 ~ 0.77, so THREE OR'd
+      // tables meet the 0.98 recall contract (1-(1-p1)^3 ~ 0.988) — the
+      // 8-table floor exists for low-threshold schedules and was pure
+      // banded-row/verify-join waste here (the exact-equality gate
+      // population collides in EVERY table regardless: identical vectors
+      // share every bucket).
       val planes = Similarity.adaptivePlanes(n, targetOccupancy = 2)
-      val tables = Similarity.tablesForRecall(planes, cosine = 0.999)
+      val tables = Similarity.tablesForRecall(planes, cosine = 0.999,
+        minTables = 3)
       // maxOccupancy ON with a CONTENT-seeded split: the occupancy
       // sub-hash is seeded by the vector's own hash, so bit-identical
       // vectors (identical texts) share every sub-bucket by construction
