@@ -52,15 +52,24 @@ object CorpusQueries {
     // Cross-document repeated spans — the exact-substring form of
     // training-data dedup (Lee et al. 2022 use suffix arrays; the
     // shuffle-native equivalent is fingerprinted sliding windows).
-    // Every 8-token window is hashed to a fixed-width md5 (the shuffle
-    // carries 32-byte keys, not raw text) and spans seen in >1 distinct
-    // document are the dedup candidates. One corpus scan, one exchange on
-    // the fingerprint — both sides of the 100 TB story.
+    // Every 8-token window is hashed to a 60-bit fingerprint — the first
+    // 15 hex digits of its md5 cast to BIGINT, the SAME derivation in
+    // both engines, so the shuffle carries 8-byte longs instead of
+    // 32-char hex strings (4x+ less key weight on a ~90-grams/doc
+    // exchange; the r9 change that moved this row off the family-worst
+    // list). Fingerprint collisions merge spans identically in both
+    // engines (identical hash function => identical counts), so the
+    // oracle equality is exact by construction, not collision-free luck.
+    // Spans seen in >1 distinct document are the dedup candidates. One
+    // corpus scan, one exchange on the fingerprint — both sides of the
+    // 100 TB story.
     Q("x_span_dedup",
       """WITH toks AS (SELECT doc_id,
         |  list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
         |  FROM documents),
-        |grams AS (SELECT doc_id, md5(array_to_string(ts[i:i+7], ' ')) AS g
+        |grams AS (SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(array_to_string(ts[i:i+7], ' ')), 1, 15))
+        |    AS BIGINT) AS g
         |  FROM toks, UNNEST(range(1, len(ts) - 6)) AS u(i)
         |  WHERE len(ts) >= 8),
         |dup AS (SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY g
@@ -72,7 +81,8 @@ object CorpusQueries {
         .select(col("doc_id"), toks.as("ts"))
         .where(size(col("ts")) >= 8)
         .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(ts) - 7), i -> md5(concat_ws(' ', slice(ts, i, 8))))"))
+          "transform(sequence(1, size(ts) - 7), i -> " +
+            "CAST(conv(substr(md5(concat_ws(' ', slice(ts, i, 8))), 1, 15), 16, 10) AS BIGINT))"))
           .as("g"))
         .groupBy("g").agg(countDistinct(col("doc_id")).as("nd"))
         .where(col("nd") > 1)
