@@ -90,6 +90,61 @@ object CorpusQueries {
           coalesce(sum(col("nd")), lit(0L)).as("n_span_docs"))
     },
 
+    // Dataset snapshot diff — the versioning primitive every curated
+    // corpus needs: classify every row across two snapshot versions as
+    // added / removed / changed / unchanged by CONTENT hash, never by
+    // full-text compare (the join carries (id, 16-byte digest), not
+    // documents). The "new" snapshot is derived deterministically from
+    // the corpus in BOTH engines (drop id%97==0, edit text of id%89==0,
+    // add 50 fresh rows), so the whole classification is a full oracle.
+    // Scale shape: one full-outer equi-join on the id — co-partitioned or
+    // bucketed at 100 TB — followed by a 4-group aggregate; the checksum
+    // (sum of id mod a prime per class) pins the exact MEMBERSHIP of each
+    // class, not just its size.
+    Q("x_snapshot_diff",
+      """WITH old AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |new AS (
+        |  SELECT doc_id, md5(text ||
+        |    CASE WHEN doc_id % 89 = 0 THEN ' v2' ELSE '' END) AS h
+        |  FROM documents WHERE doc_id % 97 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 5000000,
+        |    md5('new doc ' || CAST(doc_id AS VARCHAR)) FROM documents
+        |  WHERE doc_id < 50),
+        |d AS (SELECT COALESCE(o.doc_id, n.doc_id) AS id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.h <> n.h THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+        |SELECT status, count(*) AS n,
+        |  CAST(sum(id % 999983) AS BIGINT) AS id_checksum
+        |FROM d GROUP BY status ORDER BY status""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val old = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      val newer = docs.where(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"),
+          md5(concat(col("text"),
+            when(col("doc_id") % 89 === 0, lit(" v2")).otherwise(lit("")))
+            .cast("binary")).as("h"))
+        .unionByName(docs.where(col("doc_id") < 50)
+          .select((col("doc_id") + 5000000L).as("doc_id"),
+            md5(concat(lit("new doc "), col("doc_id").cast("string"))
+              .cast("binary")).as("h")))
+      old.select(col("doc_id").as("oid"), col("h").as("oh"))
+        .join(newer.select(col("doc_id").as("nid"), col("h").as("nh")),
+          col("oid") === col("nid"), "full_outer")
+        .select(coalesce(col("oid"), col("nid")).as("id"),
+          when(col("oid").isNull, "added")
+            .when(col("nid").isNull, "removed")
+            .when(col("oh") =!= col("nh"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"),
+          sum(col("id") % 999983).as("id_checksum"))
+        .orderBy("status")
+    },
+
     // URL parsing with the codegen'd parse_url builtin (no UDF): host,
     // path, and a query parameter, pinned exactly by the oracle's
     // closed-form reconstruction (min(path)/ref are exact strings — a

@@ -43,4 +43,32 @@ class MediaDedupSpec extends SparkSpec {
     for (i <- 0L until 5L)
       assert(pairs.contains((i, i + 1000L)), s"edited copy of $i not recovered: $pairs")
   }
+
+  test("hammingPairs occupancy cap: subset of uncapped, identical signatures never split") {
+    import spark.implicits._
+    // 120 rows sharing ONE signature (a pathological hot bucket in every
+    // band) plus 40 groups of 2 identical signatures scattered nearby.
+    // With a tiny cap: (a) the pair list must stay a subset of the
+    // uncapped clique, (b) every identical-signature pair must survive —
+    // the sub-hash is seeded by the signature, so bit-equal rows share
+    // every sub-bucket by construction.
+    val hot = (0L until 120L).map(i => (i, 0x5A5A5A5A5A5A5A5AL))
+    val twins = (0 until 40).flatMap { g =>
+      val h = 0x1000000000000000L + g * 0x0101010101010101L
+      Seq((1000L + 2 * g, h), (1001L + 2 * g, h))
+    }
+    val df = (hot ++ twins).toDF("id", "h")
+    val uncapped = Dedup.hammingPairs(df, maxHamming = 0, maxOccupancy = 0)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val capped = Dedup.hammingPairs(df, maxHamming = 0, maxOccupancy = 8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(uncapped), "cap invented pairs")
+    // the hot clique is all-identical signatures: the content seed keeps
+    // them co-bucketed, so the cap removes NOTHING here (C(120,2) pairs
+    // are the output, not avoidable work) — and every twin pair survives
+    assert(capped == uncapped,
+      s"identical-signature pairs dropped: ${(uncapped -- capped).take(5)}")
+    for (g <- 0 until 40)
+      assert(capped.contains((1000L + 2 * g, 1001L + 2 * g)), s"twin $g split")
+  }
 }
