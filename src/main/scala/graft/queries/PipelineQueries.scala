@@ -1822,6 +1822,75 @@ object PipelineQueries {
         .toDF("n_days", "n_violations")
     },
 
+    // STREAMING percentiles — the sketch-in-stream composition: per-day
+    // quantile-digest PARTIALS accumulate from a real foreachBatch sink
+    // (one ~2 KB graft_qsketch_state row per (day, micro-batch), appended
+    // to a state table), and the final per-day p50/p90 merge the stored
+    // partials WITHOUT rescanning raw events. This is x_qsketch_rollup's
+    // contract carried across micro-batch boundaries: a day split across
+    // batches must still answer within the 6/k rank bound, which also
+    // exercises the r9 digest wire header (every stored partial
+    // round-trips through parquet with its k validated on read). Gate:
+    // EVERY day's merged p50/p90 bracket their true per-day ranks.
+    Q("x_stream_quantile",
+      """SELECT CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+        |CAST(0 AS BIGINT) AS n_violations FROM events""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions.{graft_qsketch_merged, graft_qsketch_state}
+      val k = 256
+      val tmp = Tmp.dir("graft-squant")
+      try {
+        val src = tmp.resolve("src").toString
+        val state = tmp.resolve("state").toString
+        val ev = Tables(s, dir, "events")
+          .select(col("ts"), round(col("value") * 100, 0).cast("long")
+            .cast("double").as("v"))
+        val genFiles = twoFileStreamFixture(ev,
+          dayofmonth(col("ts")) <= 15, src)
+        val stream = s.readStream.schema(s.read.parquet(src).schema)
+          .option("maxFilesPerTrigger", genFiles).parquet(src)
+        withShufflePartitions(s, 4) {
+          val sink = stream.writeStream.foreachBatch {
+            (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              batch.groupBy(date_trunc("day", col("ts")).as("day"))
+                .agg(graft_qsketch_state(col("v"), k).as("digest"))
+                .write.mode("append").parquet(state)
+              ()
+          }.option("checkpointLocation", tmp.resolve("ckpt").toString).start()
+          try sink.processAllAvailable() finally sink.stop()
+        }
+        val merged = s.read.parquet(state).groupBy("day")
+          .agg(graft_qsketch_merged(col("digest"), k, Seq(0.5, 0.9)).as("qs"),
+            count(lit(1)).as("n_partials"))
+          .select(col("day"), col("qs")(0).as("p50"), col("qs")(1).as("p90"),
+            col("n_partials"))
+        // per-day exact bracket ranks against the raw events (verification
+        // only — the ANSWER path above never rescans them)
+        val checked = ev.withColumn("day", date_trunc("day", col("ts")))
+          .join(broadcast(merged), "day")
+          .groupBy("day")
+          .agg(
+            (sum(when(col("v") < col("p50"), 1.0)) / count(lit(1))).as("r50lo"),
+            (sum(when(col("v") <= col("p50"), 1.0)) / count(lit(1))).as("r50hi"),
+            (sum(when(col("v") < col("p90"), 1.0)) / count(lit(1))).as("r90lo"),
+            (sum(when(col("v") <= col("p90"), 1.0)) / count(lit(1))).as("r90hi"),
+            count(lit(1)).as("n"))
+          .withColumn("bound", lit(6.0 / k) + lit(1.0) / col("n"))
+          .withColumn("bad",
+            (greatest(col("r50lo") - 0.5, lit(0.5) - col("r50hi"), lit(0.0))
+              > col("bound")) ||
+            (greatest(col("r90lo") - 0.9, lit(0.9) - col("r90hi"), lit(0.0))
+              > col("bound")))
+        val stats = checked.agg(count(lit(1)).as("n_days"),
+          coalesce(sum(when(col("bad"), 1L)), lit(0L)).as("viol")).collect()(0)
+        Gate.check(stats.getLong(1) == 0,
+          s"${stats.getLong(1)}/${stats.getLong(0)} days outside the 6/k rank bound")
+        import s.implicits._
+        Seq((stats.getLong(0), stats.getLong(1)))
+          .toDF("n_days", "n_violations")
+      } finally deleteRecursively(tmp)
+    },
+
     // Mergeable-HLL rollup: per-day user sketches (graft_hll, 4 KB binary
     // each) are WRITTEN to parquet — a sketch rollup table — read back,
     // and merged (graft_hll_merge) into the all-time distinct estimate
