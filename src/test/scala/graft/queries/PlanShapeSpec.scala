@@ -149,6 +149,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"state merge went cartesian:\n$p")
   }
 
+  test("x_hybrid_search: no corpus-sized window; rank windows run after the top-50 cut") {
+    val p = plan("x_hybrid_search")
+    // each arm is corpus-scan + TakeOrdered; the ONLY windows allowed are
+    // the post-cut rank windows over <= 50 rows (fed by a TakeOrdered)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"hybrid arms lost the TakeOrdered top-k shape:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "hybrid fuse went cartesian (the 1-row query-vector join must broadcast)")
+  }
+
+  test("x_snapshot_diff: versions meet in an equi-join on pre-digested rows") {
+    val p = plan("x_snapshot_diff")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      s"snapshot diff lost its equi-join:\n$p")
+    assert(!p.contains("CartesianProduct"), "snapshot diff went cartesian")
+    // the digest is computed BELOW the join (md5 in a pre-join projection):
+    // in the plan-tree string children print AFTER their parent, so every
+    // md5 must appear after the first Join node — an md5 BEFORE it would
+    // mean the digest is computed above the join, i.e. text rode the
+    // exchange
+    val joinAt = p.indexOf("Join")
+    val md5At = p.indexOf("md5")
+    assert(joinAt > 0 && md5At > joinAt,
+      s"md5 evaluated above the join — text rode the exchange:\n$p")
+  }
+
+  test("x_bfs_distance: per-sweep joins stay equi-joins, no window") {
+    val p = plan("x_bfs_distance")
+    assert(!p.contains("Window ["), s"BFS re-grew a window:\n$p")
+    assert(!p.contains("CartesianProduct"), "BFS sweep went cartesian")
+  }
+
   test("x_stream_enrich: the dimension join broadcasts (batch twin)") {
     // the streaming plan joins each micro-batch against the same broadcast;
     // asserting on the batch twin keeps the spec synchronous
