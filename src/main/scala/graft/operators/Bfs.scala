@@ -37,23 +37,30 @@ object Bfs {
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      var visited = seeds.select(col("id").cast("long"), lit(0).as("dist"))
+      val seeds0 = seeds.select(col("id").cast("long"), lit(0).as("dist"))
         .distinct()
         .localCheckpoint(true)
-      var frontier = visited
+      // visited = lazy union of the per-sweep CHECKPOINTED frontiers: the
+      // anti-join has to scan the visited set each sweep anyway, but this
+      // shape never REWRITES it — a visited.localCheckpoint per sweep
+      // would materialize O(n) rows k times for a k-sweep run. The union
+      // tree stays <= maxIter checkpointed leaves deep.
+      var frames = List(seeds0)
+      var frontier = seeds0
       var it = 0
       while (it < maxIter && !frontier.isEmpty) {
         it += 1
+        val visited = frames.reduce(_ unionByName _)
         val next = frontier.withColumnRenamed("id", "src")
           .join(e, "src")
           .select(col("dst").as("id"), (col("dist") + 1).as("dist"))
           .groupBy("id").agg(min("dist").as("dist")) // dedup within the sweep
           .join(visited.select("id"), Seq("id"), "left_anti")
           .localCheckpoint(true)
-        visited = visited.unionByName(next).localCheckpoint(true)
+        frames ::= next
         frontier = next
       }
-      visited
+      frames.reduce(_ unionByName _)
     } finally e.unpersist()
   }
 }

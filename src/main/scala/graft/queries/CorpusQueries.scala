@@ -95,7 +95,7 @@ object CorpusQueries {
     // PageRank (fixed-point) and connected components (pointer doubling):
     // distance from every node to its nearest seed, the primitive behind
     // label propagation and hops-from-trusted-set curation filters. The
-    // fixture is the doc-id chain graph with a seed every 20 nodes, whose
+    // fixture is the doc-id chain graph with a seed every 10 nodes, whose
     // BFS distances have an integer CLOSED FORM (min of the offsets to
     // the flanking seeds, one-sided at the chain's tail) — so the oracle
     // pins every node's exact distance through a product checksum, not
@@ -103,9 +103,9 @@ object CorpusQueries {
     Q("x_bfs_distance",
       """WITH ids AS (SELECT doc_id AS id FROM documents),
         |mx AS (SELECT max(id) AS m FROM ids),
-        |d AS (SELECT id, CASE WHEN id % 20 = 0 THEN 0
-        |  WHEN id - (id % 20) + 20 <= m THEN least(id % 20, 20 - (id % 20))
-        |  ELSE id % 20 END AS dist FROM ids, mx)
+        |d AS (SELECT id, CASE WHEN id % 10 = 0 THEN 0
+        |  WHEN id - (id % 10) + 10 <= m THEN least(id % 10, 10 - (id % 10))
+        |  ELSE id % 10 END AS dist FROM ids, mx)
         |SELECT count(*) AS n_nodes, CAST(max(dist) AS BIGINT) AS max_dist,
         |CAST(sum(dist) AS BIGINT) AS sum_dist,
         |CAST(sum((dist * (id % 999983)) % 999983) AS BIGINT) AS checksum
@@ -116,9 +116,9 @@ object CorpusQueries {
         .select(col("id").as("src"), (col("id") + 1).as("dst"))
       val edges = fwd.unionByName(
         fwd.select(col("dst").as("src"), col("src").as("dst")))
-      val seeds = ids.where(col("id") % 20 === 0)
+      val seeds = ids.where(col("id") % 10 === 0)
       val dist = graft.operators.Bfs.multiSourceDistance(edges, seeds,
-        maxIter = 25)
+        maxIter = 15)
       dist.agg(count(lit(1)).as("n_nodes"),
         max("dist").cast("long").as("max_dist"),
         sum("dist").cast("long").as("sum_dist"),
