@@ -29,17 +29,25 @@ import org.apache.spark.sql.functions._
   */
 object Bfs {
 
-  /** (id, dist) for every node reachable from `seeds` in <= maxIter hops. */
+  /** (id, dist) for every node reachable from `seeds` in <= maxIter hops.
+    * Durability mirrors PageRank: with a reliable checkpoint dir
+    * configured, frontier frames checkpoint to it (a lost executor
+    * replays nothing — every sweep's output is durable); without one
+    * they localCheckpoint (executor-pinned blocks, lost-executor
+    * restarts the traversal). At the 100 TB design point, set the dir.
+    */
   def multiSourceDistance(edges: DataFrame, seeds: DataFrame,
       maxIter: Int = 30): DataFrame = {
     require(maxIter >= 0, "maxIter must be >= 0")
+    val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def pin(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val seeds0 = seeds.select(col("id").cast("long"), lit(0).as("dist"))
-        .distinct()
-        .localCheckpoint(true)
+      val seeds0 = pin(seeds.select(col("id").cast("long"), lit(0).as("dist"))
+        .distinct())
       // visited = lazy union of the per-sweep CHECKPOINTED frontiers: the
       // anti-join has to scan the visited set each sweep anyway, but this
       // shape never REWRITES it — a visited.localCheckpoint per sweep
@@ -56,9 +64,9 @@ object Bfs {
           .select(col("dst").as("id"), (col("dist") + 1).as("dist"))
           .groupBy("id").agg(min("dist").as("dist")) // dedup within the sweep
           .join(visited.select("id"), Seq("id"), "left_anti")
-          .localCheckpoint(true)
-        frames ::= next
-        frontier = next
+        val pinned = pin(next)
+        frames ::= pinned
+        frontier = pinned
       }
       frames.reduce(_ unionByName _)
     } finally e.unpersist()

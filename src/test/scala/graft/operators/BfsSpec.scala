@@ -41,4 +41,26 @@ class BfsSpec extends SparkSpec {
     val back = Bfs.multiSourceDistance(edges, Seq(3L).toDF("id")).collect()
     assert(back.length == 1 && back(0).getLong(0) == 3L)
   }
+
+  test("reliable checkpoint path matches local mode and writes checkpoints") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bfs-ckpt").toString
+    val sc = spark.sparkContext
+    val chain = (0L until 6L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+      .toDF("src", "dst")
+    val seeds = Seq(0L).toDF("id")
+    val local = Bfs.multiSourceDistance(chain, seeds).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    sc.setCheckpointDir(dir)
+    try {
+      val rel = Bfs.multiSourceDistance(chain, seeds).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(rel == local, s"reliable path diverged: $rel vs $local")
+      val wrote = new java.io.File(dir).listFiles()
+      assert(wrote != null && wrote.nonEmpty, "no reliable checkpoint written")
+    } finally {
+      sc.setCheckpointDir(null)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }
