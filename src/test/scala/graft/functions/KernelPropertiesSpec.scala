@@ -104,4 +104,40 @@ class KernelPropertiesSpec extends SparkSpec {
     // across 200 vectors the 6 tables cannot all agree unless planes collide
     assert((1 until 6).exists(t => sigs.exists(r => r(t) != r(0))))
   }
+
+  test("nearest2 pruned path == brute (sim desc, index asc) over random codebooks") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def arr(xs: Array[Double]) = new GenericArrayData(xs)
+    def mat(rows: Array[Array[Double]]) =
+      new GenericArrayData(rows.map(r => new GenericArrayData(r)): Array[Any])
+    // generated configs all trip CoarseMinCentroids (>=192), with
+    // clustered structure (group center + noise) so the coarse index has
+    // real pruning work, plus occasional duplicated/zero rows
+    val cfg = Gen.zip(Gen.chooseNum(200, 420), Gen.chooseNum(4, 24),
+      Gen.chooseNum(1, 1000000))
+    for ((m, dim, seed) <- samples(cfg, n = 4)) {
+      val rnd = new scala.util.Random(seed)
+      val centers = Array.fill(12, dim)(rnd.nextGaussian())
+      val rows = Array.tabulate(m) { i =>
+        if (i % 131 == 97) new Array[Double](dim) // a zero-norm row
+        else if (i % 67 == 13) // exact duplicate of an earlier row
+          Array.tabulate(dim)(d => centers(0)(d) + 0.01 * d)
+        else {
+          val c = centers(i % 12)
+          Array.tabulate(dim)(d => c(d) + 0.15 * rnd.nextGaussian())
+        }
+      }
+      val cents = mat(rows)
+      for (_ <- 0 until 25) {
+        val q = {
+          val c = centers(rnd.nextInt(12))
+          Array.tabulate(dim)(d => c(d) + 0.2 * rnd.nextGaussian())
+        }
+        val got = VectorOps.nearest2Centroids(arr(q), cents).toIntArray().toSeq
+        val want = rows.indices
+          .sortBy(i => (-VectorOps.cosineArr(q, rows(i)), i)).take(2)
+        assert(got == want, s"m=$m dim=$dim seed=$seed: got $got want $want")
+      }
+    }
+  }
 }
