@@ -40,7 +40,12 @@ object ScaleCheck {
     // (r8 verdict #2) — full-corpus embed+LSH, iterative PageRank, image
     // render/decode/hash, and the blocked fuzzy join (needs the scaled
     // customer table, materialized below)
-    "x_embed_dedup", "x_pagerank", "x_media_dedup", "x_fuzzy_join")
+    "x_embed_dedup", "x_pagerank", "x_media_dedup", "x_fuzzy_join",
+    // r9 additions get curves from birth: two-arm hybrid retrieval,
+    // content-digest snapshot diff, frontier BFS, and the sketch-in-stream
+    // percentiles (its fixture share rides the streaming decomposition)
+    "x_hybrid_search", "x_snapshot_diff", "x_bfs_distance",
+    "x_stream_quantile")
 
   /** Streaming-path members (r6 judge #5): real foreachBatch sinks over the
     * replicated corpus. Caveat on reading their ratios: each query's timed

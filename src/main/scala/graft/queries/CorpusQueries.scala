@@ -111,9 +111,17 @@ object CorpusQueries {
         |CAST(sum((dist * (id % 999983)) % 999983) AS BIGINT) AS checksum
         |FROM d""".stripMargin) { (s, dir) =>
       val ids = Tables(s, dir, "documents").select(col("doc_id").as("id"))
-      val m = ids.agg(max("id")).first().getLong(0)
-      val fwd = ids.where(col("id") < m)
-        .select(col("id").as("src"), (col("id") + 1).as("dst"))
+      // chain = next id in sorted order (id-layout-agnostic, the
+      // x_pagerank ring discipline: ScaleCheck corpora stride their copy
+      // ids, and `id+1` would shatter the chain into fragments there; at
+      // the contiguous gate SFs this IS the (id, id+1) chain the closed
+      // form assumes). Fixture construction over an ids-only frame — far
+      // under PlanGuard's unpartitioned-window bound.
+      val fwd = ids
+        .withColumn("nxt", lead(col("id"), 1).over(
+          org.apache.spark.sql.expressions.Window.orderBy("id")))
+        .where(col("nxt").isNotNull)
+        .select(col("id").as("src"), col("nxt").as("dst"))
       val edges = fwd.unionByName(
         fwd.select(col("dst").as("src"), col("src").as("dst")))
       val seeds = ids.where(col("id") % 10 === 0)

@@ -108,6 +108,14 @@ object PipelineQueries {
       Multimodal.asImageTable(Tables(s, dir, "documents"))
         .map(_.payload.length.toLong).reduce(_ + _)
       ()
+    }),
+    "x_stream_quantile" -> (src => {
+      twoFileStreamFixture(
+        Tables(s, dir, "events")
+          .select(col("ts"), round(col("value") * 100, 0).cast("long")
+            .cast("double").as("v")),
+        dayofmonth(col("ts")) <= 15, src)
+      ()
     }))
 
   /** Run `body` with spark.sql.shuffle.partitions temporarily lowered —
