@@ -2374,7 +2374,9 @@ object PipelineQueries {
         |  + coalesce(max(CASE WHEN t = 'stream' THEN s END), 0) AS score
         |  FROM sc GROUP BY doc_id),
         |lex AS (SELECT doc_id,
-        |  row_number() OVER (ORDER BY score DESC, doc_id) AS r_lex
+        |  row_number() OVER (
+        |    ORDER BY CAST(floor(score * 1000000000) AS BIGINT) DESC, doc_id
+        |  ) AS r_lex
         |  FROM pv QUALIFY r_lex <= 50),
         |tb AS (SELECT doc_id,
         |  CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT) % 64 AS d,
@@ -2404,7 +2406,7 @@ object PipelineQueries {
         |FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin) { (s, dir) =>
       import s.implicits._
       val w50lex = org.apache.spark.sql.expressions.Window
-        .orderBy(col("score").desc, col("doc_id"))
+        .orderBy(col("score_q").desc, col("doc_id"))
       val w50vec = org.apache.spark.sql.expressions.Window
         .orderBy(col("dot").desc, col("doc_id"))
       val docs = Tables(s, dir, "documents")
@@ -2433,7 +2435,12 @@ object PipelineQueries {
           + coalesce(max(when(col("t") === "vector", col("s"))), lit(0.0))
           + coalesce(max(when(col("t") === "stream", col("s"))), lit(0.0)))
           .as("score"))
-      val lexRank = pv.orderBy(col("score").desc, col("doc_id")).limit(50)
+      // rank key is the 1e-9-quantized score: near-equal BM25 scores become
+      // exact ties (broken by doc_id in both engines), so the arm's ranking
+      // no longer rides ln()/division ulp parity with the oracle engine.
+      val lexRank = pv
+        .withColumn("score_q", floor(col("score") * 1e9).cast("long"))
+        .orderBy(col("score_q").desc, col("doc_id")).limit(50)
         .withColumn("r_lex", row_number().over(w50lex))
         .select(col("doc_id"), col("r_lex").cast("long").as("r_lex"))
       // vector arm — unnormalized feature-hash vectors, integer dot: the
