@@ -160,20 +160,39 @@ object Similarity {
       iterations: Int): Array[Array[Double]] = {
     val spark = c.sparkSession
     import spark.implicits._
+    // One corpus pass total: callers hand a SAMPLE of a much larger frame
+    // (semanticNearDup filters ~1% of the corpus), so without this persist
+    // the seed and EVERY Lloyd iteration would re-run the sample filter
+    // over the full parent — 1+iterations corpus scans for a 20k-row fit
+    // set (measured 3.5s of x_semdedup's 14s at the 100x ScaleCheck
+    // corpus; 1.2s with the sample cached).
+    // Spread across the full core count: the sample inherits the parent's
+    // (few, mostly-filtered-empty) partitions, which serializes the
+    // O(sample x nlist x dim) Lloyd kernel onto a handful of threads. A
+    // 10 MB one-time shuffle buys full parallelism on every iteration.
+    val idVecRdd = c.select("vid", "cv").as[(Long, Seq[Double])].rdd
+      .map { case (id, v) => (id, v.toArray) }
+      .repartition(spark.sparkContext.defaultParallelism)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vecRdd = idVecRdd.map(_._2)
+    // Seed from the cached sample (min-vid rows — deterministic, and the
+    // takeOrdered materializes the cache the iterations then reuse).
     var centroids: Array[Array[Double]] =
-      c.orderBy("vid").limit(nlist).select("cv").collect()
-        .map(_.getSeq[Double](0).toArray)
+      idVecRdd.takeOrdered(nlist)(Ordering.by(_._1)).map(_._2)
     require(centroids.nonEmpty,
       s"fitCentroids: corpus has no rows with a non-null vector — cannot seed $nlist centroids")
-    val vecRdd = c.select("cv").as[Seq[Double]].rdd.map(_.toArray)
 
-    for (_ <- 1 to iterations) {
+    try for (_ <- 1 to iterations) {
       val dim = centroids.map(_.length).max
-      val bc = spark.sparkContext.broadcast(centroids)
+      // Centroid norms are iteration constants: broadcast them next to the
+      // codebook so the per-row argmax is a bare dot product.
+      val bc = spark.sparkContext.broadcast(
+        (centroids, graft.functions.VectorOps.inverseNorms(centroids)))
       val (sums, counts) = vecRdd.treeAggregate(
         (Array.ofDim[Double](nlist, dim), new Array[Long](nlist)))(
         seqOp = { case ((s, n), v) =>
-          val cid = graft.functions.VectorOps.nearestCentroidArr(v, bc.value)
+          val (cb, inv) = bc.value
+          val cid = graft.functions.VectorOps.nearestCentroidDotArr(v, cb, inv)
           val row = s(cid)
           var d = 0
           while (d < v.length && d < dim) { row(d) += v(d); d += 1 }
@@ -198,7 +217,7 @@ object Similarity {
         if (counts(i) == 0) centroids(i)
         else sums(i).map(_ / counts(i))
       }
-    }
+    } finally idVecRdd.unpersist(blocking = false)
     centroids
   }
 
