@@ -41,6 +41,15 @@ object Multimodal {
   case class AudioFeatures(doc_id: Long, source: String, ok: Boolean,
       sample_rate: Int, n_frames: Long, duration_ms: Double, rms: Double)
 
+  // ImageIO defaults to a DISK-backed stream cache: every encode/decode
+  // creates and deletes a temp file, which for thumbnail-sized payloads
+  // costs more than the codec itself (MediaDiag: 161 -> 67 us per
+  // render+decode round-trip with the cache off). Media payloads here are
+  // bounded (asImageTable thumbnails, sampled GIF frames), so the
+  // in-memory stream path is strictly better; set once per JVM at first
+  // touch of this object — executors initialize it before any codec call.
+  javax.imageio.ImageIO.setUseCache(false)
+
   // ---- deterministic payload rendering (fixture -> real format bytes) ----
 
   /** Deterministic pixel byte for channel k at linear index i — text bytes
