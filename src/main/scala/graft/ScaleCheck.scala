@@ -45,7 +45,9 @@ object ScaleCheck {
     // content-digest snapshot diff, frontier BFS, and the sketch-in-stream
     // percentiles (its fixture share rides the streaming decomposition)
     "x_hybrid_search", "x_snapshot_diff", "x_bfs_distance",
-    "x_stream_quantile")
+    "x_stream_quantile",
+    // r9 late addition: asymmetric ingest-vs-index ANN (per-side schedule)
+    "x_ann_ingest")
 
   /** Streaming-path members (r6 judge #5): real foreachBatch sinks over the
     * replicated corpus. Caveat on reading their ratios: each query's timed
@@ -92,6 +94,22 @@ object ScaleCheck {
         maxOccupancy = 16, contentSeededSplit = true).count()
       println(s"SCALECHECK pairs x_ann_bipartite planes=$planes tables=$tables n=$n pairs=$pairs")
       ("x_ann_bipartite", pairs)
+    } :+ {
+      // x_ann_ingest's cross-pair count at its geomean schedule: the claim
+      // the query exists to carry is pairs-per-ingest-row bounded by the
+      // cross-pair density sqrt(nl*nr)/2^p — this cell is that number at
+      // each scale.
+      val idx = vecs.where(pmod(col("id"), lit(10)) === 0)
+      val nIdx = idx.count()
+      val planes = Similarity.adaptivePlanesBipartite(n + 20, nIdx,
+        targetOccupancy = 4)
+      val tables = Similarity.tablesForRecall(planes, cosine = 0.97)
+      val l = vecs.select((col("id") + 3000000L).as("lid"), col("v").as("lv"))
+      val r = idx.select(col("id").as("rid"), col("v").as("rv"))
+      val pairs = Similarity.bipartiteCandidates(l, r, planes, tables,
+        maxOccupancy = 16, contentSeededSplit = true).count()
+      println(s"SCALECHECK pairs x_ann_ingest planes=$planes tables=$tables n=$n nIdx=$nIdx pairs=$pairs")
+      ("x_ann_ingest", pairs)
     } :+ {
       // x_embed_dedup's candidate count at its production schedule (r8
       // verdict #2: the suite's most expensive query, now with its pair

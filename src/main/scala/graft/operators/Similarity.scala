@@ -287,6 +287,24 @@ object Similarity {
     math.max(minPlanes, math.min(maxPlanes, p))
   }
 
+  /** Plane count for a BIPARTITE schedule: adaptivePlanes over the
+    * GEOMETRIC MEAN of the side counts. Per-bucket cross-pair volume is
+    * (nl/2^p)(nr/2^p) = (sqrt(nl*nr)/2^p)^2, so the geometric mean is
+    * exactly the side count whose symmetric occupancy matches the
+    * cross-pair density — one rule that degenerates to adaptivePlanes(n)
+    * when the sides are equal. Sizing from the SMALL side alone
+    * underprunes: at the 100x ScaleCheck corpus with |ingest| = 10x
+    * |index|, index-sized (13 planes, 10 tables) ran the x_ann_ingest
+    * join at 11.0s / 11.4 pairs per ingest row vs 8.2s / 10.6 at the
+    * geomean schedule (14, 11); two planes deeper still (18, 15) pays
+    * more in hashing and banded-row volume than the 2.8-pairs/row stream
+    * saves (IngestDiag A/B/D/G).
+    */
+  def adaptivePlanesBipartite(nl: Long, nr: Long, targetOccupancy: Int,
+      minPlanes: Int = 8, maxPlanes: Int = 24): Int =
+    adaptivePlanes(math.round(math.sqrt(nl.toDouble * nr.toDouble)),
+      targetOccupancy, minPlanes, maxPlanes)
+
   /** Table count from the recall CONTRACT instead of r7's planes+1 coupling:
     * a cosine-c pair survives one table with p1 = (1 - acos(c)/pi)^planes
     * (Charikar hyperplane collision), so targetRecall over T OR'd tables

@@ -637,6 +637,62 @@ object PipelineQueries {
         .toDF("n_left", "n_violations")
     },
 
+    // ASYMMETRIC bipartite ANN — the ingest-vs-index regime (r9 round-10
+    // candidate #4): today's full batch (|l| = n + 20) against a curated
+    // index a tenth its size (|r| = n/10, the vec_id % 10 == 0 subset).
+    // The schedule is sized from the GEOMETRIC MEAN of the side counts
+    // (adaptivePlanesBipartite): per-bucket cross-pair volume is
+    // (nl/2^p)(nr/2^p), so sqrt(nl*nr) is the side count whose symmetric
+    // occupancy matches the cross-pair density — the rule degenerates to
+    // the symmetric sizing when the sides are equal. The naive per-side
+    // alternative (planes from the index occupancy alone) was measured
+    // WORSE at 10:1 asymmetry — 11.0s vs 8.2s at the 100x corpus, 11.4 vs
+    // 10.6 pairs/ingest row (IngestDiag; the pair stream, not the
+    // hashing, is what the extra planes buy down). Gates are the
+    // bipartite pair: every ingest twin of an index member must surface
+    // at sim 1.0 (structural under the content-seeded cap), and >=18/20
+    // perturbed copies of index members rank their source top-1.
+    Q("x_ann_ingest",
+      """SELECT CAST(count(*) + 20 AS BIGINT) AS n_ingest,
+        |CAST(count(*) FILTER (WHERE vec_id % 10 = 0) AS BIGINT) AS n_index,
+        |CAST(0 AS BIGINT) AS n_violations FROM embeddings""".stripMargin) { (s, dir) =>
+      val emb = par(Tables(s, dir, "embeddings"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val index = emb.where(pmod(col("vec_id"), lit(10)) === 0)
+      val nIdx = index.count()
+      val n = emb.count()
+      val ingest = emb.select((col("vec_id") + 3000000L).as("vec_id"),
+        col("embedding"))
+      // 20 probes with a real near-neighbor in the index: perturbed copies
+      // of index members (ids 0,10,...,190 exist at every SF)
+      val probes = index.where(col("vec_id") < 200)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          perturb(col("embedding")).as("embedding"))
+      val planes = Similarity.adaptivePlanesBipartite(n + 20, nIdx,
+        targetOccupancy = 4)
+      val tables = Similarity.tablesForRecall(planes, cosine = 0.97)
+      val topk = Similarity.annJoin(ingest.unionByName(probes), index,
+        "vec_id", "embedding", k = 3, numPlanes = planes,
+        numTables = tables, maxOccupancy = 16, contentSeededSplit = true)
+        .localCheckpoint(true)
+      val top1 = topk.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("sim").desc, col("vid"))))
+        .where(col("rn") === 1)
+      val twinOk = top1.where(col("qid") >= 3000000L &&
+        pmod(col("qid") - 3000000L, lit(10)) === 0 &&
+        col("vid") === col("qid") - 3000000L && col("sim") === 1.0).count()
+      val planted = top1.where(col("qid") >= 1000000L && col("qid") < 2000000L &&
+        col("vid") === col("qid") - 1000000L).count()
+      Gate.check(twinOk == nIdx,
+        s"only $twinOk/$nIdx in-index ingest twins found at sim 1.0")
+      Gate.check(planted >= 18,
+        s"only $planted/20 perturbed index-member probes ranked their source top-1")
+      import s.implicits._
+      Seq((n + 20, nIdx, if (twinOk == nIdx && planted >= 18) 0L else 1L))
+        .toDF("n_ingest", "n_index", "n_violations")
+    },
+
     // Multi-probe LSH top-k (Lv et al. VLDB'07): the recall OR-amplification
     // buys with MORE TABLES, multi-probe buys with more lookups into the
     // SAME tables — each query also probes, per table, the cheapest margin

@@ -31,6 +31,25 @@ class LshScheduleSpec extends SparkSpec {
     assert(seq == seq.sorted)
   }
 
+  test("adaptivePlanesBipartite: geomean sizing, degenerates to symmetric") {
+    // equal sides == the symmetric rule, at any n
+    for (n <- Seq(100L, 20000L, 1000000L))
+      assert(Similarity.adaptivePlanesBipartite(n, n, targetOccupancy = 4)
+        == Similarity.adaptivePlanes(n, targetOccupancy = 4))
+    // 10:1 asymmetry sizes between the two per-side schedules
+    val lo = Similarity.adaptivePlanes(20000, targetOccupancy = 4)
+    val hi = Similarity.adaptivePlanes(200000, targetOccupancy = 4)
+    val bp = Similarity.adaptivePlanesBipartite(200000, 20000,
+      targetOccupancy = 4)
+    assert(lo <= bp && bp <= hi, s"$lo <= $bp <= $hi")
+    // sqrt(200020 * 20000) ~ 63k -> 63k/4 buckets -> 16384 -> 14 planes
+    assert(Similarity.adaptivePlanesBipartite(200020, 20000,
+      targetOccupancy = 4) == 14)
+    // monotone in either side
+    assert(Similarity.adaptivePlanesBipartite(1000000, 20000, 4) >=
+      Similarity.adaptivePlanesBipartite(200000, 20000, 4))
+  }
+
   test("tablesForRecall meets the Charikar recall contract") {
     // recall of an OR over T tables: 1 - (1 - p1)^T with
     // p1 = (1 - acos(c)/pi)^planes. Whenever the returned T is inside the
