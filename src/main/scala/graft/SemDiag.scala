@@ -52,7 +52,7 @@ object SemDiag {
       if (n <= 20000) vecs
       else vecs.where(pmod(xxhash64(col("vid")), lit((n + 19999) / 20000)) === 0)
     val centroids = t("fit")(Similarity.fitCoarseCentroids(
-      fitSet, "vid", "cv", nlist, 3))
+      fitSet, "vid", "cv", nlist, 3, cacheSample = n > 20000))
     val centroidLit = typedlit(centroids.map(_.toSeq).toSeq)
     // isolated top-2 assignment pass (ids only — measures the kernel, not
     // a vector-bearing cache write)

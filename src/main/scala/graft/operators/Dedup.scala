@@ -254,7 +254,8 @@ object Dedup {
         if (n <= fitSampleMax) vecs
         else vecs.where(pmod(xxhash64(col("vid")),
           lit((n + fitSampleMax - 1) / fitSampleMax)) === 0)
-      val centroids = Similarity.fitCentroids(fitSet, nlist, iterations)
+      val centroids = Similarity.fitCentroids(fitSet, nlist, iterations,
+        cacheSample = n > fitSampleMax)
       val centroidLit = typedlit(centroids.map(_.toSeq).toSeq)
       // (id, cid) assignment rows — array_distinct because a 1-centroid fit
       // repeats the winner; only ids ride the bucket exchange.

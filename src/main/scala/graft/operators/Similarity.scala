@@ -157,28 +157,37 @@ object Similarity {
     * k-means++-style spreading would cost a pass per seed.)
     */
   private[operators] def fitCentroids(c: DataFrame, nlist: Int,
-      iterations: Int): Array[Array[Double]] = {
+      iterations: Int, cacheSample: Boolean = false): Array[Array[Double]] = {
     val spark = c.sparkSession
     import spark.implicits._
-    // One corpus pass total: callers hand a SAMPLE of a much larger frame
-    // (semanticNearDup filters ~1% of the corpus), so without this persist
-    // the seed and EVERY Lloyd iteration would re-run the sample filter
-    // over the full parent — 1+iterations corpus scans for a 20k-row fit
-    // set (measured 3.5s of x_semdedup's 14s at the 100x ScaleCheck
-    // corpus; 1.2s with the sample cached).
-    // Spread across the full core count: the sample inherits the parent's
-    // (few, mostly-filtered-empty) partitions, which serializes the
-    // O(sample x nlist x dim) Lloyd kernel onto a handful of threads. A
-    // 10 MB one-time shuffle buys full parallelism on every iteration.
-    val idVecRdd = c.select("vid", "cv").as[(Long, Seq[Double])].rdd
-      .map { case (id, v) => (id, v.toArray) }
-      .repartition(spark.sparkContext.defaultParallelism)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val vecRdd = idVecRdd.map(_._2)
-    // Seed from the cached sample (min-vid rows — deterministic, and the
-    // takeOrdered materializes the cache the iterations then reuse).
-    var centroids: Array[Array[Double]] =
-      idVecRdd.takeOrdered(nlist)(Ordering.by(_._1)).map(_._2)
+    // cacheSample: set when `c` is a SAMPLE filter over a much larger
+    // frame (semanticNearDup's ~1% fit subset) — without it the seed and
+    // EVERY Lloyd iteration re-run the filter over the full parent
+    // (1+iterations corpus scans; measured 3.5s of x_semdedup's 14s at
+    // the 100x ScaleCheck corpus). The sample is shuffled across the full
+    // core count (the filtered RDD inherits the parent's mostly-empty
+    // partitioning, serializing the Lloyd kernel onto a few threads) and
+    // persisted once; the seed's takeOrdered doubles as the cache
+    // materialization. When `c` is the full, typically already-cached
+    // corpus, the flag stays OFF: the extra shuffle + second cache copy
+    // cost more than the rescans they save (regenerating the five
+    // fit-path scale rows with it unconditionally ON added 0.3-0.9s to
+    // every sf0.1 base cell).
+    val (vecRdd, seedRows, cleanup) =
+      if (cacheSample) {
+        val idVec = c.select("vid", "cv").as[(Long, Seq[Double])].rdd
+          .map { case (id, v) => (id, v.toArray) }
+          .repartition(spark.sparkContext.defaultParallelism)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (idVec.map(_._2),
+          idVec.takeOrdered(nlist)(Ordering.by(_._1)).map(_._2),
+          () => { idVec.unpersist(blocking = false); () })
+      } else
+        (c.select("cv").as[Seq[Double]].rdd.map(_.toArray),
+          c.orderBy("vid").limit(nlist).select("cv").collect()
+            .map(_.getSeq[Double](0).toArray),
+          () => ())
+    var centroids: Array[Array[Double]] = seedRows
     require(centroids.nonEmpty,
       s"fitCentroids: corpus has no rows with a non-null vector — cannot seed $nlist centroids")
 
@@ -217,7 +226,7 @@ object Similarity {
         if (counts(i) == 0) centroids(i)
         else sums(i).map(_ / counts(i))
       }
-    } finally idVecRdd.unpersist(blocking = false)
+    } finally cleanup()
     centroids
   }
 
@@ -230,12 +239,13 @@ object Similarity {
     * of an attested search.
     */
   def fitCoarseCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, iterations: Int): Array[Array[Double]] = {
+      nlist: Int, iterations: Int,
+      cacheSample: Boolean = false): Array[Array[Double]] = {
     requireIntegralId(corpus, idCol)
     val c = corpus.select(col(idCol).cast("long").as("vid"),
       col(vecCol).cast("array<double>").as("cv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try fitCentroids(c, nlist, iterations) finally c.unpersist()
+    try fitCentroids(c, nlist, iterations, cacheSample) finally c.unpersist()
   }
 
   /** Rank the coarse centroids per query and keep the nprobe nearest lists:
