@@ -34,7 +34,13 @@ object SemDiag {
       r
     }
 
+    // Mirror the query's par() spread: the scaled corpora are many small
+    // files that FileSourceScan packs into 1-2 splits (51 MB at 100x vs
+    // the 128 MB maxPartitionBytes) — without this repartition every
+    // downstream narrow stage runs on 2 threads and the diag misattributes
+    // ~8x of schedule loss to the assign kernel.
     val emb = Tables(spark, dir, "embeddings")
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
     val injected = emb.where(col("vec_id") < 20)
       .select((col("vec_id") + 1000000L).as("vec_id"),

