@@ -98,8 +98,78 @@ object VectorOps {
     * projections; weights derived from XXH64(plane*65536+dim) — stateless,
     * identical on every executor.
     */
-  def hyperplaneSig(vec: ArrayData, numPlanes: Int): Long =
-    sigForTable(vec, numPlanes, 0L)
+  def hyperplaneSig(vec: ArrayData, numPlanes: Int): Long = {
+    val rows = planeWeights(numPlanes, 1, vec.numElements())
+    if (rows != null) sigForTableCached(vec, numPlanes, 0, rows)
+    else sigForTable(vec, numPlanes, 0L)
+  }
+
+  /** Materialized +-1 weight rows for the XXH64-derived hyperplane family:
+    * row (table, plane) holds w(d) = sign of XXH64.hashLong(p*65536+d, t)
+    * for d < dim — EXACTLY the per-element derivation sigForTable used to
+    * run inline, which cost planes x tables x dim hashLong calls PER ROW
+    * (x_dedup_embedding's 25-table/18-plane schedule: ~29k hashes per
+    * vector, an order of magnitude over the projection's own mult-adds).
+    * Keyed by (planes, tables, dim); a handful of configs exist per JVM,
+    * and the cap routes pathological config churn to the legacy inline
+    * path rather than growing the map unboundedly. Weights are seed-pure,
+    * so cache hits are bit-identical to the inline derivation on every
+    * executor.
+    */
+  private val planeWeightCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Array[Double]]]()
+  private final val PlaneWeightCacheCap = 64
+
+  private def planeWeights(numPlanes: Int, numTables: Int,
+      dim: Int): Array[Array[Double]] = {
+    val key = (numPlanes.toLong * 131071 + numTables) * 1048573 + dim
+    val cached = planeWeightCache.get(key)
+    if (cached != null) return cached
+    if (planeWeightCache.size >= PlaneWeightCacheCap) return null
+    val w = new Array[Array[Double]](numTables * numPlanes)
+    var t = 0
+    while (t < numTables) {
+      var p = 0
+      while (p < numPlanes) {
+        val row = new Array[Double](dim)
+        var d = 0
+        while (d < dim) {
+          row(d) =
+            if ((XXH64.hashLong(p.toLong * 65536 + d, t.toLong) & 8L) == 8L) 1.0
+            else -1.0
+          d += 1
+        }
+        w(t * numPlanes + p) = row
+        p += 1
+      }
+      t += 1
+    }
+    planeWeightCache.putIfAbsent(key, w)
+    w
+  }
+
+  /** One table's signature from cached weight rows (rows = the full
+    * (tables x planes) matrix; table selects its stripe). Bit-identical
+    * to the inline-hash path: same weights, same ascending-d accumulation.
+    */
+  private def sigForTableCached(vec: ArrayData, numPlanes: Int, table: Int,
+      rows: Array[Array[Double]]): Long = {
+    val n = vec.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < numPlanes) {
+      val w = rows(table * numPlanes + p)
+      var proj = 0.0
+      var d = 0
+      while (d < n) {
+        if (!vec.isNullAt(d)) proj += vec.getDouble(d) * w(d)
+        d += 1
+      }
+      if (proj > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
 
   /** One table's signature: sign bits of numPlanes projections whose
     * +-1 weights come from XXH64(plane*65536+dim, table). Shared by the
@@ -156,9 +226,12 @@ object VectorOps {
     */
   def hyperplaneSigs(vec: ArrayData, numPlanes: Int, numTables: Int): ArrayData = {
     val sigs = new Array[Long](numTables)
+    val rows = planeWeights(numPlanes, numTables, vec.numElements())
     var t = 0
     while (t < numTables) {
-      sigs(t) = sigForTable(vec, numPlanes, t.toLong)
+      sigs(t) =
+        if (rows != null) sigForTableCached(vec, numPlanes, t, rows)
+        else sigForTable(vec, numPlanes, t.toLong)
       t += 1
     }
     new GenericArrayData(sigs)
@@ -191,6 +264,7 @@ object VectorOps {
     val out = new Array[Long](numTables * nProbes)
     val n = vec.numElements()
     val proj = new Array[Double](numPlanes)
+    val rows = planeWeights(numPlanes, numTables, n)
     var t = 0
     while (t < numTables) {
       // projections + signature for this table (same weights as sigForTable)
@@ -199,7 +273,13 @@ object VectorOps {
       while (p < numPlanes) {
         var pr = 0.0
         var d = 0
-        while (d < n) {
+        if (rows != null) {
+          val w = rows(t * numPlanes + p)
+          while (d < n) {
+            if (!vec.isNullAt(d)) pr += vec.getDouble(d) * w(d)
+            d += 1
+          }
+        } else while (d < n) {
           if (!vec.isNullAt(d)) {
             val w = if ((XXH64.hashLong(p.toLong * 65536 + d, t.toLong) & 8L) == 8L) 1.0 else -1.0
             pr += vec.getDouble(d) * w
@@ -862,15 +942,36 @@ object VectorOps {
     * Pairwise cosines/distances are preserved within the JL distortion
     * bound, which the x_dim_reduce query measures in-row.
     */
+  private val jlWeightCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Array[Double]]]()
+
   def project(vec: ArrayData, outDim: Int): ArrayData = {
     val n = vec.numElements()
     val out = new Array[Double](outDim)
     val scale = 1.0 / math.sqrt(outDim)
+    // same materialize-once treatment as planeWeights (seed 7777 family)
+    val key = outDim.toLong * 1048573 + n
+    var rows = jlWeightCache.get(key)
+    if (rows == null && jlWeightCache.size < PlaneWeightCacheCap) {
+      rows = Array.tabulate(outDim) { j =>
+        Array.tabulate(n) { d =>
+          if ((XXH64.hashLong(j.toLong * 65536 + d, 7777L) & 8L) == 8L) 1.0
+          else -1.0
+        }
+      }
+      jlWeightCache.putIfAbsent(key, rows)
+    }
     var j = 0
     while (j < outDim) {
       var acc = 0.0
       var d = 0
-      while (d < n) {
+      if (rows != null) {
+        val w = rows(j)
+        while (d < n) {
+          if (!vec.isNullAt(d)) acc += vec.getDouble(d) * w(d)
+          d += 1
+        }
+      } else while (d < n) {
         if (!vec.isNullAt(d)) {
           val w = if ((XXH64.hashLong(j.toLong * 65536 + d, 7777L) & 8L) == 8L) 1.0 else -1.0
           acc += vec.getDouble(d) * w
