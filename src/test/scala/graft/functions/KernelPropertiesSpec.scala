@@ -105,6 +105,47 @@ class KernelPropertiesSpec extends SparkSpec {
     assert((1 until 6).exists(t => sigs.exists(r => r(t) != r(0))))
   }
 
+  test("cached plane weights reproduce the inline XXH64 derivation bit-for-bit") {
+    // VectorOps.planeWeights materializes the +-1 weight matrix once per
+    // (planes, tables, dim) config; every signature, on every executor, in
+    // every round must still equal the seed-pure inline formula — an
+    // independent re-derivation here, including null-element vectors
+    // (skipped dims) and a dim the cache has not seen before.
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def inlineSig(v: Array[java.lang.Double], planes: Int, t: Long): Long = {
+      var sig = 0L
+      var p = 0
+      while (p < planes) {
+        var proj = 0.0
+        var d = 0
+        while (d < v.length) {
+          if (v(d) != null) {
+            val w = if ((XXH64.hashLong(p.toLong * 65536 + d, t) & 8L) == 8L) 1.0
+              else -1.0
+            proj += v(d) * w
+          }
+          d += 1
+        }
+        if (proj > 0) sig |= (1L << p)
+        p += 1
+      }
+      sig
+    }
+    for ((planes, tables, dim) <- Seq((12, 6, 8), (18, 25, 64), (9, 3, 17));
+         q <- 0 until 20) {
+      val v: Array[java.lang.Double] = Array.tabulate(dim) { d =>
+        if (q == 7 && d % 5 == 3) null // null elements skip their dim
+        else java.lang.Double.valueOf(math.sin(q * 31 + d * 11 + planes))
+      }
+      val got = VectorOps.hyperplaneSigs(
+        new GenericArrayData(v.asInstanceOf[Array[Any]]), planes, tables)
+      for (t <- 0 until tables)
+        assert(got.getLong(t) == inlineSig(v, planes, t.toLong),
+          s"($planes,$tables,$dim) q=$q t=$t")
+    }
+  }
+
   test("nearest2 pruned path == brute (sim desc, index asc) over random codebooks") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     def arr(xs: Array[Double]) = new GenericArrayData(xs)

@@ -97,6 +97,47 @@ class SemanticDedupSpec extends SparkSpec {
       s"tie order broken: $gotDup want $rankedDup")
   }
 
+  test("nearest2CentroidsBatch matches the per-row path exactly, any batch fill") {
+    // the batched kernel (broadcast-codebook assignment path) must agree
+    // with nearest2Centroids on every row — including zero-norm queries,
+    // zero-norm centroids, duplicate centroids (ties -> index order), and
+    // partial batch fills — since the operator's recall gates and the
+    // committed scale rows both assume assignment parity
+    def prng(seed: Int): Double = {
+      val x = seed * 2654435761L
+      ((x % 1000).toDouble / 500.0) - 1.0
+    }
+    val cents = Array.tabulate(300, 12) { (i, j) =>
+      if (i == 31) 0.0
+      else if (i == 170) prng(9 * 12 + j + 1) // duplicate of row 9
+      else prng(i * 12 + j + 1)
+    }
+    val centsAd = mat(cents: _*)
+    val norms = VectorOps.l2Norms(cents)
+    val queries = Array.tabulate(37) { q => // 37: exercises a partial tail batch
+      if (q == 11) Array.fill(12)(0.0) // zero-norm query
+      else if (q == 23) cents(9).clone() // lands on the duplicated direction
+      else Array.tabulate(12)(j => prng(9000 + q * 12 + j))
+    }
+    for (batchSize <- Seq(1, 4, 16)) {
+      val best = new Array[Int](batchSize)
+      val second = new Array[Int](batchSize)
+      var i = 0
+      while (i < queries.length) {
+        val m = math.min(batchSize, queries.length - i)
+        val block = java.util.Arrays.copyOfRange(queries, i, i + m)
+        VectorOps.nearest2CentroidsBatch(block, m, cents, norms, best, second)
+        for (b <- 0 until m) {
+          val want = VectorOps.nearest2Centroids(
+            arr(queries(i + b).toIndexedSeq: _*), centsAd).toIntArray().toSeq
+          assert(Seq(best(b), second(b)) === want,
+            s"batch=$batchSize row ${i + b}: got ${Seq(best(b), second(b))} want $want")
+        }
+        i += m
+      }
+    }
+  }
+
   test("semanticNearDup recovers a boundary-straddling pair via top-2 assignment") {
     import spark.implicits._
     // Two tight clusters around e1 and e2 plus one near-dup pair placed ON
