@@ -84,6 +84,16 @@ object KnnDiag {
           .withColumn("sim", round(graft_cosine(col("v1"), col("v2")), 4))
           .groupBy().agg(sum("sim")).collect()
       }
+      // stage 3b: same join with the build side hash-hinted (no sort of
+      // the pair stream)
+      for (rep <- 1 to 2) time(s"score_join_hash rep$rep") {
+        pairs.join(vecs.select(col("id").as("id1"), col("v").as("v1"))
+            .hint("shuffle_hash"), "id1")
+          .join(vecs.select(col("id").as("id2"), col("v").as("v2"))
+            .hint("shuffle_hash"), "id2")
+          .withColumn("sim", round(graft_cosine(col("v1"), col("v2")), 4))
+          .groupBy().agg(sum("sim")).collect()
+      }
       pairs.unpersist()
       // full operators for reference, at each one's own adaptive schedule
       time("full_knnJoin") {

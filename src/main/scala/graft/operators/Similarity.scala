@@ -426,9 +426,12 @@ object Similarity {
       col(vecCol).cast("array<double>").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // hash-hinted build side: see Dedup.minhashPairs' verify join-back
       val scored = lshCandidatePairs(vecs, numPlanes, numTables, maxOccupancy)
-        .join(vecs.select(col("id").as("id1"), col("v").as("v1")), "id1")
-        .join(vecs.select(col("id").as("id2"), col("v").as("v2")), "id2")
+        .join(vecs.select(col("id").as("id1"), col("v").as("v1"))
+          .hint("shuffle_hash"), "id1")
+        .join(vecs.select(col("id").as("id2"), col("v").as("v2"))
+          .hint("shuffle_hash"), "id2")
         .withColumn("sim", round(graft_cosine(col("v1"), col("v2")), 4))
         .select("id1", "id2", "sim")
       // Each undirected pair feeds BOTH endpoints' heaps via one inline
@@ -470,9 +473,10 @@ object Similarity {
     try {
       val candidates = bipartiteCandidates(l, r, numPlanes, numTables,
         maxOccupancy, contentSeededSplit)
+      // hash-hinted build sides: see Dedup.minhashPairs' verify join-back
       val scored = candidates
-        .join(l, "lid")
-        .join(r, "rid")
+        .join(l.hint("shuffle_hash"), "lid")
+        .join(r.hint("shuffle_hash"), "rid")
         .withColumn("sim", round(graft_cosine(col("lv"), col("rv")), 4))
         .select(col("lid").as("qid"), col("rid").as("vid"), col("sim"))
       topKPerQuery(scored, k).localCheckpoint(true)
