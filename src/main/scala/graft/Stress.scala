@@ -52,9 +52,26 @@ object Stress {
       .repartition(64).cache()
     println(s"VECS=${vecs.count()}")
 
-    time(s"embeddingNearDup over $nVecs vecs (12 planes)") {
+    // the production sizing (x_dedup_embedding's): planes from occupancy-2,
+    // tables from the recall contract — a FIXED 12-plane schedule at 1M
+    // vectors leaves occupancy ~244 and a cap-bounded ~128M-pair stream
+    // (measured 157s; adaptive: the pair stream stays ~linear)
+    time(s"embeddingNearDup over $nVecs vecs (adaptive schedule)") {
+      val planes = operators.Similarity.adaptivePlanes(nVecs, targetOccupancy = 2)
+      val tables = operators.Similarity.tablesForRecall(planes, cosine = 0.95)
       println("EMB_DUPS=" + operators.Dedup.embeddingNearDup(
-        vecs, "vec_id", "embedding", threshold = 0.95, numPlanes = 12).count())
+        vecs, "vec_id", "embedding", threshold = 0.95, numPlanes = planes,
+        numTables = tables).count())
+    }
+    // the broadcast-codebook batched assignment + cached sampled fit at a
+    // scale the ScaleCheck corpora never reach (nlist caps at 4096, so
+    // past ~200k vectors the per-vector assignment cost is the flat
+    // 4096-codebook batch kernel — this row is the evidence)
+    time(s"semanticNearDup over $nVecs vecs (nlist capped)") {
+      val nlist = math.max(16L, math.min(4096L, nVecs / 48L)).toInt
+      println("SEM_DUPS=" + operators.Dedup.semanticNearDup(
+        vecs, "vec_id", "embedding", threshold = 0.99, nlist = nlist,
+        iterations = 3, maxOccupancy = 384).count())
     }
     time(s"bruteForceTopK 10 queries x $nVecs corpus") {
       println("TOPK=" + operators.Similarity.bruteForceTopK(
