@@ -67,23 +67,55 @@ object CorpusQueries {
       """WITH toks AS (SELECT doc_id,
         |  list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
         |  FROM documents),
+        |th AS (SELECT doc_id, list_transform(ts, x ->
+        |  CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)) AS h
+        |  FROM toks WHERE len(ts) >= 8),
+        |lanes AS (SELECT doc_id,
+        |  list_transform(h, x -> x // 1073741824) AS t1,
+        |  list_transform(h, x -> x % 1073741824) AS t2 FROM th),
         |grams AS (SELECT doc_id,
-        |  CAST(concat('0x', substr(md5(array_to_string(ts[i:i+7], ' ')), 1, 15))
-        |    AS BIGINT) AS g
-        |  FROM toks, UNNEST(range(1, len(ts) - 6)) AS u(i)
-        |  WHERE len(ts) >= 8),
+        |  ((t1[i]*31 + t1[i+1]*37 + t1[i+2]*41 + t1[i+3]*43 + t1[i+4]*47
+        |    + t1[i+5]*53 + t1[i+6]*59 + t1[i+7]*61) % 2147483647) * 2147483648
+        |  + ((t2[i]*31 + t2[i+1]*37 + t2[i+2]*41 + t2[i+3]*43 + t2[i+4]*47
+        |    + t2[i+5]*53 + t2[i+6]*59 + t2[i+7]*61) % 2147483647) AS g
+        |  FROM lanes, UNNEST(range(1, len(t1) - 6)) AS u(i)),
         |dup AS (SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY g
         |  HAVING count(DISTINCT doc_id) > 1)
         |SELECT count(*) AS n_dup_spans,
         |  CAST(coalesce(sum(nd), 0) AS BIGINT) AS n_span_docs FROM dup""".stripMargin) { (s, dir) =>
+      // Fingerprint = ONE md5 per TOKEN (60 bits, split into two 30-bit
+      // halves), then an 8-term integer polynomial per lane mod the
+      // Mersenne prime 2^31-1, lanes packed into a 62-bit key. The
+      // previous shape re-concatenated each 8-gram and md5'd the ~50-byte
+      // string — SpanDiag at the 100x corpus measured the gram stream at
+      // 7.4s with md5 and 6.5s even with xxhash64 (the STRING BUILDING,
+      // not the digest, was the cost); per-token hash + polynomial runs
+      // the same stream in 2.9s. All arithmetic is overflow-safe BIGINT
+      // (terms < 2^36, lane sums < 2^39, packed key < 2^62) and integer-
+      // exact in both engines: Spark pmod == DuckDB % on these
+      // non-negative operands, Spark `div` == DuckDB `//`, and Spark's
+      // 0-based t1[i-1] lines up with DuckDB's 1-based t1[i]. The 62-bit
+      // space keeps collision honesty (~46M grams at 100x => ~1e-4
+      // expected collisions; a 31-bit single lane would produce ~250k
+      // false dup spans).
       val toks = filter(split(lower(col("text")), " "), t => t =!= "")
       Tables(s, dir, "documents")
         .select(col("doc_id"), toks.as("ts"))
         .where(size(col("ts")) >= 8)
+        .select(col("doc_id"), expr(
+          "transform(ts, x -> CAST(conv(substr(md5(x), 1, 15), 16, 10) AS BIGINT))")
+          .as("h"))
+        .select(col("doc_id"),
+          expr("transform(h, x -> x div 1073741824L)").as("t1"),
+          expr("transform(h, x -> x % 1073741824L)").as("t2"))
         .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(ts) - 7), i -> " +
-            "CAST(conv(substr(md5(concat_ws(' ', slice(ts, i, 8))), 1, 15), 16, 10) AS BIGINT))"))
-          .as("g"))
+          """transform(sequence(1, size(t1) - 7), i ->
+            |  pmod(t1[i-1]*31 + t1[i]*37 + t1[i+1]*41 + t1[i+2]*43
+            |    + t1[i+3]*47 + t1[i+4]*53 + t1[i+5]*59 + t1[i+6]*61,
+            |    2147483647L) * 2147483648L
+            |  + pmod(t2[i-1]*31 + t2[i]*37 + t2[i+1]*41 + t2[i+2]*43
+            |    + t2[i+3]*47 + t2[i+4]*53 + t2[i+5]*59 + t2[i+6]*61,
+            |    2147483647L))""".stripMargin)).as("g"))
         .groupBy("g").agg(countDistinct(col("doc_id")).as("nd"))
         .where(col("nd") > 1)
         .agg(count(lit(1)).as("n_dup_spans"),
