@@ -51,31 +51,42 @@ object Dedup {
     // Band keys only — the shingle sets do NOT ride through the explode and
     // the bucket join (numBands-fold duplication of the widest column is the
     // thing that kills this at scale). Signature via the native kernel.
+    // Persist the banded rows: the self-join's two sides are alias-renamed
+    // copies of this subtree, and exchange reuse does NOT unify them — the
+    // 64-hash signature pass (the numHashes x shingles kernel) would run
+    // TWICE (MinhashDiag at the 100x corpus: 9.1s for the join stage vs
+    // 3.3s for one banding pass). The candidate set is materialized
+    // eagerly (it is banding SURVIVORS — tiny) so the banded cache can be
+    // released before the verify joins run.
     val banded = sh
       .select(col("id"),
         explode(minhashBands(
           graft.functions.GraftFunctions.graft_minhash(col("s"), numHashes),
           numBands, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.bhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col("band"), col("bhash"), col("id").as("id1"))
     val b = banded.select(col("band"), col("bhash"), col("id").as("id2"))
     val candidates = a.join(b, Seq("band", "bhash"))
       .where(col("id1") < col("id2"))
       .select("id1", "id2")
       .dropDuplicates("id1", "id2")
-    // Verify candidates on the true shingle sets, joined back by id. The
-    // corpus side is HASH-hinted in every verify join-back: the pair
-    // stream is tens of times the corpus (13.8M pairs vs 200k rows at the
-    // 100x ScaleCheck corpus), and sort-merge would sort that stream
-    // twice just to probe a corpus-sized build side — KnnDiag measured
-    // the hint at 8.8s -> 3.4s on the knn score join. The build side is
-    // the per-partition corpus slice, which the surrounding persist
-    // already requires to fit executor memory.
+      .localCheckpoint(true)
+    banded.unpersist(blocking = false)
+    // Verify candidates on the true shingle sets, joined back by id —
+    // UNHINTED, unlike the vector-op verifies (knnJoin/annJoin/
+    // embeddingNearDup, where the candidate stream is structurally
+    // occupancy x tables x corpus and the corpus side carries a
+    // shuffle_hash hint). Here candidates are banding SURVIVORS — actual
+    // near-dups, typically orders of magnitude fewer than the corpus
+    // (25.6k pairs vs 500k docs at the 100x ScaleCheck corpus) — and the
+    // best plan is AQE's runtime broadcast of the candidate side, which
+    // streams the fat shingle table without shuffling it; a static hash
+    // hint would force that 1 GB exchange (measured +0.4s on the minhash
+    // row when this briefly carried one).
     val result = candidates
-      .join(sh.select(col("id").as("id1"), col("s").as("s1"))
-        .hint("shuffle_hash"), "id1")
-      .join(sh.select(col("id").as("id2"), col("s").as("s2"))
-        .hint("shuffle_hash"), "id2")
+      .join(sh.select(col("id").as("id1"), col("s").as("s1")), "id1")
+      .join(sh.select(col("id").as("id2"), col("s").as("s2")), "id2")
       .withColumn("jaccard",
         size(array_intersect(col("s1"), col("s2"))).cast("double") /
           size(array_union(col("s1"), col("s2"))).cast("double"))
@@ -165,11 +176,11 @@ object Dedup {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val sh = docs.select(col(idCol).as("__id"),
       graft.functions.GraftFunctions.graft_shingles(tokens(col(textCol)), shingleK).as("__s"))
+    // unhinted: caller-provided pair lists are usually verify-sized — let
+    // AQE pick broadcast at runtime (see minhashPairs' verify join-back)
     pairs
-      .join(sh.withColumnRenamed("__id", "id1").withColumnRenamed("__s", "s1")
-        .hint("shuffle_hash"), "id1")
-      .join(sh.withColumnRenamed("__id", "id2").withColumnRenamed("__s", "s2")
-        .hint("shuffle_hash"), "id2")
+      .join(sh.withColumnRenamed("__id", "id1").withColumnRenamed("__s", "s1"), "id1")
+      .join(sh.withColumnRenamed("__id", "id2").withColumnRenamed("__s", "s2"), "id2")
       .withColumn("jaccard",
         size(array_intersect(col("s1"), col("s2"))).cast("double") /
           size(array_union(col("s1"), col("s2"))).cast("double"))
