@@ -210,8 +210,8 @@ object Dedup {
     // maxOccupancy splits skew-tail buckets by a per-table secondary hash —
     // for a VERIFIER the cohabitant crowd is pure waste (recall comes from
     // the signature), so the worst-case bound costs essentially no recall.
-    val candidates = Similarity.lshCandidatePairs(vecs, numPlanes, numTables,
-      maxOccupancy, contentSeededSplit)
+    val (candidates, releaseBanded) = Similarity.lshCandidatePairsManaged(
+      vecs, numPlanes, numTables, maxOccupancy, contentSeededSplit)
     val result = candidates
       .join(vecs.select(col("id").as("id1"), col("v").as("v1"))
         .hint("shuffle_hash"), "id1")
@@ -221,6 +221,7 @@ object Dedup {
       .where(col("cosine") >= threshold)
       .select("id1", "id2", "cosine")
     val out = result.localCheckpoint(true)
+    releaseBanded()
     vecs.unpersist()
     out
   }

@@ -340,7 +340,22 @@ object Similarity {
 
   private[operators] def lshCandidatePairs(vecs: DataFrame, numPlanes: Int,
       numTables: Int, maxOccupancy: Int = 0,
-      contentSeededSplit: Boolean = false): DataFrame = {
+      contentSeededSplit: Boolean = false): DataFrame =
+    lshCandidatePairsManaged(vecs, numPlanes, numTables, maxOccupancy,
+      contentSeededSplit)._1
+
+  /** lshCandidatePairs plus a release handle for its banded cache: the
+    * banded subtree feeds the occupancy aggregate AND both self-join
+    * sides, which exchange reuse does not unify (alias-renamed copies) —
+    * without the persist the signature pass runs up to three times.
+    * Callers that materialize their result eagerly (knnJoin /
+    * embeddingNearDup end in localCheckpoint(true)) invoke the handle
+    * right after; the plain wrapper above leaves the cache to LRU
+    * eviction, which is correct but unclean for long sessions.
+    */
+  private[operators] def lshCandidatePairsManaged(vecs: DataFrame,
+      numPlanes: Int, numTables: Int, maxOccupancy: Int = 0,
+      contentSeededSplit: Boolean = false): (DataFrame, () => Unit) = {
     import graft.functions.GraftFunctions.graft_hyperplanes
     // Occupancy-split seed: by default the row id (pairs split apart in
     // one table recollide in the others — fine for probabilistic recall
@@ -357,6 +372,7 @@ object Similarity {
     val banded0 = keyed.select(col("id"), col("__ck"),
       posexplode(graft_hyperplanes(col("v"), numPlanes, numTables))
         .as(Seq("t", "bucket")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Skew guard: adaptivePlanes bounds the EXPECTED occupancy, but real
     // embedding corpora cluster — one hot orthant can hold a bucket whose
     // occupancy^2 pair work dwarfs the rest of the table. Buckets over
@@ -382,10 +398,11 @@ object Similarity {
       }
     val a = banded.select(col("t"), col("bucket"), col("sub"), col("id").as("id1"))
     val b = banded.select(col("t"), col("bucket"), col("sub"), col("id").as("id2"))
-    a.join(b, Seq("t", "bucket", "sub"))
+    val pairs = a.join(b, Seq("t", "bucket", "sub"))
       .where(col("id1") < col("id2"))
       .select("id1", "id2")
       .dropDuplicates("id1", "id2")
+    (pairs, () => { banded0.unpersist(blocking = false); () })
   }
 
   /** k-NN self-join: the top-k cosine neighbors for EVERY corpus row — the
@@ -426,8 +443,11 @@ object Similarity {
       col(vecCol).cast("array<double>").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // hash-hinted build side: see Dedup.minhashPairs' verify join-back
-      val scored = lshCandidatePairs(vecs, numPlanes, numTables, maxOccupancy)
+      // hash-hinted build side: the candidate stream is structurally
+      // occupancy x tables x corpus — see the Dedup scaladoc contrast
+      val (candidates, releaseBanded) = lshCandidatePairsManaged(
+        vecs, numPlanes, numTables, maxOccupancy)
+      val scored = candidates
         .join(vecs.select(col("id").as("id1"), col("v").as("v1"))
           .hint("shuffle_hash"), "id1")
         .join(vecs.select(col("id").as("id2"), col("v").as("v2"))
@@ -442,7 +462,9 @@ object Similarity {
         struct(col("id1").as("qid"), col("id2").as("vid"), col("sim")),
         struct(col("id2").as("qid"), col("id1").as("vid"), col("sim")))).as("e"))
         .select(col("e.qid").as("qid"), col("e.vid").as("vid"), col("e.sim").as("sim"))
-      topKPerQuery(sym, k).localCheckpoint(true)
+      val out = topKPerQuery(sym, k).localCheckpoint(true)
+      releaseBanded()
+      out
     } finally vecs.unpersist()
   }
 
@@ -471,15 +493,17 @@ object Similarity {
       col(vecCol).cast("array<double>").as("rv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val candidates = bipartiteCandidates(l, r, numPlanes, numTables,
-        maxOccupancy, contentSeededSplit)
+      val (candidates, releaseBanded) = bipartiteCandidatesManaged(l, r,
+        numPlanes, numTables, maxOccupancy, contentSeededSplit)
       // hash-hinted build sides: see Dedup.minhashPairs' verify join-back
       val scored = candidates
         .join(l.hint("shuffle_hash"), "lid")
         .join(r.hint("shuffle_hash"), "rid")
         .withColumn("sim", round(graft_cosine(col("lv"), col("rv")), 4))
         .select(col("lid").as("qid"), col("rid").as("vid"), col("sim"))
-      topKPerQuery(scored, k).localCheckpoint(true)
+      val out = topKPerQuery(scored, k).localCheckpoint(true)
+      releaseBanded()
+      out
     } finally { l.unpersist(); r.unpersist() }
   }
 
@@ -490,7 +514,18 @@ object Similarity {
     */
   private[graft] def bipartiteCandidates(l: DataFrame, r: DataFrame,
       numPlanes: Int, numTables: Int, maxOccupancy: Int,
-      contentSeededSplit: Boolean = false): DataFrame = {
+      contentSeededSplit: Boolean = false): DataFrame =
+    bipartiteCandidatesManaged(l, r, numPlanes, numTables, maxOccupancy,
+      contentSeededSplit)._1
+
+  /** bipartiteCandidates plus a release handle for the two banded caches —
+    * same multi-consumption as lshCandidatePairsManaged (the combined
+    * occupancy aggregate plus each side's join input re-evaluate the
+    * signature pass without the persist).
+    */
+  private[operators] def bipartiteCandidatesManaged(l: DataFrame,
+      r: DataFrame, numPlanes: Int, numTables: Int, maxOccupancy: Int,
+      contentSeededSplit: Boolean = false): (DataFrame, () => Unit) = {
     import graft.functions.GraftFunctions.graft_hyperplanes
     // contentSeededSplit: the occupancy sub-hash is seeded by the VECTOR
     // hash, not the row id — a cross-side pair of bit-identical vectors
@@ -506,7 +541,9 @@ object Similarity {
         posexplode(graft_hyperplanes(col(vecName), numPlanes, numTables))
           .as(Seq("t", "bucket")))
     val lb0 = banded(l, "lid", "lv")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rb0 = banded(r, "rid", "rv")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (lb, rb) =
       if (maxOccupancy <= 0) (lb0.withColumn("sub", lit(0L)),
         rb0.withColumn("sub", lit(0L)))
@@ -522,11 +559,17 @@ object Similarity {
             .drop("occ")
         (split(lb0), split(rb0))
       }
-    lb.select(col("t"), col("bucket"), col("sub"), col("id").as("lid"))
+    val pairs = lb
+      .select(col("t"), col("bucket"), col("sub"), col("id").as("lid"))
       .join(rb.select(col("t"), col("bucket"), col("sub"), col("id").as("rid")),
         Seq("t", "bucket", "sub"))
       .select("lid", "rid")
       .dropDuplicates("lid", "rid")
+    (pairs, () => {
+      lb0.unpersist(blocking = false)
+      rb0.unpersist(blocking = false)
+      ()
+    })
   }
 
   /** Scalar int8 quantization of an array<double> vector: per-vector
