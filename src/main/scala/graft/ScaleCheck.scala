@@ -47,7 +47,11 @@ object ScaleCheck {
     "x_hybrid_search", "x_snapshot_diff", "x_bfs_distance",
     "x_stream_quantile",
     // r9 late addition: asymmetric ingest-vs-index ANN (per-side schedule)
-    "x_ann_ingest")
+    "x_ann_ingest",
+    // r9 final addition: exact prefix-filtered set-similarity join — the
+    // token-replicated corpus keeps copies' shingle spaces disjoint, so
+    // dfs stay constant and the curve isolates the prefix-join machinery
+    "x_jaccard_join")
 
   /** Streaming-path members (r6 judge #5): real foreachBatch sinks over the
     * replicated corpus. Caveat on reading their ratios: each query's timed
@@ -141,6 +145,21 @@ object ScaleCheck {
         maxOccupancy = 384, refineThreshold = 0.99).count()
       println(s"SCALECHECK pairs x_semdedup nlist=$nlist n=$n pairs=$pairs")
       ("x_semdedup", pairs)
+    } :+ {
+      // x_jaccard_join's candidate count after the prefix + positional
+      // filters (the exact algorithm has no recall knob — this cell is the
+      // quantity its verify join's cost rides on).
+      val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+      val injected = docs.where(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" graftdup")).as("text"))
+      graft.functions.GraftFunctions.register(spark)
+      val sh = docs.unionByName(injected).select(col("doc_id").as("id"),
+        graft.functions.GraftFunctions.graft_shingles(
+          graft.functions.TextFunctions.tokens(col("text")), 3).as("s"))
+      val pairs = graft.operators.Dedup.ppjoinCandidates(sh, 0.8).count()
+      println(s"SCALECHECK pairs x_jaccard_join pairs=$pairs")
+      ("x_jaccard_join", pairs)
     }
   }
 

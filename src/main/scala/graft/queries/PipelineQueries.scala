@@ -315,6 +315,45 @@ object PipelineQueries {
         .orderBy("id1")
     },
 
+    // EXACT set-similarity self-join (prefix-filtered, AllPairs/PPJoin
+    // family): every pair with 3-gram Jaccard >= 0.8 — deterministic, so
+    // the oracle is the FULL pair list with values, brute-forced in DuckDB
+    // through an unfiltered shared-shingle inverted join (an exact
+    // candidate superset; the engine's prefix filter must lose nothing
+    // against it). 20 injected near-copies (one appended token, J ~ m/(m+1))
+    // guarantee the result is non-trivially populated at every SF.
+    Q("x_jaccard_join",
+      """WITH corpus AS (
+        |  SELECT doc_id, lower(text) AS text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lower(text) || ' graftdup' FROM documents
+        |  WHERE doc_id < 20),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+        |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+        |  list_distinct(list_transform(generate_series(1, len(t)-2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |  ELSE [array_to_string(t, ' ')] END AS s FROM tok),
+        |inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id)
+        |SELECT c.id1, c.id2,
+        |round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        |  / len(list_distinct(list_concat(x.s, y.s))), 4) AS jaccard
+        |FROM cand c JOIN sh x ON x.doc_id = c.id1 JOIN sh y ON y.doc_id = c.id2
+        |WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        |  / len(list_distinct(list_concat(x.s, y.s))) >= 0.8
+        |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+      val docs = par(Tables(s, dir, "documents")).select("doc_id", "text")
+      val injected = docs.where(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" graftdup")).as("text"))
+      Dedup.ppjoinPairs(docs.unionByName(injected), "doc_id", "text",
+        shingleK = 3, threshold = 0.8)
+        .select(col("id1"), col("id2"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id1", "id2")
+    },
+
     // Distributed connected components (large-star/small-star) over a
     // deterministic chain graph: doc i ~ doc i+1 within each decade, so the
     // true clusters have a CLOSED FORM the SQL oracle states directly —

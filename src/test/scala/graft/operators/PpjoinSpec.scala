@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Exact prefix-filtered set-similarity join (Dedup.ppjoinPairs): the
+  * operator's whole contract is ZERO false negatives versus brute force,
+  * so the spec is set equality of (id1, id2, jaccard) against an all-pairs
+  * Jaccard across corpora with planted near-dups, over a threshold grid.
+  */
+class PpjoinSpec extends SparkSpec {
+
+  // Deterministic corpus: docs over a 12-word vocabulary (dense shingle
+  // collisions — the hard case for a token-join), with planted near-dup
+  // pairs at several overlap levels plus exact copies and a short (<k
+  // tokens) doc exercising the whole-text-shingle branch.
+  private def corpus() = {
+    import spark.implicits._
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    def words(seed: Int, n: Int): Seq[String] = {
+      val rnd = new scala.util.Random(seed) // seeded: deterministic fixture
+      (0 until n).map(_ => vocab(rnd.nextInt(vocab.size)))
+    }
+    val base = (0 until 40).map(i => (i.toLong, words(i, 12 + i % 9).mkString(" ")))
+    val copies = (0 until 6).map(i => (100L + i, base(i)._2))              // J = 1
+    val nearDups = (0 until 6).map(i => (200L + i, base(i)._2 + " extra")) // high J
+    val halves = (0 until 4).map(i =>                                      // mid J
+      (300L + i, words(i, 12 + i % 9).take(8).mkString(" ") + " tail tail2"))
+    val short = Seq((400L, "tiny doc"), (401L, "tiny doc"))                // < k tokens
+    spark.createDataFrame(base ++ copies ++ nearDups ++ halves ++ short)
+      .toDF("doc_id", "text")
+  }
+
+  private def bruteForce(docs: org.apache.spark.sql.DataFrame, t: Double) = {
+    val ids = docs.select(col("doc_id"))
+    val pairs = ids.select(col("doc_id").as("id1"))
+      .crossJoin(ids.select(col("doc_id").as("id2")))
+      .where(col("id1") < col("id2"))
+    // reselect explicitly: the second USING join reorders columns (id2 first)
+    Dedup.jaccardOfPairs(pairs, docs, "doc_id", "text", shingleK = 3)
+      .where(col("jaccard") >= t)
+      .select("id1", "id2", "jaccard")
+  }
+
+  private def key(r: org.apache.spark.sql.Row) =
+    (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))
+
+  test("ppjoinPairs equals brute force across a threshold grid") {
+    val docs = corpus()
+    for (t <- Seq(0.5, 0.7, 0.8, 0.95)) {
+      val got = Dedup.ppjoinPairs(docs, "doc_id", "text", shingleK = 3,
+        threshold = t).collect().map(key).toSet
+      val want = bruteForce(docs, t).collect().map(key).toSet
+      assert(got === want, s"threshold $t: prefix join diverged from brute force")
+      assert(want.nonEmpty, s"threshold $t: degenerate fixture (empty truth)")
+    }
+  }
+
+  test("exact copies and whole-text-shingle shorts pair at threshold 1.0") {
+    val docs = corpus()
+    val got = Dedup.ppjoinPairs(docs, "doc_id", "text", shingleK = 3,
+      threshold = 1.0)
+    // the planted J=1 pairs: 6 copies + the identical short pair; plus any
+    // incidental identical texts — brute force is the arbiter
+    val want = bruteForce(docs, 1.0).collect().map(key).toSet
+    assert(got.collect().map(key).toSet === want)
+    assert(want.exists { case (a, b, _) => a == 400L && b == 401L },
+      "the <k-token identical pair must survive the whole-text-shingle branch")
+  }
+
+  test("threshold 0 is rejected (degenerate full inverted index)") {
+    val docs = corpus()
+    intercept[IllegalArgumentException] {
+      Dedup.ppjoinPairs(docs, "doc_id", "text", shingleK = 3, threshold = 0.0)
+    }
+  }
+}
