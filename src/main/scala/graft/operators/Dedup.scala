@@ -204,10 +204,10 @@ object Dedup {
     * the index at all.
     *
     * Scale shape (no O(n^2) anywhere, no broadcast dictionary): one
-    * aggregate for global shingle dfs, one shingle-keyed shuffle to rank
-    * each document's shingles, one id-partitioned window for the rank,
-    * the prefix-confined inverted join, then the exact verify join-back
-    * by id (AQE broadcasts the survivor-sized candidate list). The
+    * aggregate for global shingle dfs, one shingle-keyed shuffle into a
+    * per-doc rank aggregate (ppjoinAgg), the prefix-confined inverted
+    * join, then the exact verify join-back by id on compact gid sets
+    * (AQE broadcasts the survivor-sized candidate list). The
     * prefix length uses floor(t*|s|) rather than ceil: mathematically
     * >= the tight bound regardless of FP rounding of t*|s|, so float
     * error can only ever ADD a candidate, never lose a pair. The same
@@ -234,64 +234,75 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"),
       graft.functions.GraftFunctions.graft_shingles(tokens(col(textCol)), shingleK).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candidates = ppjoinCandidates(sh, threshold).localCheckpoint(true)
-    // Exact verification on the true shingle sets — unhinted, same AQE
-    // broadcast rationale as minhashPairs' verify join-back. ONE set
-    // kernel, not two: |x ∩ y| = |x| + |y| - |x ∪ y| (sets, so exact
-    // integer identity — the numerator is the same int either way, hence
-    // the same double and the same >= t decision as intersect/union).
-    // Measured: the union+intersect pair was ~45% of the verify stage's
-    // kernel time at the 100x ScaleCheck corpus (PpjoinDiag).
+    val agg = ppjoinAgg(sh)
+    sh.unpersist(blocking = false)
+    val candidates = ppjoinCandidatesFromAgg(agg, threshold)
+      .localCheckpoint(true)
+    // Exact verification on each doc's GID set, not its shingle strings:
+    // the gid relabeling is a bijection, so |intersection| and |union| are
+    // identical to the string sets' — same integers, same double, same
+    // >= t decision — while the arrays are 8-byte longs (long-compare
+    // union kernel, ~3x smaller join payload than UTF8 shingles). ONE set
+    // kernel, not two: |x ∩ y| = |x| + |y| - |x ∪ y| on sets. Unhinted —
+    // same AQE broadcast rationale as minhashPairs' verify join-back.
+    val gids = agg.select(col("id"),
+      transform(col("sorted"), x => x.getField("gid")).as("gs"),
+      col("len"))
     val result = candidates
-      .join(sh.select(col("id").as("id1"), col("s").as("s1")), "id1")
-      .join(sh.select(col("id").as("id2"), col("s").as("s2")), "id2")
-      .withColumn("u", size(array_union(col("s1"), col("s2"))).cast("double"))
-      .withColumn("jaccard",
-        (size(col("s1")) + size(col("s2")) - col("u")) / col("u"))
+      .join(gids.select(col("id").as("id1"), col("gs").as("g1"),
+        col("len").as("l1")), "id1")
+      .join(gids.select(col("id").as("id2"), col("gs").as("g2"),
+        col("len").as("l2")), "id2")
+      .withColumn("u", size(array_union(col("g1"), col("g2"))).cast("double"))
+      .withColumn("jaccard", (col("l1") + col("l2") - col("u")) / col("u"))
       .where(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
-    val out = result.localCheckpoint(true)
-    sh.unpersist()
-    out
+    result.localCheckpoint(true)
   }
 
-  /** ppjoinPairs' candidate stage over a pre-shingled (id, s) frame —
-    * factored out so ScaleCheck can publish the candidate-pair volume
-    * (the quantity the verify join's cost rides on) per scale.
+  /** ppjoinPairs' shared per-document frame: (id, len, sorted) where
+    * `sorted` is the doc's shingles as (df, gid) structs in the global
+    * rarest-first order. Eagerly checkpointed — the gid relabeling
+    * (monotonically_increasing_id over the df aggregate) is collision-free
+    * but NOT stable across re-evaluations, and this frame feeds the
+    * prefix's self-join sides AND the verify join, all of which must read
+    * ONE frozen assignment (alias-renamed subtree copies re-evaluate
+    * independently — the r9 banded-persist lesson). Compact 8-byte gids
+    * instead of shingle strings: measured 7.7s -> 5.3s on the rank stage
+    * at the 100x ScaleCheck corpus, and the verify's set kernel runs on
+    * long arrays.
     */
-  private[graft] def ppjoinCandidates(sh: DataFrame,
-      threshold: Double): DataFrame = {
+  private[graft] def ppjoinAgg(sh: DataFrame): DataFrame = {
     // Shingle stream WITHOUT the fat set column (ids + one shingle per row).
     val ex = sh.select(col("id"), size(col("s")).as("len"),
       explode(col("s")).as("g"))
-    // Relabel every distinct shingle with a compact 8-byte gid: the rank
-    // aggregate and the candidate join then never carry or compare shingle
-    // STRINGS (measured 7.7s -> 5.3s on the rank stage at the 100x
-    // ScaleCheck corpus). monotonically_increasing_id is unique per dfreq
-    // row — a collision-FREE relabeling, so joining on gid is exactly
-    // joining on g — but it is NOT stable across re-evaluations, so the
-    // prefix frame is eagerly checkpointed below: both self-join sides
-    // must read ONE frozen assignment (alias-renamed subtree copies
-    // re-evaluate independently — the r9 banded-persist lesson).
     val dfreq = ex.groupBy("g").agg(count(lit(1)).as("df"))
       .withColumn("gid", monotonically_increasing_id())
     // Global rarest-first order = (df, gid): a total order on shingle
     // VALUES (gid unique), identical across documents once frozen. Rank
     // each document's shingles in it via a per-doc AGGREGATE (collect +
-    // ~50-element array_sort + slice), not a row_number window: the window
-    // sorts the whole exploded stream within each exchange partition,
-    // the aggregate sorts each document's own tiny array.
+    // ~50-element array_sort), not a row_number window: the window sorts
+    // the whole exploded stream within each exchange partition, the
+    // aggregate sorts each document's own tiny array.
     // struct(df, gid) sorts field-wise = exactly (df, gid).
-    val prefix = ex.join(dfreq, "g")
+    ex.join(dfreq, "g")
       .groupBy("id").agg(
         array_sort(collect_list(struct(col("df"), col("gid")))).as("sorted"),
         first(col("len")).as("len"))
-      .select(col("id"), col("len"),
-        posexplode(slice(col("sorted"), lit(1),
-          col("len") - floor(lit(threshold) * col("len")).cast("int") + 1)))
+      .localCheckpoint(true)
+  }
+
+  /** ppjoinPairs' candidate stage over the ppjoinAgg frame — factored out
+    * so ScaleCheck can publish the candidate-pair volume (the quantity the
+    * verify join's cost rides on) per scale.
+    */
+  private[graft] def ppjoinCandidatesFromAgg(agg: DataFrame,
+      threshold: Double): DataFrame = {
+    val prefix = agg.select(col("id"), col("len"),
+      posexplode(slice(col("sorted"), lit(1),
+        col("len") - floor(lit(threshold) * col("len")).cast("int") + 1)))
       .select(col("col.gid").as("gid"), col("id"), col("len"),
         (col("pos") + 1).as("rank"))
-      .localCheckpoint(true)
     val a = prefix.select(col("gid"), col("id").as("id1"),
       col("len").as("len1"), col("rank").as("rank1"))
     val b = prefix.select(col("gid"), col("id").as("id2"),
@@ -302,7 +313,7 @@ object Dedup {
     // 1 + min(len1-rank1, len2-rank2) (ranks share ONE global order).
     val needed = lit(threshold / (1.0 + threshold)) *
       (col("len1") + col("len2")) - lit(1e-9)
-    val candidates = a.join(b, Seq("gid"))
+    a.join(b, Seq("gid"))
       .where(col("id1") < col("id2") &&
         least(col("len1"), col("len2")).cast("double") >=
           lit(threshold) * greatest(col("len1"), col("len2")) - lit(1e-9) &&
@@ -310,8 +321,14 @@ object Dedup {
           col("len2") - col("rank2"))).cast("double") >= needed)
       .select("id1", "id2")
       .dropDuplicates("id1", "id2")
-    candidates
   }
+
+  /** Candidate count over a pre-shingled (id, s) frame — the ScaleCheck
+    * pair-cell entry point.
+    */
+  private[graft] def ppjoinCandidates(sh: DataFrame,
+      threshold: Double): DataFrame =
+    ppjoinCandidatesFromAgg(ppjoinAgg(sh), threshold)
 
   /** Embedding-cosine near-dup pairs via hyperplane-LSH bucketing,
     * OR-amplified over numTables independent signatures: a candidate pair is
