@@ -48,10 +48,11 @@ object ScaleCheck {
     "x_stream_quantile",
     // r9 late addition: asymmetric ingest-vs-index ANN (per-side schedule)
     "x_ann_ingest",
-    // r9 final addition: exact prefix-filtered set-similarity join — the
+    // r9 final additions: exact prefix-filtered set-similarity join and
+    // the per-doc novelty profile (span-fingerprint machinery) — the
     // token-replicated corpus keeps copies' shingle spaces disjoint, so
     // dfs stay constant and the curve isolates the prefix-join machinery
-    "x_jaccard_join")
+    "x_jaccard_join", "x_novelty")
 
   /** Streaming-path members (r6 judge #5): real foreachBatch sinks over the
     * replicated corpus. Caveat on reading their ratios: each query's timed

@@ -122,6 +122,70 @@ object CorpusQueries {
           coalesce(sum(col("nd")), lit(0L)).as("n_span_docs"))
     },
 
+    // Per-document n-gram novelty profile — the document-level view of
+    // the span machinery above: for every doc (>= 8 tokens), the share of
+    // its DISTINCT 8-gram fingerprints that also occur in at least one
+    // OTHER document. The per-doc score is the curation signal (drop or
+    // downweight highly-duplicated docs; Lee et al. 2022 measure exactly
+    // this distribution before/after dedup), where x_span_dedup only
+    // reports the corpus totals. Same 62-bit two-lane fingerprint (one
+    // md5 per token + integer polynomial) so the oracle equality is
+    // exact by construction; plan is three shuffle-linear exchanges
+    // (distinct (doc, gram) -> gram-partitioned doc-count window ->
+    // per-doc aggregate), no joins.
+    Q("x_novelty",
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        |  FROM documents),
+        |th AS (SELECT doc_id, list_transform(ts, x ->
+        |  CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)) AS h
+        |  FROM toks WHERE len(ts) >= 8),
+        |lanes AS (SELECT doc_id,
+        |  list_transform(h, x -> x // 1073741824) AS t1,
+        |  list_transform(h, x -> x % 1073741824) AS t2 FROM th),
+        |grams AS (SELECT DISTINCT doc_id,
+        |  ((t1[i]*31 + t1[i+1]*37 + t1[i+2]*41 + t1[i+3]*43 + t1[i+4]*47
+        |    + t1[i+5]*53 + t1[i+6]*59 + t1[i+7]*61) % 2147483647) * 2147483648
+        |  + ((t2[i]*31 + t2[i+1]*37 + t2[i+2]*41 + t2[i+3]*43 + t2[i+4]*47
+        |    + t2[i+5]*53 + t2[i+6]*59 + t2[i+7]*61) % 2147483647) AS g
+        |  FROM lanes, UNNEST(range(1, len(t1) - 6)) AS u(i)),
+        |nd AS (SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS docs
+        |  FROM grams)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |round(CAST(sum(CASE WHEN docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |  / count(*), 4) AS dup_share
+        |FROM nd GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+      val grams = Tables(s, dir, "documents")
+        .select(col("doc_id"), toks.as("ts"))
+        .where(size(col("ts")) >= 8)
+        .select(col("doc_id"), expr(
+          "transform(ts, x -> CAST(conv(substr(md5(x), 1, 15), 16, 10) AS BIGINT))")
+          .as("h"))
+        .select(col("doc_id"),
+          expr("transform(h, x -> x div 1073741824L)").as("t1"),
+          expr("transform(h, x -> x % 1073741824L)").as("t2"))
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(t1) - 7), i ->
+            |  pmod(t1[i-1]*31 + t1[i]*37 + t1[i+1]*41 + t1[i+2]*43
+            |    + t1[i+3]*47 + t1[i+4]*53 + t1[i+5]*59 + t1[i+6]*61,
+            |    2147483647L) * 2147483648L
+            |  + pmod(t2[i-1]*31 + t2[i]*37 + t2[i+1]*41 + t2[i+2]*43
+            |    + t2[i+3]*47 + t2[i+4]*53 + t2[i+5]*59 + t2[i+6]*61,
+            |    2147483647L))""".stripMargin)).as("g"))
+        .dropDuplicates("doc_id", "g")
+      // gram-partitioned doc-count window (count(*) over distinct
+      // (doc, g) rows == count of distinct docs per gram), then the
+      // per-doc aggregate — no join back, the dup flag rides the window.
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      grams.withColumn("docs", count(lit(1)).over(w))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          round(sum(when(col("docs") > 1, 1).otherwise(0)).cast("double") /
+            count(lit(1)), 4).as("dup_share"))
+        .orderBy("doc_id")
+    },
+
     // Multi-source BFS distance — frontier-expansion iterative dataflow
     // (operators.Bfs), the third member of the graph family next to
     // PageRank (fixed-point) and connected components (pointer doubling):
