@@ -52,7 +52,7 @@ object ScaleCheck {
     // the per-doc novelty profile (span-fingerprint machinery) — the
     // token-replicated corpus keeps copies' shingle spaces disjoint, so
     // dfs stay constant and the curve isolates the prefix-join machinery
-    "x_jaccard_join", "x_novelty")
+    "x_jaccard_join", "x_novelty", "x_triangles")
 
   /** Streaming-path members (r6 judge #5): real foreachBatch sinks over the
     * replicated corpus. Caveat on reading their ratios: each query's timed

@@ -186,6 +186,43 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // Triangle enumeration — degree-ordered compact-forward (operators.
+    // Triangles), the fourth graph-family member. Fixture: chain + skip
+    // edges over the sorted doc ids (i ~ i+1, i ~ i+2 in sorted order,
+    // the BFS lead() discipline), whose triangles are exactly the
+    // consecutive id triples — but the ORACLE does not use the closed
+    // form: it re-enumerates the triangles with a 3-way edge self-join
+    // in DuckDB and pins the exact triangle SET through a product
+    // checksum (mod-reduced like x_global_ids, overflow-safe to ~9e5
+    // triangles per billion... terms < 1e12, sum safe past 1e6x).
+    Q("x_triangles",
+      """WITH ids AS (SELECT doc_id AS id,
+        |  row_number() OVER (ORDER BY doc_id) AS rn FROM documents),
+        |e AS (SELECT a.id AS u, b.id AS v FROM ids a JOIN ids b ON b.rn = a.rn + 1
+        |  UNION ALL
+        |  SELECT a.id, b.id FROM ids a JOIN ids b ON b.rn = a.rn + 2),
+        |tri AS (SELECT x.u AS a, x.v AS b, y.v AS c
+        |  FROM e x JOIN e y ON y.u = x.v JOIN e z ON z.u = x.u AND z.v = y.v)
+        |SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+        |CAST(coalesce(sum(((a % 999983) * (b % 999983) % 999983)
+        |  * (c % 999983) % 999983), 0) AS BIGINT) AS checksum
+        |FROM tri""".stripMargin) { (s, dir) =>
+      val ids = Tables(s, dir, "documents").select(col("doc_id").as("id"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("id")
+      val nbrs = ids
+        .withColumn("n1", lead(col("id"), 1).over(w))
+        .withColumn("n2", lead(col("id"), 2).over(w))
+      val edges = nbrs.where(col("n1").isNotNull)
+        .select(col("id").as("src"), col("n1").as("dst"))
+        .unionByName(nbrs.where(col("n2").isNotNull)
+          .select(col("id").as("src"), col("n2").as("dst")))
+      val p = lit(999983L)
+      graft.operators.Triangles.triangles(edges)
+        .agg(count(lit(1)).as("n_triangles"),
+          coalesce(sum(((col("a") % p) * (col("b") % p) % p)
+            * (col("c") % p) % p), lit(0L)).as("checksum"))
+    },
+
     // Multi-source BFS distance — frontier-expansion iterative dataflow
     // (operators.Bfs), the third member of the graph family next to
     // PageRank (fixed-point) and connected components (pointer doubling):
