@@ -3165,6 +3165,86 @@ object PipelineQueries {
       } finally deleteRecursively(tmp)
     },
 
+    // Stream-stream FULL OUTER interval join — the matrix completer:
+    // matched pairs, purchase-only rows (window closed with no click),
+    // AND click-only rows (no later purchase claimed the click). Same
+    // fixture choreography as the left-outer query (two data files, two
+    // far-future sentinels so every eviction cohort gets a flushing
+    // trigger; sentinels ride both streams — the pushdown trap). Output
+    // classifies per user via the riding type columns; user < 30 keeps
+    // the population disjoint in size from the left query's (< 40) so a
+    // wrong filter can't accidentally hash-match. Oracle: exact FULL
+    // JOIN per-user matched / purchase-only / click-only counts.
+    Q("x_stream_join_full",
+      """WITH p AS (SELECT user_id, ts FROM events
+        |  WHERE event_type = 'purchase' AND user_id < 30),
+        |c AS (SELECT user_id, ts FROM events
+        |  WHERE event_type = 'click' AND user_id < 30)
+        |SELECT coalesce(p.user_id, c.user_id) AS user_id,
+        |count(*) AS n_rows,
+        |CAST(sum(CASE WHEN p.ts IS NOT NULL AND c.ts IS NOT NULL
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |CAST(sum(CASE WHEN c.ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_purchase_only,
+        |CAST(sum(CASE WHEN p.ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_click_only
+        |FROM p FULL JOIN c ON c.user_id = p.user_id
+        |AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+        |GROUP BY 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val tmp = Tmp.dir("graft-sjfull")
+      try {
+        val src = tmp.resolve("src").toString
+        val ev = Tables(s, dir, "events").where(col("user_id") < 30)
+          .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+            col("event_type"))
+        val bounds = ev.agg(
+          expr("approx_percentile(unix_millis(ts), 0.5)"),
+          max(unix_millis(col("ts")))).first()
+        val (mid, maxMs) = (bounds.getLong(0), bounds.getLong(1))
+        val stamped = scala.collection.mutable.Set.empty[String]
+        val t0 = System.currentTimeMillis()
+        ev.where(unix_millis(col("ts")) < mid)
+          .coalesce(1).write.mode("overwrite").parquet(src)
+        stampNewFiles(src, stamped, t0)
+        ev.where(unix_millis(col("ts")) >= mid)
+          .coalesce(1).write.mode("append").parquet(src)
+        stampNewFiles(src, stamped, t0 + 60000L)
+        import s.implicits._
+        def sentinel(offsetMs: Long, fileTs: Long): Unit = {
+          Seq((-1L, new java.sql.Timestamp(maxMs + offsetMs), "sentinel"))
+            .toDF("user_id", "ts", "event_type")
+            .coalesce(1).write.mode("append").parquet(src)
+          stampNewFiles(src, stamped, fileTs)
+        }
+        sentinel(10800000L, t0 + 120000L)
+        sentinel(21600000L, t0 + 180000L)
+        val qname = "graft_stream_sjf_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        withShufflePartitions(s, 4) {
+          val stream = s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+          val joined = graft.streaming.EventStreams
+            .clickPurchaseFullJoin(stream, 30)
+          val query = joined.writeStream.format("memory").queryName(qname)
+            .option("checkpointLocation", tmp.resolve("ckpt").toString)
+            .outputMode("append").start()
+          try { query.processAllAvailable() } finally query.stop()
+        }
+        s.table(qname)
+          .where(col("p_type") === "purchase" || col("c_type") === "click")
+          .groupBy(coalesce(col("p_user"), col("c_user")).as("user_id"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("purchase_ts").isNotNull &&
+              col("click_ts").isNotNull, 1L).otherwise(0L)).as("n_matched"),
+            sum(when(col("click_ts").isNull, 1L).otherwise(0L))
+              .as("n_purchase_only"),
+            sum(when(col("purchase_ts").isNull, 1L).otherwise(0L))
+              .as("n_click_only"))
+          .orderBy("user_id")
+          .localCheckpoint(true)
+      } finally deleteRecursively(tmp)
+    },
+
     // Stream-STATIC enrichment join — the standard streaming-ingest shape:
     // every micro-batch of facts joins a broadcast dimension (customer ->
     // nation here) with NO streaming state (unlike stream-stream joins,

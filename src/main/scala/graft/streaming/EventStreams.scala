@@ -166,6 +166,35 @@ object EventStreams extends Serializable {
       "left_outer")
   }
 
+  /** Stream-stream FULL OUTER interval join — completes the join matrix
+    * (inner / left / full): matched purchase-click pairs, purchases whose
+    * match window closed empty, AND clicks that no later purchase claimed
+    * — each null-side row emitted only once the relevant watermark proves
+    * no contradicting match can arrive (clicks are claimable for
+    * `windowMinutes` AFTER their timestamp, so the click-side outer rows
+    * flush one window later than the purchase-side ones). Sentinels ride
+    * both streams (see clickPurchaseLeftJoin's pushdown trap); both
+    * TYPE columns ride the row so the caller can drop sentinel artifacts
+    * and classify each output row as matched / purchase-only /
+    * click-only without re-deriving nullness from timestamps.
+    */
+  def clickPurchaseFullJoin(events: DataFrame, windowMinutes: Int = 30): DataFrame = {
+    val wm = s"$windowMinutes minutes"
+    val clicks = events.where(col("event_type").isin("click", "sentinel"))
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_type").as("c_type"))
+      .withWatermark("click_ts", wm)
+    val purchases = events.where(col("event_type").isin("purchase", "sentinel"))
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_type").as("p_type"))
+      .withWatermark("purchase_ts", wm)
+    purchases.join(clicks,
+      col("c_user") === col("p_user")
+        && col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowMinutes MINUTES")
+        && col("click_ts") <= col("purchase_ts"),
+      "full_outer")
+  }
+
   // ---- Stateful sessionization (flatMapGroupsWithState) ----
 
   case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
