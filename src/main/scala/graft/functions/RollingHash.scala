@@ -131,6 +131,15 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_hll_card",
       exprs => HllCardinality(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_cms",
+      exprs => CmsBuild(exprs(0)).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_cms_merge",
+      exprs => CmsMerge(exprs(0)).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_cms_query",
+      exprs => CmsQuery(exprs(0), exprs(1)), "built-in")
     // Spark's own runtime-filter expressions, surfaced for EXPLICIT
     // semi-join prefilters (Catalyst injects them only under its own
     // InjectRuntimeFilter heuristics; a pipeline author building a
@@ -193,6 +202,11 @@ object GraftFunctions {
     call_function("graft_hll_merge", sketch)
   def graft_hll_card(sketch: Column): Column =
     call_function("graft_hll_card", sketch)
+  def graft_cms(hash: Column): Column = call_function("graft_cms", hash)
+  def graft_cms_merge(sketch: Column): Column =
+    call_function("graft_cms_merge", sketch)
+  def graft_cms_query(sketch: Column, hash: Column): Column =
+    call_function("graft_cms_query", sketch, hash)
   def graft_qsketch(v: Column, k: Int, ps: Seq[Double]): Column =
     call_function("graft_qsketch", v,
       org.apache.spark.sql.functions.lit(k),
@@ -251,6 +265,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => HllMerge(exprs(0)).toAggregateExpression())
     inject("graft_hll_card", classOf[HllCardinality],
       exprs => HllCardinality(exprs(0)))
+    inject("graft_cms", classOf[CmsBuild],
+      exprs => CmsBuild(exprs(0)).toAggregateExpression())
+    inject("graft_cms_merge", classOf[CmsMerge],
+      exprs => CmsMerge(exprs(0)).toAggregateExpression())
+    inject("graft_cms_query", classOf[CmsQuery],
+      exprs => CmsQuery(exprs(0), exprs(1)))
     inject("graft_qsketch", classOf[QuantileSketch],
       exprs => QuantileSketch(exprs(0), exprs(1), exprs(2)).toAggregateExpression())
     // Plan linter: fail fast on 100 TB scale-killers (un-partitioned Window

@@ -2037,6 +2037,63 @@ object PipelineQueries {
         .toDF("n_days", "n_exact", "n_violations")
     },
 
+    // Count-min rollup — the per-key-FREQUENCY member of the stored-
+    // sketch family (HLL = distinct, qsketch = ranks): per-day 64 KB
+    // sketches written to parquet, read back, merged (elementwise ADD, so
+    // merged-of-stored must equal direct-over-raw BIT-IDENTICALLY — gate
+    // 1 compares the binary states), then 20 probe users' estimates
+    // checked against their exact counts: est >= exact ALWAYS (the
+    // one-sided count-min guarantee — any violation is a bug, not
+    // noise), and within the (e/w)*N error bound for >= 18/20 probes
+    // (each row exceeds it with probability ~e^-d ~ 1.8%). Oracle pins
+    // the SQL-computable population and zero violations.
+    Q("x_cms_rollup",
+      """SELECT CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+        |CAST(count(DISTINCT CASE WHEN user_id < 20 THEN user_id END) AS BIGINT)
+        |  AS n_probes,
+        |CAST(0 AS BIGINT) AS n_violations FROM events""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions.{graft_cms, graft_cms_merge, graft_cms_query}
+      val ev = Tables(s, dir, "events")
+      val tmp = Tmp.dir("graft-cms")
+      try {
+        val rollup = tmp.resolve("daily").toString
+        ev.groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(graft_cms(xxhash64(col("user_id"))).as("sketch"))
+          .write.mode("overwrite").parquet(rollup)
+        val stored = s.read.parquet(rollup)
+        val merged = stored.agg(graft_cms_merge(col("sketch")).as("sk"),
+          count(lit(1)).as("n_days")).collect()(0)
+        val direct = ev.agg(graft_cms(xxhash64(col("user_id"))).as("sk"),
+          count(lit(1)).as("n")).collect()(0)
+        val (mergedSk, nDays) = (merged.getAs[Array[Byte]](0), merged.getLong(1))
+        val (directSk, nTotal) = (direct.getAs[Array[Byte]](0), direct.getLong(1))
+        Gate.check(java.util.Arrays.equals(mergedSk, directSk),
+          "stored-rollup cms merge differs from the direct sketch " +
+            "(elementwise add must be order-insensitive)")
+        // probe users 0..19 present in the corpus: exact counts vs the
+        // MERGED sketch's estimates
+        val probes = ev.where(col("user_id") < 20)
+          .groupBy("user_id").agg(count(lit(1)).as("exact"))
+          .withColumn("est",
+            graft_cms_query(lit(mergedSk), xxhash64(col("user_id"))))
+          .collect()
+        val under = probes.count(r => r.getAs[Long]("est") < r.getAs[Long]("exact"))
+        val bound = math.E / graft.functions.CountMin.W * nTotal
+        val over = probes.count(r =>
+          r.getAs[Long]("est") > r.getAs[Long]("exact") + bound)
+        Gate.check(under == 0,
+          s"$under probe estimates BELOW exact — breaks the one-sided bound")
+        Gate.check(probes.length - over >= probes.length - 2,
+          s"$over/${probes.length} probe estimates above the (e/w)*N bound")
+        import s.implicits._
+        Seq((nDays, probes.length.toLong,
+          (if (java.util.Arrays.equals(mergedSk, directSk)) 0L else 1L) +
+            under.toLong + (if (over <= 2) 0L else 1L)))
+          .toDF("n_days", "n_probes", "n_violations")
+      } finally deleteRecursively(tmp)
+    },
+
     // Ordered-sequence funnel (view -> click -> purchase): each stage's
     // earliest qualifying timestamp must be STRICTLY after the previous
     // stage's — the product-analytics conversion funnel. The per-stage
