@@ -382,6 +382,105 @@ object Multimodal {
       })
   }
 
+  /** 64-bit spectral fingerprint of a WAV payload — the audio twin of
+    * dHash64 (Haitsma & Kalker 2002 bit derivation): the PCM stream is
+    * cut into 16 equal time chunks, each chunk's power measured at 5
+    * probe frequencies (Goertzel), and each bit is the SIGN of an
+    * adjacent-band power difference (16 chunks x 4 comparisons = 64
+    * bits). Sign-of-difference bits are invariant to amplitude scaling
+    * (gain multiplies every band by the same factor) and robust to
+    * re-encoding — exactly the perturbations an audio dedup must see
+    * through — while different tones flip band orderings. None for
+    * undecodable or too-short payloads.
+    */
+  def spectralHash64(payload: Array[Byte]): Option[Long] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      val data = ais.readAllBytes()
+      val n = data.length / 2
+      if (n < 32) None
+      else {
+        val samples = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          samples(i) = ((data(2 * i + 1) << 8) | (data(2 * i) & 0xff)).toShort.toDouble
+          i += 1
+        }
+        val sr = fmt.getSampleRate.toDouble
+        val freqs = Array(220.0, 320.0, 420.0, 520.0, 620.0)
+        val chunks = 16
+        var bits = 0L
+        var c = 0
+        while (c < chunks) {
+          val lo = c * n / chunks
+          val hi = math.max(lo + 1, (c + 1) * n / chunks)
+          val p = freqs.map(f => goertzelPower(samples, lo, hi, f, sr))
+          var k = 0
+          while (k < 4) {
+            if (p(k) < p(k + 1)) bits |= (1L << (c * 4 + k))
+            k += 1
+          }
+          c += 1
+        }
+        Some(bits)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Goertzel power of samples[lo, hi) at frequency f. */
+  private def goertzelPower(s: Array[Double], lo: Int, hi: Int,
+      f: Double, sampleRate: Double): Double = {
+    val w = 2.0 * math.Pi * f / sampleRate
+    val coeff = 2.0 * math.cos(w)
+    var s0 = 0.0; var s1 = 0.0; var s2 = 0.0
+    var i = lo
+    while (i < hi) {
+      s0 = s(i) + coeff * s1 - s2
+      s2 = s1; s1 = s0
+      i += 1
+    }
+    s1 * s1 + s2 * s2 - coeff * s1 * s2
+  }
+
+  /** (doc_id, h) spectral hashes for every decodable audio payload —
+    * imageHashes' audio twin, feeding the same Dedup.hammingPairs band
+    * join.
+    */
+  def audioHashes(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap(r =>
+      spectralHash64(r.payload).map(h => (r.doc_id, h))))
+      .toDF("doc_id", "h")
+  }
+
+  /** Re-encode a WAV attenuated by `gain` — the deterministic audio
+    * near-duplicate fixture (same content through a real gain change plus
+    * a fresh encode pass), invertOnePixel's audio twin.
+    */
+  def attenuateWav(wav: Array[Byte], gain: Double): Array[Byte] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(wav))
+    val fmt = ais.getFormat
+    val data = ais.readAllBytes()
+    var i = 0
+    while (i + 1 < data.length) {
+      val s = ((data(i + 1) << 8) | (data(i) & 0xff)).toShort
+      val scaled = math.max(Short.MinValue,
+        math.min(Short.MaxValue, math.rint(s * gain))).toInt
+      data(i) = (scaled & 0xff).toByte
+      data(i + 1) = ((scaled >> 8) & 0xff).toByte
+      i += 2
+    }
+    val out = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new ByteArrayInputStream(data), fmt, data.length / fmt.getFrameSize),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
   // ---- batched per-partition extraction ----
 
   /** Batched image decode: mapPartitions (not per-row map) so codec warm-up

@@ -1881,6 +1881,41 @@ object PipelineQueries {
         .toDF("n_expected", "n_violations")
     },
 
+    // Audio near-dup — x_media_dedup's audio twin: every doc rendered as
+    // a REAL 16-bit PCM WAV, 20 injected near-copies made by a REAL gain
+    // change (attenuateWav 0.5 + re-encode), spectral sign-of-band-
+    // difference fingerprints (amplitude-invariant by construction), the
+    // shared Hamming band join. Recovery is a hard >= 18/20 contract;
+    // exact hamming 0 is expected for pure gain changes but the gate
+    // allows the band-join's maxHamming=3 tolerance.
+    Q("x_audio_dedup",
+      """SELECT CAST(count(*) AS BIGINT) AS n_expected,
+        |CAST(0 AS BIGINT) AS n_violations FROM documents
+        |WHERE doc_id < 20""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val audio = Multimodal.asAudioTable(docs)
+      val injected = docs.where(col("doc_id") < 20)
+        .select(col("doc_id"), col("source"),
+          octet_length(col("text")).cast("long"))
+        .as[(Long, String, Long)]
+        .mapPartitions(_.map { case (id, src, nChars) =>
+          val wav = Multimodal.attenuateWav(
+            Multimodal.renderWav(id, nChars), 0.5)
+          Multimodal.MediaRow(id + 1000000L, src, "audio/wav",
+            wav.length.toLong, wav)
+        })
+      val hashed = Multimodal.audioHashes(audio.unionByName(injected))
+        .withColumnRenamed("doc_id", "id")
+      val pairs = Dedup.hammingPairs(hashed, maxHamming = 3)
+      val nFound = pairs.where(col("id1") < 20 &&
+        col("id2") === col("id1") + 1000000L).count()
+      Gate.check(nFound >= 18,
+        s"audio spectral hash recovered only $nFound/20 attenuated copies")
+      Seq((20L, if (nFound >= 18) 0L else 1L))
+        .toDF("n_expected", "n_violations")
+    },
+
     // Quantile-digest rollup — the rank-statistics twin of x_hll_rollup:
     // per-day centroid digests (graft_qsketch_state, ~2 KB binary each)
     // are WRITTEN to parquet, read back, and merged

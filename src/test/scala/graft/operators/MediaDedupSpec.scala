@@ -71,4 +71,28 @@ class MediaDedupSpec extends SparkSpec {
     for (g <- 0 until 40)
       assert(capped.contains((1000L + 2 * g, 1001L + 2 * g)), s"twin $g split")
   }
+
+  test("spectralHash64: amplitude-invariant, tone-sensitive, short payloads None") {
+    val a = Multimodal.renderWav(5L, 300L)
+    val hA = Multimodal.spectralHash64(a).get
+    // a REAL gain change + re-encode leaves every sign-of-band-difference
+    // bit unchanged
+    val att = Multimodal.attenuateWav(a, 0.5)
+    assert(Multimodal.spectralHash64(att).get === hA,
+      "gain change flipped spectral bits")
+    // a clearly different tone (freq derives from docId) lands far away
+    val b = Multimodal.renderWav(205L, 300L)
+    val hB = Multimodal.spectralHash64(b).get
+    assert(java.lang.Long.bitCount(hA ^ hB) > 8,
+      f"distinct tones too close: ${java.lang.Long.bitCount(hA ^ hB)} bits")
+    assert(Multimodal.spectralHash64(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("attenuateWav halves RMS and survives the real codec round-trip") {
+    val wav = Multimodal.renderWav(9L, 200L)
+    val (_, _, _, rms0) = Multimodal.decodeWav(wav).get
+    val (_, _, _, rms1) = Multimodal.decodeWav(
+      Multimodal.attenuateWav(wav, 0.5)).get
+    assert(math.abs(rms1 / rms0 - 0.5) < 0.01, s"rms ratio ${rms1 / rms0}")
+  }
 }
