@@ -84,12 +84,15 @@ object Dedup {
     // streams the fat shingle table without shuffling it; a static hash
     // hint would force that 1 GB exchange (measured +0.4s on the minhash
     // row when this briefly carried one).
+    // ONE set kernel, not two: |x ∩ y| = |x| + |y| - |x ∪ y| on sets —
+    // the same integer numerator either way, hence the same double and
+    // the same >= t decision (the ppjoin verify discipline).
     val result = candidates
       .join(sh.select(col("id").as("id1"), col("s").as("s1")), "id1")
       .join(sh.select(col("id").as("id2"), col("s").as("s2")), "id2")
+      .withColumn("u", size(array_union(col("s1"), col("s2"))).cast("double"))
       .withColumn("jaccard",
-        size(array_intersect(col("s1"), col("s2"))).cast("double") /
-          size(array_union(col("s1"), col("s2"))).cast("double"))
+        (size(col("s1")) + size(col("s2")) - col("u")) / col("u"))
       .where(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
     // Materialize the (small) pair list eagerly so the corpus-sized shingle
@@ -181,10 +184,10 @@ object Dedup {
     pairs
       .join(sh.withColumnRenamed("__id", "id1").withColumnRenamed("__s", "s1"), "id1")
       .join(sh.withColumnRenamed("__id", "id2").withColumnRenamed("__s", "s2"), "id2")
+      .withColumn("__u", size(array_union(col("s1"), col("s2"))).cast("double"))
       .withColumn("jaccard",
-        size(array_intersect(col("s1"), col("s2"))).cast("double") /
-          size(array_union(col("s1"), col("s2"))).cast("double"))
-      .drop("s1", "s2")
+        (size(col("s1")) + size(col("s2")) - col("__u")) / col("__u"))
+      .drop("s1", "s2", "__u")
   }
 
   /** EXACT set-similarity self-join via prefix filtering (the AllPairs /
