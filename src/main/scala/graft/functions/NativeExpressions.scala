@@ -56,6 +56,41 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** graft_sorted_intersect(array<bigint>, array<bigint>) -> int — the size
+  * of the intersection of two ASCENDING-sorted long arrays via one linear
+  * merge pass: no per-row hash-set build (array_intersect's cost shape),
+  * no allocation. The ppjoin verify kernel: candidates' gid sets are
+  * sorted once per document, then every candidate pair intersects in
+  * O(|x|+|y|) long comparisons. Caller contract: both arrays sorted
+  * ascending, no duplicates (sets); unsorted input silently undercounts —
+  * this is a kernel, not a validator.
+  */
+case class SortedLongIntersect(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import NativeExprs._
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sorted_intersect"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(left.dataType) && isLongArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<bigint>, array<bigint>), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.sortedIntersectCount(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      (a, b) => s"${ev.value} = $Ops.sortedIntersectCount($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** graft_minhash(array<string>, numHashes) -> array<bigint> */
 case class MinHashSignature(child: Expression, numHashes: Int)
     extends UnaryExpression {

@@ -140,6 +140,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_cms_query",
       exprs => CmsQuery(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_sorted_intersect",
+      exprs => SortedLongIntersect(exprs(0), exprs(1)), "built-in")
     // Spark's own runtime-filter expressions, surfaced for EXPLICIT
     // semi-join prefilters (Catalyst injects them only under its own
     // InjectRuntimeFilter heuristics; a pipeline author building a
@@ -207,6 +210,8 @@ object GraftFunctions {
     call_function("graft_cms_merge", sketch)
   def graft_cms_query(sketch: Column, hash: Column): Column =
     call_function("graft_cms_query", sketch, hash)
+  def graft_sorted_intersect(a: Column, b: Column): Column =
+    call_function("graft_sorted_intersect", a, b)
   def graft_qsketch(v: Column, k: Int, ps: Seq[Double]): Column =
     call_function("graft_qsketch", v,
       org.apache.spark.sql.functions.lit(k),
@@ -271,6 +276,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => CmsMerge(exprs(0)).toAggregateExpression())
     inject("graft_cms_query", classOf[CmsQuery],
       exprs => CmsQuery(exprs(0), exprs(1)))
+    inject("graft_sorted_intersect", classOf[SortedLongIntersect],
+      exprs => SortedLongIntersect(exprs(0), exprs(1)))
     inject("graft_qsketch", classOf[QuantileSketch],
       exprs => QuantileSketch(exprs(0), exprs(1), exprs(2)).toAggregateExpression())
     // Plan linter: fail fast on 100 TB scale-killers (un-partitioned Window

@@ -994,6 +994,21 @@ object VectorOps {
     * yield the whole text as one shingle — mirrors
     * TextFunctions.shingles' guard branch.
     */
+  /** Intersection size of two ascending-sorted long arrays — one merge
+    * pass, zero allocation (the graft_sorted_intersect kernel).
+    */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var n = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+
   def shingleSet(tokens: ArrayData, k: Int): ArrayData = {
     val n = tokens.numElements()
     val toks = new Array[UTF8String](n)

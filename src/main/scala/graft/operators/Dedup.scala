@@ -244,20 +244,25 @@ object Dedup {
     // Exact verification on each doc's GID set, not its shingle strings:
     // the gid relabeling is a bijection, so |intersection| and |union| are
     // identical to the string sets' — same integers, same double, same
-    // >= t decision — while the arrays are 8-byte longs (long-compare
-    // union kernel, ~3x smaller join payload than UTF8 shingles). ONE set
-    // kernel, not two: |x ∩ y| = |x| + |y| - |x ∪ y| on sets. Unhinted —
+    // >= t decision — while the arrays are 8-byte longs with a ~3x
+    // smaller join payload than UTF8 shingles. The arrays are sorted
+    // ascending once per DOCUMENT (array_sort on longs), so each
+    // candidate PAIR intersects via the graft_sorted_intersect merge
+    // kernel — O(|x|+|y|) long compares, no per-pair hash-set build
+    // (array_union's cost shape) and no per-pair allocation. Unhinted —
     // same AQE broadcast rationale as minhashPairs' verify join-back.
+    import graft.functions.GraftFunctions.graft_sorted_intersect
     val gids = agg.select(col("id"),
-      transform(col("sorted"), x => x.getField("gid")).as("gs"),
+      array_sort(transform(col("sorted"), x => x.getField("gid"))).as("gs"),
       col("len"))
     val result = candidates
       .join(gids.select(col("id").as("id1"), col("gs").as("g1"),
         col("len").as("l1")), "id1")
       .join(gids.select(col("id").as("id2"), col("gs").as("g2"),
         col("len").as("l2")), "id2")
-      .withColumn("u", size(array_union(col("g1"), col("g2"))).cast("double"))
-      .withColumn("jaccard", (col("l1") + col("l2") - col("u")) / col("u"))
+      .withColumn("i",
+        graft_sorted_intersect(col("g1"), col("g2")).cast("double"))
+      .withColumn("jaccard", col("i") / (col("l1") + col("l2") - col("i")))
       .where(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
     result.localCheckpoint(true)

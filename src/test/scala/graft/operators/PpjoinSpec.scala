@@ -69,6 +69,22 @@ class PpjoinSpec extends SparkSpec {
       "the <k-token identical pair must survive the whole-text-shingle branch")
   }
 
+  test("sortedIntersectCount merge kernel matches set intersection") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def arr(xs: Long*) = new GenericArrayData(xs.toArray)
+    val f = graft.functions.VectorOps.sortedIntersectCount _
+    assert(f(arr(1L, 3L, 5L, 9L), arr(2L, 3L, 9L, 11L)) === 2)
+    assert(f(arr(), arr(1L, 2L)) === 0)
+    assert(f(arr(4L), arr(4L)) === 1)
+    // seeded random sets vs Scala Set intersection
+    val rnd = new scala.util.Random(11)
+    for (_ <- 0 until 50) {
+      val a = Seq.fill(30)(rnd.nextLong() % 100).map(math.abs(_)).distinct.sorted
+      val b = Seq.fill(30)(rnd.nextLong() % 100).map(math.abs(_)).distinct.sorted
+      assert(f(arr(a: _*), arr(b: _*)) === (a.toSet & b.toSet).size)
+    }
+  }
+
   test("threshold 0 is rejected (degenerate full inverted index)") {
     val docs = corpus()
     intercept[IllegalArgumentException] {
