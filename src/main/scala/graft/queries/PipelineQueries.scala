@@ -2129,6 +2129,93 @@ object PipelineQueries {
       } finally deleteRecursively(tmp)
     },
 
+    // STREAMING count-min — cms-in-stream, closing the sketch-family
+    // streaming matrix (x_stream_quantile = ranks; this = per-key
+    // frequency): per-(day, micro-batch) 64 KB CMS partials accumulate
+    // from a real foreachBatch sink into a state table, and the per-day
+    // frequency answers merge the stored partials WITHOUT rescanning raw
+    // events. The fixture splits by USER parity, not by day — every day's
+    // events straddle both source generations, so every day's sketch
+    // genuinely accumulates across micro-batch boundaries (a day-split
+    // fixture would leave each day single-partial and never exercise the
+    // cross-batch merge; a "n_multi >= 1" gate pins that this one does).
+    // Gate 1 is CMS's distinctive contract: elementwise add is order-
+    // insensitive, so each day's merged-of-partials must equal the
+    // direct-over-raw sketch BIT-IDENTICALLY — any micro-batch boundary
+    // effect is a bug, not noise. Gate 2 probes 20 users against exact
+    // counts on the all-time merged sketch (est >= exact always; within
+    // (e/w)*N for >= 18/20 — same bounds as x_cms_rollup).
+    Q("x_stream_cms",
+      """SELECT CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+        |CAST(count(DISTINCT CASE WHEN user_id < 20 THEN user_id END) AS BIGINT)
+        |  AS n_probes,
+        |CAST(0 AS BIGINT) AS n_violations FROM events""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions.{graft_cms, graft_cms_merge, graft_cms_query}
+      val tmp = Tmp.dir("graft-scms")
+      try {
+        val src = tmp.resolve("src").toString
+        val state = tmp.resolve("state").toString
+        val ev = Tables(s, dir, "events")
+          .select(col("ts"), col("user_id"))
+        val genFiles = twoFileStreamFixture(ev,
+          pmod(col("user_id"), lit(2)) === 0, src)
+        val stream = s.readStream.schema(s.read.parquet(src).schema)
+          .option("maxFilesPerTrigger", genFiles).parquet(src)
+        withShufflePartitions(s, 4) {
+          val sink = stream.writeStream.foreachBatch {
+            (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              batch.groupBy(date_trunc("day", col("ts")).as("day"))
+                .agg(graft_cms(xxhash64(col("user_id"))).as("sketch"))
+                .write.mode("append").parquet(state)
+              ()
+          }.option("checkpointLocation", tmp.resolve("ckpt").toString).start()
+          try sink.processAllAvailable() finally sink.stop()
+        }
+        // Gate 1: per-day merged partials == direct per-day sketch,
+        // byte-for-byte; and the fixture actually split days across
+        // micro-batches (n_multi >= 1) or the merge was never exercised.
+        val perDay = s.read.parquet(state).groupBy("day")
+          .agg(graft_cms_merge(col("sketch")).as("sk"),
+            count(lit(1)).as("n_partials"))
+        val direct = ev.groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(graft_cms(xxhash64(col("user_id"))).as("dsk"))
+        val dayRows = perDay.join(direct, "day")
+          .select(col("n_partials"),
+            (col("sk") === col("dsk")).as("same"))
+          .collect()
+        val nDays = dayRows.length.toLong
+        val nMulti = dayRows.count(_.getAs[Long]("n_partials") > 1)
+        val mismatch = dayRows.count(r => !r.getAs[Boolean]("same"))
+        Gate.check(mismatch == 0,
+          s"$mismatch/$nDays days: merged-of-stream-partials != direct sketch")
+        Gate.check(nMulti >= 1,
+          "no day accumulated >1 partial — cross-batch merge not exercised")
+        // Gate 2: all-time merged sketch vs 20 probe users' exact counts.
+        val allRow = s.read.parquet(state)
+          .agg(graft_cms_merge(col("sketch")).as("sk")).collect()(0)
+        val allSk = allRow.getAs[Array[Byte]](0)
+        val nTotal = ev.count()
+        val probes = ev.where(col("user_id") < 20)
+          .groupBy("user_id").agg(count(lit(1)).as("exact"))
+          .withColumn("est", graft_cms_query(lit(allSk), xxhash64(col("user_id"))))
+          .collect()
+        val under = probes.count(r => r.getAs[Long]("est") < r.getAs[Long]("exact"))
+        val bound = math.E / graft.functions.CountMin.W * nTotal
+        val over = probes.count(r =>
+          r.getAs[Long]("est") > r.getAs[Long]("exact") + bound)
+        Gate.check(under == 0,
+          s"$under probe estimates BELOW exact — breaks the one-sided bound")
+        Gate.check(over <= 2,
+          s"$over/${probes.length} probe estimates above the (e/w)*N bound")
+        import s.implicits._
+        Seq((nDays, probes.length.toLong,
+          mismatch.toLong + (if (nMulti >= 1) 0L else 1L) + under.toLong +
+            (if (over <= 2) 0L else 1L)))
+          .toDF("n_days", "n_probes", "n_violations")
+      } finally deleteRecursively(tmp)
+    },
+
     // Ordered-sequence funnel (view -> click -> purchase): each stage's
     // earliest qualifying timestamp must be STRICTLY after the previous
     // stage's — the product-analytics conversion funnel. The per-stage
