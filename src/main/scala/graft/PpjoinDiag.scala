@@ -30,6 +30,23 @@ object PpjoinDiag {
     }
 
     val threshold = 0.8
+    // --plan: print the interior (un-checkpointed) rank-frame plan — is
+    // the ex-by-g exchange reused between the df aggregate and the
+    // df-attach join, or paid twice?
+    if (args.contains("--plan")) {
+      val docs0 = Tables(spark, dir, "documents").select("doc_id", "text")
+      val sh0 = docs0.select(col("doc_id").as("id"),
+        graft_shingles(tokens(col("text")), 3).as("s"))
+      val ex0 = sh0.select(col("id"), size(col("s")).as("len"),
+        explode(col("s")).as("g"))
+        .repartition(col("g"))
+      val dfreq0 = ex0.groupBy("g").agg(count(lit(1)).as("df"))
+        .withColumn("gid", monotonically_increasing_id())
+      ex0.join(dfreq0.hint("shuffle_hash"), "g")
+        .groupBy("id").agg(count(lit(1)).as("n"))
+        .explain("formatted")
+      spark.stop(); return
+    }
     val docs = Tables(spark, dir, "documents").select("doc_id", "text")
     val injected = docs.where(col("doc_id") < 20)
       .select((col("doc_id") + 1000000L).as("doc_id"),

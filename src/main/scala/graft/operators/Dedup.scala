@@ -284,6 +284,16 @@ object Dedup {
     // Shingle stream WITHOUT the fat set column (ids + one shingle per row).
     val ex = sh.select(col("id"), size(col("s")).as("len"),
       explode(col("s")).as("g"))
+      // ONE explicit shingle-keyed exchange feeding BOTH consumers: the
+      // df aggregate and the df-attach probe each need ex hashed by g,
+      // but a plain groupBy plans partial aggregation below its exchange,
+      // so the two exchange subtrees differ and ReuseExchange can never
+      // dedupe them — the exploded stream (46M string-keyed rows at the
+      // 100x ScaleCheck corpus) would shuffle TWICE. Repartitioning first
+      // makes both subtrees the identical repartition, the aggregate runs
+      // post-shuffle (partial+final collapse in place, no new exchange),
+      // and the join needs no exchange on either side.
+      .repartition(col("g"))
     val dfreq = ex.groupBy("g").agg(count(lit(1)).as("df"))
       .withColumn("gid", monotonically_increasing_id())
     // Global rarest-first order = (df, gid): a total order on shingle
@@ -293,7 +303,15 @@ object Dedup {
     // the whole exploded stream within each exchange partition, the
     // aggregate sorts each document's own tiny array.
     // struct(df, gid) sorts field-wise = exactly (df, gid).
-    ex.join(dfreq, "g")
+    // shuffle_hash on the dfreq side: the df-attach join CANNOT reuse the
+    // aggregate's exchange (partial aggregation makes the agg-side
+    // subtree carry pre-combined rows, so ReuseExchange never matches),
+    // and the default SortMergeJoin then sorts the full exploded stream
+    // by shingle STRING — at the 100x ScaleCheck corpus that's a 46M-row
+    // string sort on the probe side. Hash-building the distinct-shingle
+    // side (its per-partition share is distinct/numPartitions — bounded
+    // at any corpus by scaling the shuffle) skips both sorts.
+    ex.join(dfreq.hint("shuffle_hash"), "g")
       .groupBy("id").agg(
         array_sort(collect_list(struct(col("df"), col("gid")))).as("sorted"),
         first(col("len")).as("len"))
