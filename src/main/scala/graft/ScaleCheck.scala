@@ -52,7 +52,11 @@ object ScaleCheck {
     // the per-doc novelty profile (span-fingerprint machinery) — the
     // token-replicated corpus keeps copies' shingle spaces disjoint, so
     // dfs stay constant and the curve isolates the prefix-join machinery
-    "x_jaccard_join", "x_novelty", "x_triangles")
+    "x_jaccard_join", "x_novelty", "x_triangles",
+    // r9 extended-session: exact bipartite decontamination join — corpus
+    // side grows with the replication, the 50-doc benchmark side stays
+    // copy-0 (the real decontamination shape: fixed refs, growing corpus)
+    "x_cross_dedup")
 
   /** Streaming-path members (r6 judge #5): real foreachBatch sinks over the
     * replicated corpus. Caveat on reading their ratios: each query's timed

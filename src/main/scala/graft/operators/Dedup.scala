@@ -356,6 +356,97 @@ object Dedup {
       threshold: Double): DataFrame =
     ppjoinCandidatesFromAgg(ppjoinAgg(sh), threshold)
 
+  /** EXACT bipartite set-similarity join — the R-S form of the AllPairs /
+    * PPJoin family (ppjoinPairs is the self-join special case): every
+    * (left, right) pair with shingle-set Jaccard >= threshold, zero false
+    * negatives. The cross-corpus dedup primitive: "flag every corpus
+    * document near-duplicate of a benchmark / blocklist / previously-
+    * ingested document" — deterministic where a bipartite LSH would trade
+    * recall for speed, which matters exactly when the contract is
+    * decontamination (a missed benchmark leak is a poisoned eval).
+    *
+    * Same machinery as ppjoinPairs with both sides ranked in ONE global
+    * rarest-first (df, gid) order — dfs are computed over the UNION of
+    * both sides, because the prefix theorem needs a single total order
+    * spanning them: J(x,y) >= t forces an overlap alpha >= t/(1+t)
+    * (|x|+|y|) >= ceil(t*|x|) given the length filter |y| >= t*|x|, so
+    * the (|x| - ceil(t*|x|) + 1)-prefixes of BOTH sides must intersect —
+    * the same one-sided floor/slack discipline as the self-join. Scale
+    * shape: the union df aggregate and attach ride one shingle-keyed
+    * exchange (the ppjoinAgg rationale); candidates are bounded per gid
+    * by (left-prefix x right-prefix) products, and rarest-first keeps
+    * frequent shingles out of both prefixes — either side may be the
+    * large one.
+    *
+    * Returns (id1 = left id, id2 = right id, jaccard >= threshold).
+    */
+  def crossJaccardJoin(left: DataFrame, lIdCol: String, lTextCol: String,
+      right: DataFrame, rIdCol: String, rTextCol: String,
+      shingleK: Int = 3, threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold ($threshold) must be in (0, 1] - at 0 the prefix is the " +
+        "whole document and the join degenerates to the full inverted index")
+    graft.functions.GraftFunctions.register(left.sparkSession)
+    def shingled(df: DataFrame, id: String, text: String, side: Int) =
+      df.select(lit(side).as("side"), col(id).as("id"),
+        graft.functions.GraftFunctions.graft_shingles(
+          tokens(col(text)), shingleK).as("s"))
+    val both = shingled(left, lIdCol, lTextCol, 0)
+      .unionByName(shingled(right, rIdCol, rTextCol, 1))
+    // ppjoinAgg generalized by the side tag (one doc may appear on both
+    // sides under the same id — refs drawn from the corpus — so the
+    // grouping key is (side, id)); single g-keyed exchange, hash-built
+    // dfreq side, frozen gid assignment via the eager checkpoint.
+    val ex = both.select(col("side"), col("id"), size(col("s")).as("len"),
+      explode(col("s")).as("g"))
+      .repartition(col("g"))
+    val dfreq = ex.groupBy("g").agg(count(lit(1)).as("df"))
+      .withColumn("gid", monotonically_increasing_id())
+    val agg = ex.join(dfreq.hint("shuffle_hash"), "g")
+      .groupBy("side", "id").agg(
+        array_sort(collect_list(struct(col("df"), col("gid")))).as("sorted"),
+        first(col("len")).as("len"))
+      .localCheckpoint(true)
+    def prefix(side: Int) = agg.where(col("side") === side)
+      .select(col("id"), col("len"),
+        posexplode(slice(col("sorted"), lit(1),
+          col("len") - floor(lit(threshold) * col("len")).cast("int") + 1)))
+      .select(col("col.gid").as("gid"), col("id"), col("len"),
+        (col("pos") + 1).as("rank"))
+    val a = prefix(0).select(col("gid"), col("id").as("id1"),
+      col("len").as("len1"), col("rank").as("rank1"))
+    val b = prefix(1).select(col("gid"), col("id").as("id2"),
+      col("len").as("len2"), col("rank").as("rank2"))
+    // length + positional filters: identical math to the self-join (no
+    // id1 < id2 — the sides are distinct frames)
+    val needed = lit(threshold / (1.0 + threshold)) *
+      (col("len1") + col("len2")) - lit(1e-9)
+    val candidates = a.join(b, Seq("gid"))
+      .where(least(col("len1"), col("len2")).cast("double") >=
+          lit(threshold) * greatest(col("len1"), col("len2")) - lit(1e-9) &&
+        (lit(1) + least(col("len1") - col("rank1"),
+          col("len2") - col("rank2"))).cast("double") >= needed)
+      .select("id1", "id2")
+      .dropDuplicates("id1", "id2")
+      .localCheckpoint(true)
+    // exact verify on sorted gid sets — the ppjoinPairs kernel discipline
+    import graft.functions.GraftFunctions.graft_sorted_intersect
+    val gids = agg.select(col("side"), col("id"),
+      array_sort(transform(col("sorted"), x => x.getField("gid"))).as("gs"),
+      col("len"))
+    val result = candidates
+      .join(gids.where(col("side") === 0).select(col("id").as("id1"),
+        col("gs").as("g1"), col("len").as("l1")), "id1")
+      .join(gids.where(col("side") === 1).select(col("id").as("id2"),
+        col("gs").as("g2"), col("len").as("l2")), "id2")
+      .withColumn("i",
+        graft_sorted_intersect(col("g1"), col("g2")).cast("double"))
+      .withColumn("jaccard", col("i") / (col("l1") + col("l2") - col("i")))
+      .where(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+    result.localCheckpoint(true)
+  }
+
   /** Embedding-cosine near-dup pairs via hyperplane-LSH bucketing,
     * OR-amplified over numTables independent signatures: a candidate pair is
     * any two vectors sharing ANY table's bucket (same banding idea as

@@ -354,6 +354,63 @@ object PipelineQueries {
         .orderBy("id1", "id2")
     },
 
+    // Cross-corpus near-dedup (decontamination): flag every corpus
+    // document whose 3-gram Jaccard with ANY reference document is >=
+    // 0.8 — the "remove training docs near-duplicate of an eval
+    // benchmark" pipeline op. EXACT bipartite prefix join
+    // (Dedup.crossJaccardJoin, the R-S AllPairs/PPJoin form): zero false
+    // negatives, which is the property decontamination actually needs —
+    // a missed benchmark leak is a poisoned eval, so probabilistic LSH
+    // recall is the wrong contract here. Fixture: refs = docs with id <
+    // 50 drawn FROM the corpus (verbatim leak: every ref matches itself
+    // at J = 1) plus 20 injected " graftdup" near-copies of ref docs
+    // (paraphrased leak at J ~ 0.86-0.99 for long docs). The oracle
+    // re-enumerates the full (corpus x refs) truth in DuckDB and pins
+    // the complete pair LIST with jaccards — organic borderline pairs
+    // included, which only an exact join can promise to match.
+    Q("x_cross_dedup",
+      """WITH corpus AS (
+        |  SELECT doc_id, lower(text) AS text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lower(text) || ' graftdup' FROM documents
+        |  WHERE doc_id < 20),
+        |refs AS (SELECT doc_id, lower(text) AS text FROM documents
+        |  WHERE doc_id < 50),
+        |tc AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+        |sc AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+        |  list_distinct(list_transform(generate_series(1, len(t)-2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |  ELSE [array_to_string(t, ' ')] END AS s FROM tc),
+        |tr AS (SELECT doc_id, string_split(text, ' ') AS t FROM refs),
+        |sr AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+        |  list_distinct(list_transform(generate_series(1, len(t)-2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |  ELSE [array_to_string(t, ' ')] END AS s FROM tr),
+        |ic AS (SELECT doc_id, unnest(s) AS g FROM sc),
+        |ir AS (SELECT doc_id, unnest(s) AS g FROM sr),
+        |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM ic a JOIN ir b ON a.g = b.g)
+        |SELECT c.id1, c.id2,
+        |round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        |  / len(list_distinct(list_concat(x.s, y.s))), 4) AS jaccard
+        |FROM cand c JOIN sc x ON x.doc_id = c.id1
+        |  JOIN sr y ON y.doc_id = c.id2
+        |WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        |  / len(list_distinct(list_concat(x.s, y.s))) >= 0.8
+        |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+      val docs = par(Tables(s, dir, "documents")).select("doc_id", "text")
+      val injected = docs.where(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" graftdup")).as("text"))
+      val refs = docs.where(col("doc_id") < 50)
+        .select(col("doc_id").as("ref_id"), col("text").as("ref_text"))
+      Dedup.crossJaccardJoin(docs.unionByName(injected), "doc_id", "text",
+        refs, "ref_id", "ref_text", shingleK = 3, threshold = 0.8)
+        .select(col("id1"), col("id2"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id1", "id2")
+    },
+
     // Distributed connected components (large-star/small-star) over a
     // deterministic chain graph: doc i ~ doc i+1 within each decade, so the
     // true clusters have a CLOSED FORM the SQL oracle states directly —

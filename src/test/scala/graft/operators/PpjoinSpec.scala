@@ -85,6 +85,50 @@ class PpjoinSpec extends SparkSpec {
     }
   }
 
+  test("crossJaccardJoin equals bipartite brute force across a threshold grid") {
+    val docs = corpus()
+    // refs drawn FROM the corpus (ids < 10) — the decontamination shape:
+    // self pairs (J = 1) must surface, near-dup pairs must surface, and
+    // nothing outside brute-force truth may appear
+    val refs = docs.where(col("doc_id") < 10)
+      .select(col("doc_id").as("ref_id"), col("text").as("ref_text"))
+    def cross(t: Double) = {
+      val pairs = docs.select(col("doc_id").as("id1"))
+        .crossJoin(refs.select(col("ref_id").as("id2")))
+      // jaccardOfPairs joins both sides back to one doc table, so stage a
+      // union table carrying refs under shifted ids, then shift back
+      val shifted = refs.select((col("ref_id") + 10000L).as("doc_id"),
+        col("ref_text").as("text"))
+      Dedup.jaccardOfPairs(
+        pairs.select(col("id1"), (col("id2") + 10000L).as("id2")),
+        docs.unionByName(shifted), "doc_id", "text", shingleK = 3)
+        .where(col("jaccard") >= t)
+        .select(col("id1"), (col("id2") - 10000L).as("id2"), col("jaccard"))
+    }
+    for (t <- Seq(0.5, 0.8, 1.0)) {
+      val got = Dedup.crossJaccardJoin(docs, "doc_id", "text",
+        refs, "ref_id", "ref_text", shingleK = 3, threshold = t)
+        .collect().map(key).toSet
+      val want = cross(t).collect().map(key).toSet
+      assert(got === want, s"threshold $t: cross join diverged from brute force")
+      assert(want.nonEmpty, s"threshold $t: degenerate fixture (empty truth)")
+      // every ref matches itself in the corpus at any threshold
+      assert((0L until 10L).forall(i => got.exists {
+        case (a, b, j) => a == i && b == i && j == 1000000000L }),
+        s"threshold $t: missing a self pair")
+    }
+  }
+
+  test("crossJaccardJoin on disjoint vocabularies is empty") {
+    import spark.implicits._
+    val l = Seq((1L, "alpha beta gamma delta"), (2L, "eps zeta eta theta"))
+      .toDF("doc_id", "text")
+    val r = Seq((7L, "one two three four"), (8L, "five six seven eight"))
+      .toDF("rid", "rtext")
+    assert(Dedup.crossJaccardJoin(l, "doc_id", "text", r, "rid", "rtext",
+      shingleK = 3, threshold = 0.5).count() === 0)
+  }
+
   test("threshold 0 is rejected (degenerate full inverted index)") {
     val docs = corpus()
     intercept[IllegalArgumentException] {
