@@ -109,6 +109,12 @@ object PipelineQueries {
         .map(_.payload.length.toLong).reduce(_ + _)
       ()
     }),
+    "x_audio_dedup" -> (_ => {
+      import s.implicits._
+      Multimodal.asAudioTable(Tables(s, dir, "documents"))
+        .map(_.payload.length.toLong).reduce(_ + _)
+      ()
+    }),
     "x_stream_quantile" -> (src => {
       twoFileStreamFixture(
         Tables(s, dir, "events")
@@ -2596,6 +2602,64 @@ object PipelineQueries {
         .select(col("doc_id"), col("r"), col("t").as("term"),
           col("tf"), col("df"), col("score"))
         .orderBy("doc_id", "r")
+    },
+
+    // PMI collocations — phrase detection over adjacent bigrams (the
+    // tokenizer-vocabulary / multi-word-expression primitive): top 50
+    // bigrams with count >= 5 by pointwise mutual information
+    // ln(c(ab)*T*T / (B*c(a)*c(b))). Same bit-identical-float discipline
+    // as x_tfidf (all inputs integers, one ln over one identically-
+    // ordered double product), and the x_hybrid_search rank-quantization
+    // lesson applied from birth: ORDER BY floor(pmi*1e6), never by the
+    // raw double, so the top-50 cut cannot ride a cross-engine ulp.
+    // Scale shape: two token shuffles (bigram + unigram counts), the
+    // unigram attach joins key on the WORD (vocabulary-sized — unhinted,
+    // AQE broadcasts while it fits), corpus totals are broadcast
+    // one-row frames; no window anywhere.
+    Q("x_collocations",
+      """WITH tok AS (SELECT doc_id,
+        |  list_filter(string_split(lower(text), ' '), w -> w <> '') AS t
+        |  FROM documents),
+        |uni AS (SELECT unnest(t) AS w FROM tok),
+        |uc AS (SELECT w, count(*) AS cw FROM uni GROUP BY w),
+        |tt AS (SELECT count(*) AS t FROM uni),
+        |bgl AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |  i -> t[i] || ' ' || t[i+1])) AS g FROM tok),
+        |bg AS (SELECT string_split(g, ' ')[1] AS a,
+        |  string_split(g, ' ')[2] AS b FROM bgl),
+        |bc AS (SELECT a, b, count(*) AS n_ab FROM bg GROUP BY a, b),
+        |bt AS (SELECT count(*) AS bn FROM bg),
+        |sc AS (SELECT a, b, n_ab,
+        |  ln((n_ab * 1.0 * t * t) / (bn * 1.0 * ca.cw * cb.cw)) AS pmi
+        |  FROM bc JOIN uc ca ON ca.w = a JOIN uc cb ON cb.w = b
+        |  CROSS JOIN tt CROSS JOIN bt WHERE n_ab >= 5)
+        |SELECT a, b, n_ab, round(pmi, 4) AS pmi FROM sc
+        |ORDER BY CAST(floor(pmi * 1000000) AS BIGINT) DESC, a, b
+        |LIMIT 50""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        filter(split(lower(col("text")), " "), w => w =!= "").as("t"))
+      val uni = toks.select(explode(col("t")).as("w"))
+      val uc = uni.groupBy("w").agg(count(lit(1)).as("cw"))
+      val tt = uni.agg(count(lit(1)).as("t"))
+      val n1 = greatest(size(col("t")) - 1, lit(0))
+      val bg = toks.select(explode(zip_with(
+          slice(col("t"), lit(1), n1), slice(col("t"), lit(2), n1),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+      val bc = bg.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      val bt = bg.agg(count(lit(1)).as("bn"))
+      val sc = bc.where(col("n_ab") >= 5)
+        .join(uc.select(col("w").as("a"), col("cw").as("ca")), "a")
+        .join(uc.select(col("w").as("b"), col("cw").as("cb")), "b")
+        .crossJoin(broadcast(tt))
+        .crossJoin(broadcast(bt))
+        .withColumn("pmi", log((col("n_ab") * lit(1.0) * col("t") * col("t"))
+          / (col("bn") * lit(1.0) * col("ca") * col("cb"))))
+      sc.orderBy(floor(col("pmi") * 1000000).cast("long").desc,
+          col("a"), col("b"))
+        .select(col("a"), col("b"), col("n_ab"), round(col("pmi"), 4).as("pmi"))
+        .limit(50)
     },
 
     // BM25 (k1=1.2, b=0.75) of the fixed query {spark, vector, stream}
