@@ -46,4 +46,41 @@ object RangeJoin {
       .where(col(pointTsCol) >= col(startCol) && col(pointTsCol) <= col(endCol))
       .drop("__b", startCol, endCol)
   }
+
+  /** Interval-OVERLAP join: (left, right) interval pairs sharing `keyCol`
+    * whose closed intervals intersect (ls <= re AND rs <= le) — the
+    * sessions-vs-sessions / attribution-window shape pointInInterval can't
+    * express. Same bucket decomposition on BOTH sides, equi-join on
+    * (key, bucket), exact overlap filter — and each qualifying pair is
+    * emitted exactly ONCE without a pair-dedup shuffle: a pair sharing k
+    * buckets is kept only in the bucket containing max(ls, rs), the
+    * overlap's left edge, which lies in exactly one bucket (the standard
+    * spatial-join report-once trick; a dropDuplicates here would be a
+    * pair-stream-sized exchange for nothing).
+    *
+    * All four bound columns must be Long (epoch units chosen by the
+    * caller); left/right column names must not collide except `keyCol`.
+    * Returns every left + right column (bounds included — overlap length
+    * is the caller's one-liner).
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame, keyCol: String,
+      lStartCol: String, lEndCol: String, rStartCol: String, rEndCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val collisions = right.columns.toSeq.intersect(left.columns.toSeq)
+      .filterNot(_ == keyCol)
+    require(collisions.isEmpty,
+      s"right columns $collisions collide with left columns — rename one side")
+    def bucketed(df: DataFrame, s: String, e: String) =
+      df.withColumn("__b", explode(sequence(
+        floor(col(s) / bucketWidth).cast("long"),
+        floor(col(e) / bucketWidth).cast("long"))))
+    bucketed(left, lStartCol, lEndCol)
+      .join(bucketed(right, rStartCol, rEndCol), Seq(keyCol, "__b"))
+      .where(col(lStartCol) <= col(rEndCol) &&
+        col(rStartCol) <= col(lEndCol) &&
+        col("__b") === floor(greatest(col(lStartCol), col(rStartCol))
+          / bucketWidth).cast("long"))
+      .drop("__b")
+  }
 }

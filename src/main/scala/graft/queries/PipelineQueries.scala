@@ -1791,6 +1791,45 @@ object PipelineQueries {
         .orderBy("user_id")
     },
 
+    // Interval-OVERLAP join (intervals x intervals, the shape
+    // point-in-interval can't express): each user's per-day view-activity
+    // window joined to their purchase-activity windows wherever the two
+    // CLOSED intervals intersect — co-active periods, the
+    // sessions-vs-sessions / attribution-window-collision primitive.
+    // RangeJoin.intervalOverlap buckets BOTH sides, equi-joins on
+    // (user, bucket), and emits each pair exactly once at the bucket
+    // holding max(start, start) — no pair-dedup shuffle. Full oracle:
+    // DuckDB recomputes the pair list + overlap length with a plain
+    // inequality join (fine at oracle SF; the bucketed equi-join is the
+    // shape that survives when neither side broadcasts).
+    Q("x_overlap_join",
+      """WITH v AS (SELECT user_id, date_trunc('day', ts) AS day_v,
+        |  min(epoch_ms(ts)) AS vs, max(epoch_ms(ts)) AS ve FROM events
+        |  WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (SELECT user_id, date_trunc('day', ts) AS day_p,
+        |  min(epoch_ms(ts)) AS ps, max(epoch_ms(ts)) AS pe FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT v.user_id AS user_id, day_v, day_p,
+        |CAST(least(ve, pe) - greatest(vs, ps) AS BIGINT) AS overlap_ms
+        |FROM v JOIN p ON v.user_id = p.user_id
+        |  AND vs <= pe AND ps <= ve
+        |ORDER BY user_id, day_v, day_p""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      def windows(tpe: String, day: String, a: String, b: String) =
+        ev.where(col("event_type") === tpe)
+          .groupBy(col("user_id"), date_trunc("day", col("ts")).as(day))
+          .agg(min(unix_millis(col("ts"))).as(a),
+            max(unix_millis(col("ts"))).as(b))
+      val pairs = graft.operators.RangeJoin.intervalOverlap(
+        windows("view", "day_v", "vs", "ve"),
+        windows("purchase", "day_p", "ps", "pe"),
+        "user_id", "vs", "ve", "ps", "pe", bucketWidth = 3600000L)
+      pairs.select(col("user_id"), col("day_v"), col("day_p"),
+          (least(col("ve"), col("pe")) - greatest(col("vs"), col("ps")))
+            .as("overlap_ms"))
+        .orderBy("user_id", "day_v", "day_p")
+    },
+
     // As-of (point-in-time) join: each purchase gets the same user's most
     // recent click value at-or-before purchase time — no future leakage.
     // Oracled against DuckDB's native ASOF LEFT JOIN.

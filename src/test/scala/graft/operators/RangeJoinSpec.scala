@@ -55,4 +55,37 @@ class RangeJoinSpec extends SparkSpec {
       "k", "pt", "s", "e", Seq("tag"), bucketWidth = 100L)
     assert(got.count() == 1)
   }
+
+  test("intervalOverlap equals brute force; exactly-once across shared buckets") {
+    // seeded random intervals over 3 keys, lengths spanning 0-10 buckets
+    val rnd = new scala.util.Random(7)
+    def ivs(n: Int, tag: String) = (0 until n).map { i =>
+      val k = rnd.nextInt(3).toLong
+      val s = rnd.nextInt(1000).toLong
+      (k, s, s + rnd.nextInt(500).toLong, s"$tag$i")
+    }
+    val l = ivs(60, "L").toDF("k", "ls", "le", "ltag")
+    val r = ivs(60, "R").toDF("k", "rs", "re", "rtag")
+    val got = RangeJoin.intervalOverlap(l, r, "k", "ls", "le", "rs", "re",
+      bucketWidth = 50L)
+      .select("ltag", "rtag").collect()
+      .map(x => (x.getString(0), x.getString(1))).toSeq
+    val want = l.join(r, Seq("k"))
+      .where(col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("ltag", "rtag").collect()
+      .map(x => (x.getString(0), x.getString(1))).toSeq
+    assert(got.length === got.distinct.length,
+      "a pair was emitted more than once despite sharing several buckets")
+    assert(got.toSet === want.toSet)
+    assert(want.nonEmpty)
+  }
+
+  test("intervalOverlap: touching endpoints overlap (closed intervals)") {
+    val l = Seq((1L, 0L, 100L, "a")).toDF("k", "ls", "le", "ltag")
+    val r = Seq((1L, 100L, 200L, "b"), (1L, 101L, 200L, "c"))
+      .toDF("k", "rs", "re", "rtag")
+    val got = RangeJoin.intervalOverlap(l, r, "k", "ls", "le", "rs", "re", 64L)
+      .select("rtag").collect().map(_.getString(0)).toSeq
+    assert(got === Seq("b"))
+  }
 }
