@@ -56,7 +56,12 @@ object ScaleCheck {
     // r9 extended-session: exact bipartite decontamination join — corpus
     // side grows with the replication, the 50-doc benchmark side stays
     // copy-0 (the real decontamination shape: fixed refs, growing corpus)
-    "x_cross_dedup")
+    "x_cross_dedup",
+    // r9 extended-session: audio near-dup joins the media family's
+    // evidence — per-row WAV render is fixture (forced + timed alone via
+    // streamFixtureWriters, the x_media_dedup decomposition), the
+    // decode+Goertzel hash and band join are the machinery
+    "x_audio_dedup")
 
   /** Streaming-path members (r6 judge #5): real foreachBatch sinks over the
     * replicated corpus. Caveat on reading their ratios: each query's timed

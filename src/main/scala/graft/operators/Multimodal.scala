@@ -92,21 +92,74 @@ object Multimodal {
     val sampleRate = 8000
     val nFrames = 400 + (math.floorMod(nChars, 400L)).toInt
     val freq = 200.0 + math.floorMod(docId, 400L)
-    val pcm = new Array[Byte](nFrames * 2)
+    // canonical 44-byte RIFF/WAVE header written directly — byte-identical
+    // to AudioSystem.write's output for PCM, without the stream/provider
+    // machinery that costs ~50 us per call (AudioDiag: the sine loop is
+    // ~2 us; the codec plumbing was the render). attenuateWav keeps the
+    // real codec round-trip — that's where the fixture's "through the
+    // JDK codec" claim lives.
+    val dataLen = nFrames * 2
+    val out = new Array[Byte](44 + dataLen)
+    def w32(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+      out(o + 2) = ((v >> 16) & 0xff).toByte; out(o + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def w16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def tag(o: Int, s: String): Unit = {
+      var i = 0; while (i < 4) { out(o + i) = s.charAt(i).toByte; i += 1 }
+    }
+    tag(0, "RIFF"); w32(4, 36 + dataLen); tag(8, "WAVE")
+    tag(12, "fmt "); w32(16, 16); w16(20, 1); w16(22, 1)
+    w32(24, sampleRate); w32(28, sampleRate * 2); w16(32, 2); w16(34, 16)
+    tag(36, "data"); w32(40, dataLen)
     var i = 0
     while (i < nFrames) {
       val s = (math.sin(2 * math.Pi * freq * i / sampleRate) * 12000).toInt
-      pcm(2 * i) = (s & 0xff).toByte
-      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      out(44 + 2 * i) = (s & 0xff).toByte
+      out(44 + 2 * i + 1) = ((s >> 8) & 0xff).toByte
       i += 1
     }
-    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new ByteArrayInputStream(pcm), fmt, nFrames.toLong)
-    val out = new ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
-    out.toByteArray
+    out
+  }
+
+  /** Fast-path RIFF chunk walk for 16-bit PCM little-endian WAVs:
+    * (sampleRate, blockAlign, dataOffset, dataLength), or None for
+    * ANYTHING the strict parse doesn't recognize — callers fall back to
+    * the JDK codec (AIFF/AU, compressed encodings, exotic chunk layouts).
+    * Rationale (AudioDiag): AudioSystem.getAudioInputStream costs ~45 us
+    * per call in provider/stream machinery against ~7 us for the whole
+    * Goertzel kernel — on a corpus-sized hash the codec plumbing WAS the
+    * row. A container chunk walk is what production fingerprinters do;
+    * the decode math downstream is unchanged.
+    */
+  private[operators] def wavPcm16(p: Array[Byte]): Option[(Double, Int, Int, Int)] = {
+    def u32(o: Int): Long = (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
+      ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+    def u16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+    def tag(o: Int, s: String): Boolean =
+      p(o) == s.charAt(0) && p(o + 1) == s.charAt(1) &&
+        p(o + 2) == s.charAt(2) && p(o + 3) == s.charAt(3)
+    if (p.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var off = 12
+    var rate = -1.0; var blockAlign = -1
+    var dataOff = -1; var dataLen = -1
+    while (off + 8 <= p.length) {
+      val sz = u32(off + 4)
+      if (sz < 0 || sz > Int.MaxValue || off + 8 + sz > p.length) return None
+      if (tag(off, "fmt ")) {
+        if (sz < 16) return None
+        if (u16(off + 8) != 1 || u16(off + 22) != 16) return None // PCM, 16-bit
+        rate = u32(off + 12).toDouble
+        blockAlign = u16(off + 20)
+      } else if (tag(off, "data")) {
+        dataOff = off + 8; dataLen = sz.toInt
+      }
+      off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+    }
+    if (rate > 0 && blockAlign > 0 && dataOff >= 0) Some((rate, blockAlign, dataOff, dataLen))
+    else None
   }
 
   // ---- REAL decoders (JDK codecs) ----
@@ -147,22 +200,30 @@ object Multimodal {
     */
   def decodeWav(payload: Array[Byte]): Option[(Int, Long, Double, Double)] =
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new ByteArrayInputStream(payload))
-      val fmt = ais.getFormat
-      val nFrames = ais.getFrameLength
-      val data = ais.readAllBytes()
+      // fast path: strict RIFF walk (wavPcm16); codec fallback otherwise —
+      // same (sampleRate, frames, duration, rms) either way: frames =
+      // dataLen / blockAlign exactly as AudioInputStream.getFrameLength
+      // reports it, rms over the same 16-bit LE sample stream.
+      val (sr, nFrames, data, off, len) = wavPcm16(payload) match {
+        case Some((rate, blockAlign, dataOff, dataLen)) =>
+          (rate, dataLen.toLong / blockAlign, payload, dataOff, dataLen)
+        case None =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(payload))
+          val fmt = ais.getFormat
+          val d = ais.readAllBytes()
+          (fmt.getSampleRate.toDouble, ais.getFrameLength, d, 0, d.length)
+      }
       var sumSq = 0.0
-      var i = 0
-      while (i + 1 < data.length) {
+      var i = off
+      while (i + 1 < off + len) {
         val s = ((data(i + 1) << 8) | (data(i) & 0xff)).toShort.toDouble
         sumSq += s * s
         i += 2
       }
-      val n = data.length / 2
+      val n = len / 2
       val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
-      Some((fmt.getSampleRate.toInt, nFrames,
-        nFrames * 1000.0 / fmt.getSampleRate, rms))
+      Some((sr.toInt, nFrames, nFrames * 1000.0 / sr, rms))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** REAL resize: decode, nearest-neighbor-free Graphics2D scale, re-encode.
@@ -395,38 +456,51 @@ object Multimodal {
     */
   def spectralHash64(payload: Array[Byte]): Option[Long] =
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new ByteArrayInputStream(payload))
-      val fmt = ais.getFormat
-      val data = ais.readAllBytes()
-      val n = data.length / 2
-      if (n < 32) None
-      else {
-        val samples = new Array[Double](n)
-        var i = 0
-        while (i < n) {
-          samples(i) = ((data(2 * i + 1) << 8) | (data(2 * i) & 0xff)).toShort.toDouble
-          i += 1
-        }
-        val sr = fmt.getSampleRate.toDouble
-        val freqs = Array(220.0, 320.0, 420.0, 520.0, 620.0)
-        val chunks = 16
-        var bits = 0L
-        var c = 0
-        while (c < chunks) {
-          val lo = c * n / chunks
-          val hi = math.max(lo + 1, (c + 1) * n / chunks)
-          val p = freqs.map(f => goertzelPower(samples, lo, hi, f, sr))
-          var k = 0
-          while (k < 4) {
-            if (p(k) < p(k + 1)) bits |= (1L << (c * 4 + k))
-            k += 1
-          }
-          c += 1
-        }
-        Some(bits)
+      wavPcm16(payload) match {
+        case Some((sr, _, off, len)) =>
+          spectralBits(payload, off, len / 2, sr)
+        case None =>
+          // codec fallback: any container the strict WAV walk declined
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(payload))
+          val fmt = ais.getFormat
+          val data = ais.readAllBytes()
+          spectralBits(data, 0, data.length / 2, fmt.getSampleRate.toDouble)
       }
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The Goertzel bit derivation over 16-bit LE samples at data(off..):
+    * identical math for the fast path and the codec fallback.
+    */
+  private def spectralBits(data: Array[Byte], off: Int, n: Int,
+      sr: Double): Option[Long] = {
+    if (n < 32) None
+    else {
+      val samples = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        samples(i) = ((data(off + 2 * i + 1) << 8) |
+          (data(off + 2 * i) & 0xff)).toShort.toDouble
+        i += 1
+      }
+      val freqs = Array(220.0, 320.0, 420.0, 520.0, 620.0)
+      val chunks = 16
+      var bits = 0L
+      var c = 0
+      while (c < chunks) {
+        val lo = c * n / chunks
+        val hi = math.max(lo + 1, (c + 1) * n / chunks)
+        val p = freqs.map(f => goertzelPower(samples, lo, hi, f, sr))
+        var k = 0
+        while (k < 4) {
+          if (p(k) < p(k + 1)) bits |= (1L << (c * 4 + k))
+          k += 1
+        }
+        c += 1
+      }
+      Some(bits)
+    }
+  }
 
   /** Goertzel power of samples[lo, hi) at frequency f. */
   private def goertzelPower(s: Array[Double], lo: Int, hi: Int,

@@ -95,4 +95,34 @@ class MediaDedupSpec extends SparkSpec {
       Multimodal.attenuateWav(wav, 0.5)).get
     assert(math.abs(rms1 / rms0 - 0.5) < 0.01, s"rms ratio ${rms1 / rms0}")
   }
+
+  test("direct WAV render/parse match the JDK codec byte-for-byte and bit-for-bit") {
+    for (id <- Seq(0L, 7L, 399L); chars <- Seq(100L, 512L, 799L)) {
+      val wav = Multimodal.renderWav(id, chars)
+      // the hand-written 44-byte header must be exactly what the codec
+      // writes for the same PCM...
+      val ais0 = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      val pcm = ais0.readAllBytes()
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, pcm.length / 2),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      assert(java.util.Arrays.equals(wav, out.toByteArray),
+        s"renderWav($id,$chars) diverged from AudioSystem.write")
+      // ...and the fast-path chunk walk must agree with the codec on
+      // rate/frames/offsets, so the fast and fallback hash paths are
+      // the same function
+      val (rate, blockAlign, off, len) = Multimodal.wavPcm16(wav).get
+      assert(rate === 8000.0 && blockAlign === 2 && off === 44 &&
+        len === pcm.length)
+      // attenuated re-encode (codec-written) parses identically too
+      val att = Multimodal.attenuateWav(wav, 0.5)
+      assert(Multimodal.wavPcm16(att).isDefined,
+        "codec-written WAV rejected by the fast parse")
+      assert(Multimodal.spectralHash64(wav) === Multimodal.spectralHash64(att))
+    }
+  }
 }
