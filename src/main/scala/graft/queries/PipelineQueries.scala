@@ -2318,6 +2318,39 @@ object PipelineQueries {
       } finally deleteRecursively(tmp)
     },
 
+    // Sequential path mining — top event TRIGRAMS over each user's
+    // time-ordered journey (the frequent-subsequence primitive behind
+    // next-action models and journey analytics; x_funnel asks about ONE
+    // fixed pattern, this ranks all of them). Order inside a user is
+    // (ts, event_id) in both engines — ts alone can tie, and a tied
+    // window order is the classic silent cross-engine divergence. The
+    // window partitions by user (bounded by one user's history, never
+    // corpus-wide); the trigram count is one aggregate; the top-20 cut
+    // orders by (n DESC, path) — a total order, no float anywhere.
+    Q("x_event_paths",
+      """WITH s AS (SELECT event_type AS e,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS e2,
+        |  lead(event_type, 2) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS e3 FROM events),
+        |t AS (SELECT e || '>' || e2 || '>' || e3 AS path FROM s
+        |  WHERE e2 IS NOT NULL AND e3 IS NOT NULL)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY path
+        |ORDER BY n DESC, path LIMIT 20""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("e"))
+        .withColumn("e2", lead(col("e"), 1).over(w))
+        .withColumn("e3", lead(col("e"), 2).over(w))
+        .where(col("e2").isNotNull && col("e3").isNotNull)
+        .select(concat_ws(">", col("e"), col("e2"), col("e3")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(20)
+    },
+
     // Ordered-sequence funnel (view -> click -> purchase): each stage's
     // earliest qualifying timestamp must be STRICTLY after the previous
     // stage's — the product-analytics conversion funnel. The per-stage
