@@ -143,6 +143,18 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_sorted_intersect",
       exprs => SortedLongIntersect(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_mg",
+      exprs => MgBuild(exprs(0)).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_mg_merge",
+      exprs => MgMerge(exprs(0)).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_mg_query",
+      exprs => MgQuery(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_mg_stats",
+      exprs => MgStats(exprs(0)), "built-in")
     // Spark's own runtime-filter expressions, surfaced for EXPLICIT
     // semi-join prefilters (Catalyst injects them only under its own
     // InjectRuntimeFilter heuristics; a pipeline author building a
@@ -212,6 +224,13 @@ object GraftFunctions {
     call_function("graft_cms_query", sketch, hash)
   def graft_sorted_intersect(a: Column, b: Column): Column =
     call_function("graft_sorted_intersect", a, b)
+  def graft_mg(key: Column): Column = call_function("graft_mg", key)
+  def graft_mg_merge(sketch: Column): Column =
+    call_function("graft_mg_merge", sketch)
+  def graft_mg_query(sketch: Column, key: Column): Column =
+    call_function("graft_mg_query", sketch, key)
+  def graft_mg_stats(sketch: Column): Column =
+    call_function("graft_mg_stats", sketch)
   def graft_qsketch(v: Column, k: Int, ps: Seq[Double]): Column =
     call_function("graft_qsketch", v,
       org.apache.spark.sql.functions.lit(k),
@@ -278,6 +297,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => CmsQuery(exprs(0), exprs(1)))
     inject("graft_sorted_intersect", classOf[SortedLongIntersect],
       exprs => SortedLongIntersect(exprs(0), exprs(1)))
+    inject("graft_mg", classOf[MgBuild],
+      exprs => MgBuild(exprs(0)).toAggregateExpression())
+    inject("graft_mg_merge", classOf[MgMerge],
+      exprs => MgMerge(exprs(0)).toAggregateExpression())
+    inject("graft_mg_query", classOf[MgQuery],
+      exprs => MgQuery(exprs(0), exprs(1)))
+    inject("graft_mg_stats", classOf[MgStats],
+      exprs => MgStats(exprs(0)))
     inject("graft_qsketch", classOf[QuantileSketch],
       exprs => QuantileSketch(exprs(0), exprs(1), exprs(2)).toAggregateExpression())
     // Plan linter: fail fast on 100 TB scale-killers (un-partitioned Window

@@ -2231,6 +2231,75 @@ object PipelineQueries {
       } finally deleteRecursively(tmp)
     },
 
+    // Misra-Gries heavy-hitters rollup — the FOURTH stored-sketch member
+    // (HLL = distinct, qdigest = ranks, CMS = per-key frequency, MG =
+    // WHICH keys are frequent): per-day summaries (graft_mg, K=64, ~1 KB)
+    // written to parquet, merged (graft_mg_merge) and probed without
+    // rescanning raw events. The key stream is deliberately SKEWED (every
+    // user_id%4==0 event collapses onto event_id%8 -> 8 keys carrying
+    // ~3% of N each; the rest spread over 1000+user_id) because uniform
+    // keys have no heavy hitters to find. Unlike CMS there is NO
+    // probability to budget and NO bit-identity to pin (MG state is
+    // order-sensitive): the gates are the PODS'12 DETERMINISTIC
+    // invariants read off the merged state's own (n, m) — est <= exact
+    // ALWAYS, exact - est <= (N-M)/(K+1), and every key above that bound
+    // PRESENT — plus n == total increments. Any violation is a bug.
+    Q("x_mg_rollup",
+      """SELECT CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+        |CAST(count(DISTINCT CASE WHEN user_id % 4 = 0 THEN event_id % 8
+        |  ELSE 1000 + user_id END) AS BIGINT) AS n_keys,
+        |CAST(0 AS BIGINT) AS n_violations FROM events""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions.{graft_mg, graft_mg_merge, graft_mg_query, graft_mg_stats}
+      val ev = Tables(s, dir, "events")
+        .select(date_trunc("day", col("ts")).as("day"),
+          when(col("user_id") % 4 === 0, col("event_id") % 8)
+            .otherwise(lit(1000L) + col("user_id")).as("k"))
+      val tmp = Tmp.dir("graft-mg")
+      try {
+        val rollup = tmp.resolve("daily").toString
+        ev.groupBy("day").agg(graft_mg(col("k")).as("sketch"))
+          .write.mode("overwrite").parquet(rollup)
+        val stored = s.read.parquet(rollup)
+        val merged = stored.agg(graft_mg_merge(col("sketch")).as("sk"),
+          count(lit(1)).as("n_days")).collect()(0)
+        val (sk, nDays) = (merged.getAs[Array[Byte]](0), merged.getLong(1))
+        val statsRow = s.range(1)
+          .select(graft_mg_stats(lit(sk)).as("st")).collect()(0)
+        val st = statsRow.getAs[scala.collection.Seq[Long]]("st")
+        val (n, m, k) = (st(0), st(1), st(2))
+        val bound = (n - m).toDouble / (k + 1)
+        val total = ev.count()
+        Gate.check(n == total,
+          s"merged state absorbed $n increments, raw stream has $total")
+        // EVERY key's exact count vs the merged summary — the invariants
+        // are universal, so the gate checks the full key population, not
+        // a probe subset (key count is bounded: 8 heavy + user domain)
+        val checked = ev.groupBy("k").agg(count(lit(1)).as("exact"))
+          .withColumn("est", graft_mg_query(lit(sk), col("k")))
+          .withColumn("over", col("est") > col("exact"))
+          .withColumn("outside",
+            (col("exact") - col("est")).cast("double") > lit(bound))
+          .withColumn("heavy_absent",
+            col("exact").cast("double") > lit(bound) && col("est") === 0)
+        val bad = checked.agg(
+          coalesce(sum(when(col("over"), 1L)), lit(0L)),
+          coalesce(sum(when(col("outside"), 1L)), lit(0L)),
+          coalesce(sum(when(col("heavy_absent"), 1L)), lit(0L)),
+          count(lit(1))).collect()(0)
+        val (over, outside, absent, nKeys) =
+          (bad.getLong(0), bad.getLong(1), bad.getLong(2), bad.getLong(3))
+        Gate.check(over == 0, s"$over keys OVERcounted — MG must be one-sided")
+        Gate.check(outside == 0,
+          s"$outside keys outside the deterministic (N-M)/(K+1) bound")
+        Gate.check(absent == 0,
+          s"$absent heavy keys missing from the merged summary")
+        import s.implicits._
+        Seq((nDays, nKeys, over + outside + absent))
+          .toDF("n_days", "n_keys", "n_violations")
+      } finally deleteRecursively(tmp)
+    },
+
     // STREAMING count-min — cms-in-stream, closing the sketch-family
     // streaming matrix (x_stream_quantile = ranks; this = per-key
     // frequency): per-(day, micro-batch) 64 KB CMS partials accumulate
