@@ -2420,6 +2420,83 @@ object PipelineQueries {
         .limit(20)
     },
 
+    // STREAMING heavy hitters — Misra-Gries partials across micro-batch
+    // boundaries (x_mg_rollup's contract carried into the stream, the
+    // x_stream_cms / x_stream_quantile discipline): per-(day, batch) MG
+    // summaries from a foreachBatch sink, merged per day and globally
+    // WITHOUT rescanning raw events. The PODS'12 invariant is exactly
+    // what makes this composition legal — merging the stored per-batch
+    // partials preserves est <= exact and the (N-M)/(K+1) bound no
+    // matter how the stream was batched, so the gates are the same
+    // DETERMINISTIC ones as the batch rollup, over the full key
+    // population. User-parity fixture split (not day) so every day's
+    // summary genuinely accumulates across batches (n_multi gate).
+    Q("x_stream_topk",
+      """SELECT CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+        |CAST(count(DISTINCT CASE WHEN user_id % 4 = 0 THEN event_id % 8
+        |  ELSE 1000 + user_id END) AS BIGINT) AS n_keys,
+        |CAST(0 AS BIGINT) AS n_violations FROM events""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions.{graft_mg, graft_mg_merge, graft_mg_query, graft_mg_stats}
+      val tmp = Tmp.dir("graft-stopk")
+      try {
+        val src = tmp.resolve("src").toString
+        val state = tmp.resolve("state").toString
+        val ev = Tables(s, dir, "events")
+          .select(col("ts"), col("user_id"),
+            when(col("user_id") % 4 === 0, col("event_id") % 8)
+              .otherwise(lit(1000L) + col("user_id")).as("k"))
+        val genFiles = twoFileStreamFixture(ev,
+          pmod(col("user_id"), lit(2)) === 0, src)
+        val stream = s.readStream.schema(s.read.parquet(src).schema)
+          .option("maxFilesPerTrigger", genFiles).parquet(src)
+        withShufflePartitions(s, 4) {
+          val sink = stream.writeStream.foreachBatch {
+            (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              batch.groupBy(date_trunc("day", col("ts")).as("day"))
+                .agg(graft_mg(col("k")).as("sketch"))
+                .write.mode("append").parquet(state)
+              ()
+          }.option("checkpointLocation", tmp.resolve("ckpt").toString).start()
+          try sink.processAllAvailable() finally sink.stop()
+        }
+        val stored = s.read.parquet(state)
+        val nDays = stored.select("day").distinct().count()
+        val nMulti = stored.groupBy("day").agg(count(lit(1)).as("np"))
+          .where(col("np") > 1).count()
+        Gate.check(nMulti >= 1,
+          "no day accumulated >1 partial — cross-batch merge not exercised")
+        val merged = stored.agg(graft_mg_merge(col("sketch")).as("sk")).collect()(0)
+        val sk = merged.getAs[Array[Byte]](0)
+        val st = s.range(1).select(graft_mg_stats(lit(sk)).as("st"))
+          .collect()(0).getAs[scala.collection.Seq[Long]]("st")
+        val (n, m, k) = (st(0), st(1), st(2))
+        val bound = (n - m).toDouble / (k + 1)
+        val total = ev.count()
+        Gate.check(n == total,
+          s"merged stream state absorbed $n increments, raw has $total")
+        val bad = ev.groupBy("k").agg(count(lit(1)).as("exact"))
+          .withColumn("est", graft_mg_query(lit(sk), col("k")))
+          .agg(
+            coalesce(sum(when(col("est") > col("exact"), 1L)), lit(0L)),
+            coalesce(sum(when((col("exact") - col("est")).cast("double")
+              > lit(bound), 1L)), lit(0L)),
+            coalesce(sum(when(col("exact").cast("double") > lit(bound) &&
+              col("est") === 0, 1L)), lit(0L)),
+            count(lit(1))).collect()(0)
+        val (over, outside, absent, nKeys) =
+          (bad.getLong(0), bad.getLong(1), bad.getLong(2), bad.getLong(3))
+        Gate.check(over == 0, s"$over keys OVERcounted — MG must be one-sided")
+        Gate.check(outside == 0,
+          s"$outside keys outside the (N-M)/(K+1) bound after stream merge")
+        Gate.check(absent == 0,
+          s"$absent heavy keys missing from the stream-merged summary")
+        import s.implicits._
+        Seq((nDays, nKeys, over + outside + absent))
+          .toDF("n_days", "n_keys", "n_violations")
+      } finally deleteRecursively(tmp)
+    },
+
     // Ordered-sequence funnel (view -> click -> purchase): each stage's
     // earliest qualifying timestamp must be STRICTLY after the previous
     // stage's — the product-analytics conversion funnel. The per-stage
