@@ -2420,6 +2420,71 @@ object PipelineQueries {
         .limit(20)
     },
 
+    // STREAMING HLL — distinct-in-stream, completing the sketch-in-stream
+    // matrix (quantile digest, count-min, Misra-Gries, and now HLL all
+    // accumulate per-(day, micro-batch) partials from a foreachBatch sink
+    // and answer from stored state without rescanning raw events).
+    // Register max is order-insensitive, so HLL gets the CMS-style
+    // BIT-IDENTITY gate: each day's merged-of-stream-partials must equal
+    // the direct-over-raw sketch byte-for-byte, however the stream was
+    // batched; the user-parity fixture split makes every day straddle
+    // generations (n_multi gate). Accuracy gate: all-time merged estimate
+    // within 3 x 1.6% rsd of exact, as in x_hll_rollup.
+    Q("x_stream_hll",
+      """SELECT CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+        |CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |CAST(0 AS BIGINT) AS n_violations FROM events""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions.{graft_hll, graft_hll_card, graft_hll_merge}
+      val tmp = Tmp.dir("graft-shll")
+      try {
+        val src = tmp.resolve("src").toString
+        val state = tmp.resolve("state").toString
+        val ev = Tables(s, dir, "events").select(col("ts"), col("user_id"))
+        val genFiles = twoFileStreamFixture(ev,
+          pmod(col("user_id"), lit(2)) === 0, src)
+        val stream = s.readStream.schema(s.read.parquet(src).schema)
+          .option("maxFilesPerTrigger", genFiles).parquet(src)
+        withShufflePartitions(s, 4) {
+          val sink = stream.writeStream.foreachBatch {
+            (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              batch.groupBy(date_trunc("day", col("ts")).as("day"))
+                .agg(graft_hll(xxhash64(col("user_id"))).as("sketch"))
+                .write.mode("append").parquet(state)
+              ()
+          }.option("checkpointLocation", tmp.resolve("ckpt").toString).start()
+          try sink.processAllAvailable() finally sink.stop()
+        }
+        val stored = s.read.parquet(state)
+        val perDay = stored.groupBy("day")
+          .agg(graft_hll_merge(col("sketch")).as("sk"),
+            count(lit(1)).as("n_partials"))
+        val direct = ev.groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(graft_hll(xxhash64(col("user_id"))).as("dsk"))
+        val dayRows = perDay.join(direct, "day")
+          .select(col("n_partials"), (col("sk") === col("dsk")).as("same"))
+          .collect()
+        val nDays = dayRows.length.toLong
+        val nMulti = dayRows.count(_.getAs[Long]("n_partials") > 1)
+        val mismatch = dayRows.count(r => !r.getAs[Boolean]("same"))
+        Gate.check(mismatch == 0,
+          s"$mismatch/$nDays days: merged-of-stream-partials != direct sketch")
+        Gate.check(nMulti >= 1,
+          "no day accumulated >1 partial — cross-batch merge not exercised")
+        val est = stored
+          .agg(graft_hll_card(graft_hll_merge(col("sketch"))).as("est"))
+          .collect()(0).getLong(0)
+        val exact = ev.agg(countDistinct("user_id")).collect()(0).getLong(0)
+        Gate.check(math.abs(est - exact) <= math.max(3, 3 * 0.016 * exact),
+          s"stream-merged HLL estimate $est outside 3-rsd of exact $exact")
+        import s.implicits._
+        Seq((nDays, exact, mismatch.toLong +
+          (if (nMulti >= 1) 0L else 1L) +
+          (if (math.abs(est - exact) <= math.max(3, 3 * 0.016 * exact)) 0L else 1L)))
+          .toDF("n_days", "n_exact", "n_violations")
+      } finally deleteRecursively(tmp)
+    },
+
     // STREAMING heavy hitters — Misra-Gries partials across micro-batch
     // boundaries (x_mg_rollup's contract carried into the stream, the
     // x_stream_cms / x_stream_quantile discipline): per-(day, batch) MG
