@@ -61,7 +61,11 @@ object ScaleCheck {
     // evidence — per-row WAV render is fixture (forced + timed alone via
     // streamFixtureWriters, the x_media_dedup decomposition), the
     // decode+Goertzel hash and band join are the machinery
-    "x_audio_dedup")
+    "x_audio_dedup",
+    // r9 extended-session: iterative k-core peeling (graph member five) —
+    // rounds bounded by the fixture's 4-deep tendril cascade, each round
+    // one degree aggregate + two semi-joins over a shrinking edge list
+    "x_kcore")
 
   /** Streaming-path members (r6 judge #5): real foreachBatch sinks over the
     * replicated corpus. Caveat on reading their ratios: each query's timed

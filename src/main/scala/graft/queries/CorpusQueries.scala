@@ -223,6 +223,43 @@ object CorpusQueries {
             * (col("c") % p) % p), lit(0L)).as("checksum"))
     },
 
+    // k-core decomposition — iterative peeling (operators.KCore), the
+    // fifth graph-family member. Fixture: every COMPLETE group of 8 doc
+    // ids becomes a 4-clique (offsets 0-3) with a 4-node path hanging
+    // off offset 0 (offsets 4-7) — so the 2-core has a CLOSED FORM
+    // (exactly the clique members) while the answer still requires the
+    // cascade: the path's inner nodes sit at degree 2 and drop only
+    // AFTER their outer neighbor peels, three genuine rounds deep. A raw
+    // degree threshold would keep them — the oracle distinguishes
+    // peeling from filtering. Group completeness is derived from the
+    // ACTUAL id population in both engines (ScaleCheck corpora stride
+    // their copy ids, so arithmetic-only group bounds would plant edges
+    // on ids that don't exist).
+    Q("x_kcore",
+      """WITH g AS (SELECT doc_id // 8 AS g, count(*) AS c FROM documents
+        |  GROUP BY 1),
+        |core AS (SELECT d.doc_id AS id FROM documents d
+        |  JOIN g ON d.doc_id // 8 = g.g
+        |  WHERE g.c = 8 AND d.doc_id % 8 <= 3)
+        |SELECT CAST(count(*) AS BIGINT) AS n_core,
+        |CAST(sum(id % 999983) AS BIGINT) AS checksum FROM core""".stripMargin) { (s, dir) =>
+      val ids = Tables(s, dir, "documents").select(col("doc_id"))
+      val groups = ids.groupBy(expr("doc_id div 8").as("g"))
+        .agg(count(lit(1)).as("c"))
+        .where(col("c") === 8)
+        .select((col("g") * 8).as("b"))
+      val pairs = (for (a <- 0 until 4; c <- (a + 1) until 4)
+        yield (a, c)) ++ Seq((0, 4), (4, 5), (5, 6), (6, 7))
+      val offsets = array(pairs.map { case (a, c) =>
+        struct(lit(a).as("a"), lit(c).as("c")) }: _*)
+      val edges = groups.select(col("b"), explode(offsets).as("o"))
+        .select((col("b") + col("o.a")).as("src"),
+          (col("b") + col("o.c")).as("dst"))
+      graft.operators.KCore.kcore(edges, k = 2)
+        .agg(count(lit(1)).as("n_core"),
+          coalesce(sum(col("id") % 999983), lit(0L)).as("checksum"))
+    },
+
     // Multi-source BFS distance — frontier-expansion iterative dataflow
     // (operators.Bfs), the third member of the graph family next to
     // PageRank (fixed-point) and connected components (pointer doubling):
