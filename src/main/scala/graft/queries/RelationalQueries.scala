@@ -1036,6 +1036,34 @@ object RelationalQueries {
     // Extension: pivot — long-to-wide with EXPLICIT pivot values. Listing
     // the values matters at scale: without them Spark runs an extra
     // distinct job over the pivot column before it can even plan.
+    // 2D skyline (Pareto front): orders minimal in BOTH order date and
+    // total price — no earlier-or-same-day order was as cheap, strict in
+    // one coordinate. The textbook SQL is a running min over one GLOBAL
+    // sort (an unpartitioned window — the 100 TB scale-killer);
+    // operators.Skyline instead takes per-x minima, range-partitions,
+    // emits per-partition local skylines in one narrow pass, folds the P
+    // partition minima into an exclusive prefix-min on the driver (P
+    // doubles, never rows — the zipWithIndex discipline applied to
+    // dominance), and keeps local points strictly under their
+    // preceding-partition bound. The oracle states the same front with
+    // the window form — fine at oracle SF, where the point is agreeing
+    // with the distributed decomposition, not surviving it.
+    Q("x_skyline",
+      """WITH pts AS (SELECT date_diff('day', DATE '1992-01-01', o_orderdate) AS x,
+        |  min(o_totalprice) AS y FROM orders GROUP BY 1),
+        |r AS (SELECT x, y, min(y) OVER (ORDER BY x
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM pts)
+        |SELECT CAST(x AS BIGINT) AS day_off, round(y, 2) AS best_price
+        |FROM r WHERE pm IS NULL OR y < pm ORDER BY day_off""".stripMargin) { (s, dir) =>
+      val pts = Tables(s, dir, "orders")
+        .select(datediff(col("o_orderdate"), lit("1992-01-01")).as("d"),
+          col("o_totalprice"))
+      graft.operators.Skyline.skyline2D(pts, "d", "o_totalprice")
+        .select(col("x").cast("long").as("day_off"),
+          round(col("y"), 2).as("best_price"))
+        .orderBy("day_off")
+    },
+
     Q("x_pivot",
       """SELECT l_returnflag,
         |count(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
