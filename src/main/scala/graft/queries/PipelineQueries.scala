@@ -861,6 +861,59 @@ object PipelineQueries {
         .toDF("n_truth", "n_violations")
     },
 
+    // PCA over the embedding column (operators.Pca) — the classic
+    // whitening/energy-compaction step next to random projection
+    // (data-blind), PQ and IVF: ONE treeAggregate pass accumulates
+    // (n, sum, X^T X) — driver state dim + dim^2 doubles, never rows —
+    // then a driver-side Jacobi eigendecomposition and a broadcast
+    // projection pass. Component BYTES are float-sum-order sensitive, so
+    // the gates are the linear-algebra invariants, not values:
+    // orthonormal components, descending nonnegative spectrum, trace
+    // identity against independently-computed per-coordinate variance,
+    // and per-component PROJECTED variance == eigenvalue (a second
+    // distributed pass must agree with the driver's eigensolve).
+    Q("x_pca",
+      """SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        |CAST(max(len(embedding)) AS BIGINT) AS dim,
+        |CAST(8 AS BIGINT) AS k, CAST(0 AS BIGINT) AS n_violations
+        |FROM embeddings""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val (values, comps, n) = graft.operators.Pca.fit(emb, "embedding", 64)
+      val dim = comps(0).length
+      var viol = 0L
+      // orthonormality of the top-8 components
+      for (a <- 0 until 8; b <- a until 8) {
+        val dot = (0 until dim).map(d => comps(a)(d) * comps(b)(d)).sum
+        if (math.abs(dot - (if (a == b) 1.0 else 0.0)) > 1e-8) viol += 1
+      }
+      // descending, nonnegative spectrum
+      for (i <- values.indices) {
+        if (values(i) < -1e-9) viol += 1
+        if (i > 0 && values(i) > values(i - 1) + 1e-12) viol += 1
+      }
+      // trace identity vs per-coordinate variance computed independently
+      // (posexplode -> per-coordinate mean/second-moment -> summed)
+      val pc = emb.select(posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("i", "x")))
+        .groupBy("i").agg(avg("x").as("m"), avg(col("x") * col("x")).as("m2"))
+        .agg(sum(col("m2") - col("m") * col("m"))).first().getDouble(0)
+      if (math.abs(values.sum - pc) / pc > 1e-6) viol += 1
+      // projected variance along the top 3 == eigenvalues (distributed
+      // pass vs driver eigensolve)
+      val proj = graft.operators.Pca.project(emb, "embedding", comps.take(3))
+      val pv = proj.select((0 until 3).map(i => col("proj")(i).as(s"z$i")): _*)
+        .agg(
+          (avg(col("z0") * col("z0")) - avg("z0") * avg("z0")).as("v0"),
+          (avg(col("z1") * col("z1")) - avg("z1") * avg("z1")).as("v1"),
+          (avg(col("z2") * col("z2")) - avg("z2") * avg("z2")).as("v2"))
+        .first()
+      for (i <- 0 until 3)
+        if (math.abs(pv.getDouble(i) - values(i)) / values(i) > 1e-6) viol += 1
+      Gate.check(viol == 0, s"$viol PCA invariant violations")
+      import s.implicits._
+      Seq((n, dim.toLong, 8L, viol)).toDF("n_vecs", "dim", "k", "n_violations")
+    },
+
     // Int8-quantized brute-force top-k (asymmetric: full-precision queries
     // against the max-abs-scaled int8 corpus). The scale argument: at 100 TB
     // of float32 embeddings the exact scan is I/O-bound, and the int8 corpus
