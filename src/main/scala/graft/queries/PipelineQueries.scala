@@ -2538,6 +2538,76 @@ object PipelineQueries {
       } finally deleteRecursively(tmp)
     },
 
+    // STREAMING exactly-once across a RESTART — the durability semantic
+    // every other stream query assumes, demonstrated instead of assumed:
+    // the first stream instance ingests generation 1, is STOPPED, a
+    // second instance starts from the SAME checkpoint after generation 2
+    // lands, and the final state must equal the batch truth EXACTLY —
+    // integer-cents equality is the whole gate, since any file replayed
+    // across the restart double-counts and any file dropped
+    // under-counts. The file source's offset log in the checkpoint is
+    // the mechanism; phase tags on the stored partials pin that both
+    // instances actually contributed (a silently-dead phase B would
+    // otherwise look like an honest gen1-only run to the oracle).
+    Q("x_stream_restart",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+        |count(*) AS n_events,
+        |CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events WHERE user_id < 40
+        |GROUP BY 1 ORDER BY hour""".stripMargin) { (s, dir) =>
+      val tmp = Tmp.dir("graft-srst")
+      try {
+        val src = tmp.resolve("src").toString
+        val state = tmp.resolve("state").toString
+        val ckpt = tmp.resolve("ckpt").toString
+        val ev = Tables(s, dir, "events").where(col("user_id") < 40)
+          .select(col("ts").cast("timestamp").as("ts"),
+            round(col("value") * 100, 0).cast("long").as("cents"),
+            col("user_id"))
+        val stamped = scala.collection.mutable.Set.empty[String]
+        val t0 = System.currentTimeMillis()
+        def runPhase(phase: String): Unit = {
+          val stream = s.readStream.schema(s.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+          withShufflePartitions(s, 4) {
+            val sink = stream.writeStream.foreachBatch {
+              (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+                batch.groupBy(date_trunc("hour", col("ts")).as("hour"))
+                  .agg(count(lit(1)).as("n"), sum("cents").as("c"))
+                  .withColumn("phase", lit(phase))
+                  .write.mode("append").parquet(state)
+                ()
+            }.option("checkpointLocation", ckpt).start()
+            try sink.processAllAvailable() finally sink.stop()
+          }
+        }
+        // phase A: generation 1 only, then the stream instance DIES
+        ev.where(pmod(col("user_id"), lit(2)) === 0)
+          .write.mode("overwrite").parquet(src)
+        stampNewFiles(src, stamped, t0)
+        runPhase("A")
+        // generation 2 lands while no stream is running
+        ev.where(pmod(col("user_id"), lit(2)) === 1)
+          .write.mode("append").parquet(src)
+        stampNewFiles(src, stamped, t0 + 60000L)
+        // phase B: a NEW instance resumes from the same checkpoint
+        runPhase("B")
+        val stored = s.read.parquet(state)
+        val phases = stored.select("phase").distinct()
+          .collect().map(_.getString(0)).toSet
+        Gate.check(phases == Set("A", "B"),
+          s"restart not exercised: partials from phases $phases")
+        // eager: the result must detach from the tmp state files before
+        // the finally below deletes them
+        stored.groupBy("hour")
+          .agg(sum("n").as("n_events"), sum("c").as("sum_cents"))
+          .select(date_format(col("hour"), "yyyy-MM-dd HH:00").as("hour"),
+            col("n_events"), col("sum_cents"))
+          .orderBy("hour")
+          .localCheckpoint(true)
+      } finally deleteRecursively(tmp)
+    },
+
     // STREAMING heavy hitters — Misra-Gries partials across micro-batch
     // boundaries (x_mg_rollup's contract carried into the stream, the
     // x_stream_cms / x_stream_quantile discipline): per-(day, batch) MG
