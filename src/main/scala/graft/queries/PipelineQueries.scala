@@ -2581,14 +2581,17 @@ object PipelineQueries {
             try sink.processAllAvailable() finally sink.stop()
           }
         }
-        // phase A: generation 1 only, then the stream instance DIES
+        // phase A: generation 1 only, then the stream instance DIES.
+        // 3 files per generation: maxFilesPerTrigger=1 still exercises
+        // several micro-batches per phase without paying a 32-batch
+        // plan/commit tax per generation in the bench.
         ev.where(pmod(col("user_id"), lit(2)) === 0)
-          .write.mode("overwrite").parquet(src)
+          .coalesce(3).write.mode("overwrite").parquet(src)
         stampNewFiles(src, stamped, t0)
         runPhase("A")
         // generation 2 lands while no stream is running
         ev.where(pmod(col("user_id"), lit(2)) === 1)
-          .write.mode("append").parquet(src)
+          .coalesce(3).write.mode("append").parquet(src)
         stampNewFiles(src, stamped, t0 + 60000L)
         // phase B: a NEW instance resumes from the same checkpoint
         runPhase("B")
