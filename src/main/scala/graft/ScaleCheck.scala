@@ -65,7 +65,11 @@ object ScaleCheck {
     // r9 extended-session: iterative k-core peeling (graph member five) —
     // rounds bounded by the fixture's 4-deep tendril cascade, each round
     // one degree aggregate + two semi-joins over a shrinking edge list
-    "x_kcore")
+    "x_kcore",
+    // r9 extended-session: one-pass Gram + driver eigensolve + projection
+    // pass — the no-shuffle linear-algebra shape; curve should track the
+    // corpus scan
+    "x_pca")
 
   /** Streaming-path members (r6 judge #5): real foreachBatch sinks over the
     * replicated corpus. Caveat on reading their ratios: each query's timed
@@ -174,6 +178,26 @@ object ScaleCheck {
       val pairs = graft.operators.Dedup.ppjoinCandidates(sh, 0.8).count()
       println(s"SCALECHECK pairs x_jaccard_join pairs=$pairs")
       ("x_jaccard_join", pairs)
+    } :+ {
+      // x_cross_dedup's candidate count after the bipartite prefix +
+      // positional filters — the verify join's cost axis, the same cell
+      // the self-join sibling carries. Exact query fixture: corpus + 20
+      // injected leaks vs the fixed 50-doc benchmark side.
+      val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+      val injected = docs.where(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" graftdup")).as("text"))
+      graft.functions.GraftFunctions.register(spark)
+      def sh(df: org.apache.spark.sql.DataFrame, side: Int) =
+        df.select(lit(side).as("side"), col("doc_id").as("id"),
+          graft.functions.GraftFunctions.graft_shingles(
+            graft.functions.TextFunctions.tokens(col("text")), 3).as("s"))
+      val both = sh(docs.unionByName(injected), 0)
+        .unionByName(sh(docs.where(col("doc_id") < 50), 1))
+      val pairs = graft.operators.Dedup.crossJaccardCandidatesFromAgg(
+        graft.operators.Dedup.crossJaccardAgg(both), 0.8).count()
+      println(s"SCALECHECK pairs x_cross_dedup pairs=$pairs")
+      ("x_cross_dedup", pairs)
     }
   }
 

@@ -393,41 +393,8 @@ object Dedup {
           tokens(col(text)), shingleK).as("s"))
     val both = shingled(left, lIdCol, lTextCol, 0)
       .unionByName(shingled(right, rIdCol, rTextCol, 1))
-    // ppjoinAgg generalized by the side tag (one doc may appear on both
-    // sides under the same id — refs drawn from the corpus — so the
-    // grouping key is (side, id)); single g-keyed exchange, hash-built
-    // dfreq side, frozen gid assignment via the eager checkpoint.
-    val ex = both.select(col("side"), col("id"), size(col("s")).as("len"),
-      explode(col("s")).as("g"))
-      .repartition(col("g"))
-    val dfreq = ex.groupBy("g").agg(count(lit(1)).as("df"))
-      .withColumn("gid", monotonically_increasing_id())
-    val agg = ex.join(dfreq.hint("shuffle_hash"), "g")
-      .groupBy("side", "id").agg(
-        array_sort(collect_list(struct(col("df"), col("gid")))).as("sorted"),
-        first(col("len")).as("len"))
-      .localCheckpoint(true)
-    def prefix(side: Int) = agg.where(col("side") === side)
-      .select(col("id"), col("len"),
-        posexplode(slice(col("sorted"), lit(1),
-          col("len") - floor(lit(threshold) * col("len")).cast("int") + 1)))
-      .select(col("col.gid").as("gid"), col("id"), col("len"),
-        (col("pos") + 1).as("rank"))
-    val a = prefix(0).select(col("gid"), col("id").as("id1"),
-      col("len").as("len1"), col("rank").as("rank1"))
-    val b = prefix(1).select(col("gid"), col("id").as("id2"),
-      col("len").as("len2"), col("rank").as("rank2"))
-    // length + positional filters: identical math to the self-join (no
-    // id1 < id2 — the sides are distinct frames)
-    val needed = lit(threshold / (1.0 + threshold)) *
-      (col("len1") + col("len2")) - lit(1e-9)
-    val candidates = a.join(b, Seq("gid"))
-      .where(least(col("len1"), col("len2")).cast("double") >=
-          lit(threshold) * greatest(col("len1"), col("len2")) - lit(1e-9) &&
-        (lit(1) + least(col("len1") - col("rank1"),
-          col("len2") - col("rank2"))).cast("double") >= needed)
-      .select("id1", "id2")
-      .dropDuplicates("id1", "id2")
+    val agg = crossJaccardAgg(both)
+    val candidates = crossJaccardCandidatesFromAgg(agg, threshold)
       .localCheckpoint(true)
     // exact verify on sorted gid sets — the ppjoinPairs kernel discipline
     import graft.functions.GraftFunctions.graft_sorted_intersect
@@ -445,6 +412,54 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
     result.localCheckpoint(true)
+  }
+
+  /** crossJaccardJoin's shared per-(side, doc) rank frame — ppjoinAgg
+    * generalized by the side tag (one doc may appear on BOTH sides under
+    * the same id: refs drawn from the corpus — so the grouping key is
+    * (side, id)); single g-keyed exchange, hash-built dfreq side, frozen
+    * gid assignment via the eager checkpoint.
+    */
+  private[graft] def crossJaccardAgg(both: DataFrame): DataFrame = {
+    val ex = both.select(col("side"), col("id"), size(col("s")).as("len"),
+      explode(col("s")).as("g"))
+      .repartition(col("g"))
+    val dfreq = ex.groupBy("g").agg(count(lit(1)).as("df"))
+      .withColumn("gid", monotonically_increasing_id())
+    ex.join(dfreq.hint("shuffle_hash"), "g")
+      .groupBy("side", "id").agg(
+        array_sort(collect_list(struct(col("df"), col("gid")))).as("sorted"),
+        first(col("len")).as("len"))
+      .localCheckpoint(true)
+  }
+
+  /** crossJaccardJoin's candidate stage — factored out so ScaleCheck can
+    * publish the candidate-pair volume (the verify join's cost axis) per
+    * scale, the same cell its self-join sibling carries.
+    */
+  private[graft] def crossJaccardCandidatesFromAgg(agg: DataFrame,
+      threshold: Double): DataFrame = {
+    def prefix(side: Int) = agg.where(col("side") === side)
+      .select(col("id"), col("len"),
+        posexplode(slice(col("sorted"), lit(1),
+          col("len") - floor(lit(threshold) * col("len")).cast("int") + 1)))
+      .select(col("col.gid").as("gid"), col("id"), col("len"),
+        (col("pos") + 1).as("rank"))
+    val a = prefix(0).select(col("gid"), col("id").as("id1"),
+      col("len").as("len1"), col("rank").as("rank1"))
+    val b = prefix(1).select(col("gid"), col("id").as("id2"),
+      col("len").as("len2"), col("rank").as("rank2"))
+    // length + positional filters: identical math to the self-join (no
+    // id1 < id2 — the sides are distinct frames)
+    val needed = lit(threshold / (1.0 + threshold)) *
+      (col("len1") + col("len2")) - lit(1e-9)
+    a.join(b, Seq("gid"))
+      .where(least(col("len1"), col("len2")).cast("double") >=
+          lit(threshold) * greatest(col("len1"), col("len2")) - lit(1e-9) &&
+        (lit(1) + least(col("len1") - col("rank1"),
+          col("len2") - col("rank2"))).cast("double") >= needed)
+      .select("id1", "id2")
+      .dropDuplicates("id1", "id2")
   }
 
   /** Embedding-cosine near-dup pairs via hyperplane-LSH bucketing,
