@@ -2688,6 +2688,36 @@ object PipelineQueries {
       } finally deleteRecursively(tmp)
     },
 
+    // Robust outlier statistics — median / MAD (median absolute
+    // deviation), the quality-filtering primitive that survives the
+    // heavy tails that break mean/stddev z-scores: med and MAD are both
+    // EXACT percentile aggregates over integer cents (Spark `percentile`
+    // == DuckDB `median`, both interpolate the even-count midpoint
+    // identically on integers), so the outlier count at the classic
+    // 3-MAD fence is a full-value oracle with no tolerance. Two
+    // aggregate passes (med, then MAD over |x - med|), scalar-broadcast
+    // between them — no window, no sort of the data.
+    Q("x_robust_stats",
+      """WITH d AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS x
+        |  FROM events),
+        |m AS (SELECT median(x) AS med FROM d),
+        |a AS (SELECT median(abs(x - med)) AS mad FROM d, m)
+        |SELECT CAST(count(*) AS BIGINT) AS n, (SELECT med FROM m) AS med,
+        |(SELECT mad FROM a) AS mad,
+        |CAST(sum(CASE WHEN abs(x - (SELECT med FROM m))
+        |  > 3 * (SELECT mad FROM a) THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_outliers
+        |FROM d""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir, "events")
+        .select(round(col("value") * 100, 0).cast("long").as("x"))
+      val med = d.agg(expr("percentile(x, 0.5)")).first().getDouble(0)
+      val mad = d.agg(expr(s"percentile(abs(x - $med), 0.5)"))
+        .first().getDouble(0)
+      d.agg(count(lit(1)).as("n"), lit(med).as("med"), lit(mad).as("mad"),
+        coalesce(sum(when(abs(col("x") - med) > 3 * mad, 1L).otherwise(0L)),
+          lit(0L)).as("n_outliers"))
+    },
+
     // Ordered-sequence funnel (view -> click -> purchase): each stage's
     // earliest qualifying timestamp must be STRICTLY after the previous
     // stage's — the product-analytics conversion funnel. The per-stage
