@@ -156,6 +156,70 @@ object Stress {
       println("SPILL_JOIN=" + left.join(right, maxBufferedPerKey = 10000)
         .ds.count())
     }
+
+    // exact bipartite decontamination at corpus scale: the benchmark side
+    // stays fixed (1000 refs) while the corpus is the full synthetic set —
+    // candidate volume is bounded by the refs' prefixes, so this is the
+    // pair-constancy claim from the x_cross_dedup scale row at 5-10x that
+    // corpus
+    time(s"crossJaccardJoin $nDocs docs x 1000 refs") {
+      val refs = docs.where(col("doc_id") < 1000)
+        .select(col("doc_id").as("rid"), col("text").as("rtext"))
+      println("CROSS_PAIRS=" + operators.Dedup.crossJaccardJoin(
+        docs, "doc_id", "text", refs, "rid", "rtext",
+        shingleK = 3, threshold = 0.8).count())
+    }
+    // k-core peeling over the clique+tendril fixture shape at nDocs nodes:
+    // rounds stay bounded by the 4-deep tendril regardless of node count
+    time(s"kcore (k=2) over $nDocs-node clique+tendril graph") {
+      val groups = spark.range(nDocs / 8).select((col("id") * 8).as("b"))
+      val pairs = (for (a <- 0 until 4; c <- (a + 1) until 4)
+        yield (a, c)) ++ Seq((0, 4), (4, 5), (5, 6), (6, 7))
+      val offsets = array(pairs.map { case (a, c) =>
+        struct(lit(a).as("a"), lit(c).as("c")) }: _*)
+      val edges = groups.select(col("b"), explode(offsets).as("o"))
+        .select((col("b") + col("o.a")).as("src"),
+          (col("b") + col("o.c")).as("dst"))
+      println("KCORE=" + operators.KCore.kcore(edges, 2).count())
+    }
+    // skyline over 5x nDocs points with a small dominance front: per-x
+    // minima shrink the exchange, the driver folds P partition minima
+    time(s"skyline2D over ${nDocs * 5} points") {
+      val pts = spark.range(nDocs.toLong * 5).select(
+        pmod(xxhash64(col("id")), lit(100000)).cast("double").as("x"),
+        pmod(xxhash64(col("id"), lit(1)), lit(100000)).cast("double").as("y"))
+      println("SKYLINE=" + operators.Skyline.skyline2D(pts, "x", "y").count())
+    }
+    // Misra-Gries at 5x nDocs increments into one merged summary: the
+    // decrement-all path amortizes, the merged bound (n-m)/(k+1) holds
+    time(s"graft_mg over ${nDocs * 5} skewed increments") {
+      functions.GraftFunctions.register(spark)
+      val keys = spark.range(nDocs.toLong * 5).select(
+        when(pmod(col("id"), lit(4)) === 0, pmod(col("id"), lit(8)))
+          .otherwise(lit(1000L) + pmod(xxhash64(col("id")), lit(50000)))
+          .as("k"), pmod(col("id"), lit(64)).as("shard"))
+      val merged = keys.groupBy("shard")
+        .agg(functions.GraftFunctions.graft_mg(col("k")).as("mg"))
+        .agg(functions.GraftFunctions.graft_mg_merge(col("mg")).as("sk"))
+        .select(functions.GraftFunctions.graft_mg_stats(col("sk")).as("st"))
+        .first().getAs[scala.collection.Seq[Long]](0)
+      println(s"MG_N=${merged(0)} MG_M=${merged(1)}")
+    }
+    // one-pass Gram + eigensolve + projection at nVecs
+    time(s"pca fit+project over $nVecs vecs") {
+      val (values, comps, n) = operators.Pca.fit(vecs, "embedding", 8)
+      println("PCA_N=" + n + " TOP=" + f"${values(0)}%.3f" +
+        " PROJ=" + operators.Pca.project(vecs, "embedding", comps).count())
+    }
+    // interval overlap over per-user windows derived from the event set
+    time(s"intervalOverlap over $nEvents-event windows") {
+      val v = events.where(col("event_type") === "click")
+        .groupBy("user_id").agg(min("ms").as("ls"), max("ms").as("le"))
+      val p = events.where(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("ms").as("rs"), max("ms").as("re"))
+      println("OVERLAP=" + operators.RangeJoin.intervalOverlap(
+        v, p, "user_id", "ls", "le", "rs", "re", 3600000L).count())
+    }
     spark.stop()
   }
 }
