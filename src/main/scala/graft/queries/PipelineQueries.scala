@@ -3834,6 +3834,75 @@ object PipelineQueries {
       } finally deleteRecursively(tmp)
     },
 
+    // STATEFUL restart — x_stream_restart's harder twin: a watermarked
+    // window AGGREGATE stopped mid-corpus and resumed from its
+    // checkpoint, so what must survive the restart is the STATE STORE
+    // (the open boundary windows), not just the file-source offset log.
+    // The fixture splits by TIME (not user parity): phase A's watermark
+    // stops one hour short of the split, so the boundary windows hold
+    // gen1 partial counts in state when the instance dies; phase B's
+    // instance reloads that state, merges gen2's events into the same
+    // windows, and the far-future sentinel flushes everything. Exact
+    // integer-cents equality with the batch truth is the gate — lost
+    // state under-counts every boundary window, a replay double-counts.
+    // The sink is the parquet FILE sink: its _spark_metadata manifest is
+    // the exactly-once ledger across instances (a memory sink dies with
+    // instance A). Phase row counts pin that BOTH instances emitted.
+    Q("x_stream_restart_agg",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+        |event_type, count(*) AS n,
+        |CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events WHERE user_id < 25
+        |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin) { (s, dir) =>
+      val tmp = Tmp.dir("graft-srsta")
+      try {
+        val src = tmp.resolve("src").toString
+        val out = tmp.resolve("out").toString
+        val ckpt = tmp.resolve("ckpt").toString
+        val ev = Tables(s, dir, "events").where(col("user_id") < 25)
+          .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+            col("event_type"), col("value"))
+        val bounds = ev.agg(
+          expr("approx_percentile(unix_millis(ts), 0.5)"),
+          max(unix_millis(col("ts")))).first()
+        val (mid, maxMs) = (bounds.getLong(0), bounds.getLong(1))
+        val stamped = scala.collection.mutable.Set.empty[String]
+        val t0 = System.currentTimeMillis()
+        def runInstance(): Unit = withShufflePartitions(s, 4) {
+          val stream = s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+          val q = graft.streaming.EventStreams.hourlyCountsCents(stream)
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        // phase A: first half by TIME, then the instance dies with the
+        // boundary windows still open in state
+        ev.where(unix_millis(col("ts")) < mid)
+          .coalesce(2).write.mode("overwrite").parquet(src)
+        stampNewFiles(src, stamped, t0)
+        runInstance()
+        val aRows = s.read.parquet(out).count()
+        // second half + sentinel land while nothing is running
+        ev.where(unix_millis(col("ts")) >= mid)
+          .coalesce(2).write.mode("append").parquet(src)
+        stampNewFiles(src, stamped, t0 + 60000L)
+        import s.implicits._
+        Seq((-1L, new java.sql.Timestamp(maxMs + 10800000L), "sentinel", 0.0))
+          .toDF("user_id", "ts", "event_type", "value")
+          .coalesce(1).write.mode("append").parquet(src)
+        stampNewFiles(src, stamped, t0 + 120000L)
+        runInstance()
+        val all = s.read.parquet(out)
+        val bRows = all.count() - aRows
+        Gate.check(aRows >= 1 && bRows >= 1,
+          s"restart not exercised: phase A emitted $aRows, phase B $bRows")
+        all.where(col("event_type") =!= "sentinel")
+          .orderBy("hour", "event_type").localCheckpoint(true)
+      } finally deleteRecursively(tmp)
+    },
+
     // Stream-stream LEFT OUTER interval join, driver-visible END-TO-END:
     // unlike x_stream_join (inner, batch twin), this runs the real
     // watermarked stream — the outer (null-click) rows are the part batch
