@@ -16,7 +16,7 @@ import org.apache.spark.sql.types._
   * summary per day/partition/source, later union + merge and answer
   * "what are the heavy keys and how often" without rescanning raw data.
   *
-  * - graft_mg(key bigint)            -> binary  (aggregate: build, K=64)
+  * - graft_mg(key bigint[, k])       -> binary  (aggregate: build, default K=64)
   * - graft_mg_merge(sketch binary)   -> binary  (aggregate: union stored)
   * - graft_mg_query(sketch, key)     -> bigint  (scalar: count estimate)
   * - graft_mg_stats(sketch)          -> array<bigint> [n, m, k]
@@ -43,13 +43,19 @@ import org.apache.spark.sql.types._
   * magic/version/shape/length instead of trusting the caller.
   */
 object MisraGries {
+  /** Default counter budget; callers may size K per call — the wire format
+    * carries the writer's K and merge REFUSES mixed-K inputs (a silent mix
+    * would silently change every bound).
+    */
   val K = 64
   val Magic: Byte = 'G'
   val Version: Byte = 1
 
-  /** Mutable summary state: tracked counters + total increments absorbed. */
+  /** Mutable summary state: tracked counters + total increments absorbed.
+    * k == 0 marks an UNSET merge buffer (adopts the first input's K).
+    */
   final class State(val map: java.util.HashMap[java.lang.Long, java.lang.Long],
-      var n: Long) {
+      var n: Long, var k: Int) {
     def m: Long = {
       var s = 0L
       val it = map.values().iterator()
@@ -58,13 +64,16 @@ object MisraGries {
     }
   }
 
-  def empty: State = new State(new java.util.HashMap(), 0L)
+  def empty: State = empty(K)
+  def empty(k: Int): State = new State(new java.util.HashMap(), 0L, k)
+  private[functions] def unset: State = new State(new java.util.HashMap(), 0L, 0)
 
   def add(st: State, key: Long): Unit = {
+    require(st.k >= 1, "cannot add to an unset merge buffer")
     st.n += 1
     val cur = st.map.get(key)
     if (cur != null) st.map.put(key, cur + 1L)
-    else if (st.map.size() < K) st.map.put(key, 1L)
+    else if (st.map.size() < st.k) st.map.put(key, 1L)
     else {
       // decrement-all step: removes K+1 from the pool (K stored + this
       // arrival), amortized O(1) per increment over the whole stream
@@ -81,6 +90,11 @@ object MisraGries {
     * VALUE, so count ties need no tiebreak.
     */
   def mergeInto(into: State, from: State): Unit = {
+    if (from.k == 0) return // empty unset buffer contributes nothing
+    if (into.k == 0) into.k = from.k // adopt the first input's K
+    require(into.k == from.k,
+      s"mg K mismatch in merge: ${into.k} vs ${from.k} — mixing budgets " +
+        "silently changes the (N-M)/(K+1) bound")
     into.n += from.n
     val it = from.map.entrySet().iterator()
     while (it.hasNext) {
@@ -88,13 +102,13 @@ object MisraGries {
       val cur = into.map.get(e.getKey)
       into.map.put(e.getKey, if (cur == null) e.getValue else cur + e.getValue)
     }
-    if (into.map.size() > K) {
+    if (into.map.size() > into.k) {
       val counts = new Array[Long](into.map.size())
       var i = 0
       val vit = into.map.values().iterator()
       while (vit.hasNext) { counts(i) = vit.next(); i += 1 }
       java.util.Arrays.sort(counts)
-      val cut = counts(counts.length - K - 1) // (K+1)-th largest
+      val cut = counts(counts.length - into.k - 1) // (K+1)-th largest
       val eit = into.map.entrySet().iterator()
       while (eit.hasNext) {
         val e = eit.next()
@@ -111,7 +125,7 @@ object MisraGries {
   def toBytes(st: State): Array[Byte] = {
     val size = st.map.size()
     val bb = java.nio.ByteBuffer.allocate(2 + 4 + 8 + 4 + 16 * size)
-    bb.put(Magic).put(Version).putInt(K).putLong(st.n).putInt(size)
+    bb.put(Magic).put(Version).putInt(st.k).putLong(st.n).putInt(size)
     // serialize in ascending key order: a canonical byte form for any
     // given counter set (HashMap iteration order must not leak into
     // stored artifacts)
@@ -135,14 +149,14 @@ object MisraGries {
     require(magic == Magic && version == Version,
       s"not a graft mg summary (magic=$magic version=$version)")
     val k = bb.getInt()
-    require(k == K,
-      s"mg K mismatch: stored $k, reader $K — the (N-M)/(K+1) bound would " +
-        "silently change")
     val n = bb.getLong()
     val size = bb.getInt()
-    require(size >= 0 && size <= K && bytes.length == 2 + 4 + 8 + 4 + 16 * size,
-      s"mg length mismatch: ${bytes.length} bytes for $size counters")
-    val st = new State(new java.util.HashMap(), n)
+    require((k >= 1 && k <= 1000000) || (k == 0 && n == 0 && size == 0),
+      s"mg summary with implausible K=$k")
+    require(size >= 0 && size <= k &&
+      bytes.length == 2 + 4 + 8 + 4 + 16 * size,
+      s"mg length mismatch: ${bytes.length} bytes for $size counters (K=$k)")
+    val st = new State(new java.util.HashMap(), n, k)
     var i = 0
     while (i < size) { st.map.put(bb.getLong(), bb.getLong()); i += 1 }
     st
@@ -153,7 +167,7 @@ object MisraGries {
 
   def statsBytes(bytes: Array[Byte]): Array[Long] = {
     val st = fromBytes(bytes)
-    Array(st.n, st.m, K.toLong)
+    Array(st.n, st.m, st.k.toLong)
   }
 }
 
@@ -161,7 +175,6 @@ object MisraGries {
 abstract class MgAggBase extends TypedImperativeAggregate[MisraGries.State] {
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
-  override def createAggregationBuffer(): MisraGries.State = MisraGries.empty
   override def merge(buf: MisraGries.State,
       other: MisraGries.State): MisraGries.State = {
     MisraGries.mergeInto(buf, other); buf
@@ -173,18 +186,22 @@ abstract class MgAggBase extends TypedImperativeAggregate[MisraGries.State] {
     MisraGries.fromBytes(bytes)
 }
 
-/** graft_mg(key bigint) -> binary summary */
-case class MgBuild(child: Expression,
+/** graft_mg(key bigint[, k]) -> binary summary */
+case class MgBuild(child: Expression, k: Int = MisraGries.K,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends MgAggBase {
 
   override def children: Seq[Expression] = Seq(child)
   override def prettyName: String = "graft_mg"
+  override def createAggregationBuffer(): MisraGries.State =
+    MisraGries.empty(k)
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
+    if (child.dataType != LongType) TypeCheckResult.TypeCheckFailure(
       s"$prettyName takes a bigint key, got ${child.dataType.catalogString}")
+    else if (k < 1 || k > 1000000) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName counter budget k=$k out of range [1, 1e6]")
+    else TypeCheckResult.TypeCheckSuccess
 
   override def update(buf: MisraGries.State,
       input: InternalRow): MisraGries.State = {
@@ -209,6 +226,8 @@ case class MgMerge(child: Expression,
 
   override def children: Seq[Expression] = Seq(child)
   override def prettyName: String = "graft_mg_merge"
+  // unset (k=0): adopts the K of the first stored summary it absorbs
+  override def createAggregationBuffer(): MisraGries.State = MisraGries.unset
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess

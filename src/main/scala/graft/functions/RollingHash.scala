@@ -145,7 +145,9 @@ object GraftFunctions {
       exprs => SortedLongIntersect(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_mg",
-      exprs => MgBuild(exprs(0)).toAggregateExpression(), "built-in")
+      exprs => MgBuild(exprs(0),
+        if (exprs.length > 1) intArg(exprs(1)) else MisraGries.K)
+        .toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_mg_merge",
       exprs => MgMerge(exprs(0)).toAggregateExpression(), "built-in")
@@ -225,6 +227,8 @@ object GraftFunctions {
   def graft_sorted_intersect(a: Column, b: Column): Column =
     call_function("graft_sorted_intersect", a, b)
   def graft_mg(key: Column): Column = call_function("graft_mg", key)
+  def graft_mg(key: Column, k: Int): Column =
+    call_function("graft_mg", key, org.apache.spark.sql.functions.lit(k))
   def graft_mg_merge(sketch: Column): Column =
     call_function("graft_mg_merge", sketch)
   def graft_mg_query(sketch: Column, key: Column): Column =
@@ -298,7 +302,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("graft_sorted_intersect", classOf[SortedLongIntersect],
       exprs => SortedLongIntersect(exprs(0), exprs(1)))
     inject("graft_mg", classOf[MgBuild],
-      exprs => MgBuild(exprs(0)).toAggregateExpression())
+      exprs => MgBuild(exprs(0),
+        if (exprs.length > 1) GraftFunctions.intArg(exprs(1)) else MisraGries.K)
+        .toAggregateExpression())
     inject("graft_mg_merge", classOf[MgMerge],
       exprs => MgMerge(exprs(0)).toAggregateExpression())
     inject("graft_mg_query", classOf[MgQuery],

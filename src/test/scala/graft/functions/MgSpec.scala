@@ -83,4 +83,34 @@ class MgSpec extends AnyFunSuite {
     val st = build((0L until 100000L).map(_ % 9973))
     assert(st.map.size() <= MisraGries.K)
   }
+
+  test("K is a per-summary budget: bounds hold at K=8 and K=256, and tighten with K") {
+    val xs = stream(4, 40000)
+    val exact = exactCounts(xs)
+    def boundAt(k: Int): Double = {
+      val st = MisraGries.empty(k)
+      xs.foreach(MisraGries.add(st, _))
+      val bound = (st.n - st.m).toDouble / (k + 1)
+      for ((key, ex) <- exact) {
+        val est = MisraGries.query(st, key)
+        assert(est <= ex && ex - est <= bound,
+          s"K=$k key $key: est $est exact $ex bound $bound")
+      }
+      // wire round-trip preserves the summary's own K
+      assert(MisraGries.fromBytes(MisraGries.toBytes(st)).k === k)
+      bound
+    }
+    assert(boundAt(256) < boundAt(8), "a larger budget must tighten the bound")
+  }
+
+  test("merging mixed-K summaries is refused") {
+    val a = MisraGries.empty(8); MisraGries.add(a, 1L)
+    val b = MisraGries.empty(16); MisraGries.add(b, 2L)
+    intercept[IllegalArgumentException](MisraGries.mergeInto(a, b))
+    // an unset merge buffer adopts the first input's K, then enforces it
+    val u = MisraGries.unset
+    MisraGries.mergeInto(u, a)
+    assert(u.k === 8)
+    intercept[IllegalArgumentException](MisraGries.mergeInto(u, b))
+  }
 }
