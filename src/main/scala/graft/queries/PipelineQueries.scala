@@ -25,7 +25,7 @@ object PipelineQueries {
     * bench/verify sweeps re-run these queries every round, and streaming
     * sources/checkpoints/indexes would otherwise accumulate in /tmp.
     */
-  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+  private[queries] def deleteRecursively(root: java.nio.file.Path): Unit = {
     import java.nio.file.Files
     if (Files.exists(root))
       Files.walk(root).sorted(java.util.Comparator.reverseOrder())

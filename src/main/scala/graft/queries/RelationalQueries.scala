@@ -1110,6 +1110,40 @@ object RelationalQueries {
     // allowMissingColumns, the shape every long-lived ingest pipeline hits
     // when a column is added mid-stream. Spark aligns by NAME and fills
     // missing columns with NULL; positional union would silently mis-bind.
+    // Schema evolution on read: two parquet generations with different
+    // column sets (generation 2 adds `lang`) merged by mergeSchema — the
+    // lakehouse column-add path, where old files must surface the new
+    // column as NULL without a rewrite. The per-lang rollup + null
+    // bucket pins that v1 rows carry NULL lang and v2 rows carry their
+    // value; id checksums pin the exact membership of each bucket.
+    Q("x_schema_evolution",
+      """SELECT coalesce(lang, 'NONE') AS lang_bucket,
+        |count(*) AS n, CAST(sum(doc_id % 999983) AS BIGINT) AS id_checksum
+        |FROM (
+        |  SELECT doc_id, NULL AS lang FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 1
+        |) GROUP BY 1 ORDER BY lang_bucket""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val tmp = Tmp.dir("graft-schev")
+      try {
+        val path = tmp.resolve("t").toString
+        docs.where(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), length(col("text")).as("n_chars"))
+          .write.mode("overwrite").parquet(path)
+        docs.where(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), length(col("text")).as("n_chars"),
+            col("lang"))
+          .write.mode("append").parquet(path)
+        s.read.option("mergeSchema", "true").parquet(path)
+          .groupBy(coalesce(col("lang"), lit("NONE")).as("lang_bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("doc_id") % 999983).as("id_checksum"))
+          .orderBy("lang_bucket")
+          .localCheckpoint(true) // detach from tmp before the delete below
+      } finally PipelineQueries.deleteRecursively(tmp)
+    },
+
     Q("x_union_by_name",
       """SELECT coalesce(seg, 'UNKNOWN') AS seg, count(*) AS n,
         |CAST(sum(CAST(round(bal * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
