@@ -1110,6 +1110,40 @@ object RelationalQueries {
     // allowMissingColumns, the shape every long-lived ingest pipeline hits
     // when a column is added mid-stream. Spark aligns by NAME and fills
     // missing columns with NULL; positional union would silently mis-bind.
+    // Dynamic partition overwrite: rewrite ONE lang partition in place
+    // while every other partition's files stay untouched — the
+    // incremental-backfill write path (static overwrite would wipe the
+    // whole table; the dynamic mode replaces exactly the partitions the
+    // incoming frame touches). The per-lang rollup pins both sides: the
+    // fr partition must carry the v2 text lengths, every other lang the
+    // originals, and id checksums pin exact membership.
+    Q("x_partition_overwrite",
+      """SELECT lang, count(*) AS n,
+        |CAST(sum(CASE WHEN lang = 'fr' THEN length(text || ' v2')
+        |  ELSE length(text) END) AS BIGINT) AS sum_chars,
+        |CAST(sum(doc_id % 999983) AS BIGINT) AS id_checksum
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val tmp = Tmp.dir("graft-dpo")
+      try {
+        val path = tmp.resolve("t").toString
+        docs.write.partitionBy("lang").mode("overwrite").parquet(path)
+        // backfill exactly the fr partition with the v2 text
+        docs.where(col("lang") === "fr")
+          .withColumn("text", concat(col("text"), lit(" v2")))
+          .write.partitionBy("lang").mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic").parquet(path)
+        s.read.parquet(path)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"),
+            sum(length(col("text"))).as("sum_chars"),
+            sum(col("doc_id") % 999983).as("id_checksum"))
+          .orderBy("lang")
+          .localCheckpoint(true) // detach from tmp before the delete below
+      } finally PipelineQueries.deleteRecursively(tmp)
+    },
+
     // Schema evolution on read: two parquet generations with different
     // column sets (generation 2 adds `lang`) merged by mergeSchema — the
     // lakehouse column-add path, where old files must surface the new
