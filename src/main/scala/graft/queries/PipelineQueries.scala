@@ -2688,6 +2688,80 @@ object PipelineQueries {
       } finally deleteRecursively(tmp)
     },
 
+    // Content-defined chunking (the rsync/LBFS primitive): chunk
+    // boundaries fall where a content hash of the local token hits a
+    // fixed residue (here md5-derived mod 8 -> ~8-token expected
+    // chunks), so an insertion near the head of a document moves only
+    // the chunk it lands in — fixed-width windows (x_chunk_windows)
+    // shift EVERY downstream boundary, which is exactly what makes CDC
+    // the dedup-friendly storage format. Same 60-bit md5 fingerprint
+    // derivation both engines use in x_novelty/x_span_dedup, so the
+    // boundary positions — and hence every chunk length — are
+    // bit-identical: the size histogram and the chunks-weighted id
+    // checksum are a full-value oracle.
+    Q("x_cdc_chunks",
+      """WITH tok AS (SELECT doc_id,
+        |  list_filter(string_split(lower(text), ' '), w -> w <> '') AS t
+        |  FROM documents),
+        |d AS (SELECT doc_id, len(t) AS n,
+        |  list_filter(generate_series(1, len(t)), i ->
+        |    CAST(concat('0x', substr(md5(t[i]), 1, 15)) AS BIGINT) % 8 = 0)
+        |    AS bpos
+        |  FROM tok WHERE len(t) >= 1),
+        |b AS (SELECT doc_id, n, CASE WHEN len(bpos) > 0 AND bpos[-1] = n
+        |  THEN bpos ELSE list_append(bpos, n) END AS allb FROM d),
+        |l AS (SELECT doc_id, len(allb) AS n_chunks,
+        |  list_transform(generate_series(1, len(allb)), j ->
+        |    allb[j] - CASE WHEN j = 1 THEN 0 ELSE allb[j-1] END) AS lens
+        |  FROM b),
+        |c AS (SELECT doc_id, n_chunks, unnest(lens) AS clen FROM l)
+        |SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |CAST(count(*) AS BIGINT) AS total_chunks,
+        |CAST(sum(CASE WHEN clen <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+        |CAST(sum(CASE WHEN clen BETWEEN 3 AND 8 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_mid,
+        |CAST(sum(CASE WHEN clen > 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+        |CAST(sum(clen * (doc_id % 9973)) AS BIGINT) AS checksum
+        |FROM c""".stripMargin) { (s, dir) =>
+      // ONE aggregate-HOF pass per document: boundary flags -> running
+      // chunk length -> bucket counters, closing the trailing partial
+      // chunk in the finish lambda. No positional indexing of an outer
+      // array anywhere — Catalyst's projection collapse inlines an
+      // indexed array's WHOLE derivation (tokenize + per-token md5) into
+      // every element_at call, which turned the first formulation of
+      // this query into an O(n^2-per-doc) 80s scan; the single-pass fold
+      // runs in ~2s at the same SF. The per-doc checksum needs no chunk
+      // lengths at all: sum(clen) == n by construction.
+      val toks = filter(split(lower(col("text")), " "), w => w =!= "")
+      val st = Tables(s, dir, "documents")
+        .select(col("doc_id"), toks.as("t"))
+        .where(size(col("t")) >= 1)
+        .select(col("doc_id"), size(col("t")).as("n"), expr(
+          """aggregate(
+            |  transform(t, x ->
+            |    CAST(conv(substr(md5(x), 1, 15), 16, 10) AS BIGINT) % 8 = 0),
+            |  named_struct('run', 0L, 's', 0L, 'm', 0L, 'l', 0L),
+            |  (acc, f) -> IF(f,
+            |    named_struct('run', 0L,
+            |      's', acc.s + IF(acc.run + 1 <= 2, 1L, 0L),
+            |      'm', acc.m + IF(acc.run + 1 BETWEEN 3 AND 8, 1L, 0L),
+            |      'l', acc.l + IF(acc.run + 1 > 8, 1L, 0L)),
+            |    named_struct('run', acc.run + 1,
+            |      's', acc.s, 'm', acc.m, 'l', acc.l)),
+            |  acc -> IF(acc.run > 0,
+            |    named_struct('run', 0L,
+            |      's', acc.s + IF(acc.run <= 2, 1L, 0L),
+            |      'm', acc.m + IF(acc.run BETWEEN 3 AND 8, 1L, 0L),
+            |      'l', acc.l + IF(acc.run > 8, 1L, 0L)),
+            |    acc))""".stripMargin).as("c"))
+      st.agg(count(lit(1)).as("n_docs"),
+        sum(col("c.s") + col("c.m") + col("c.l")).as("total_chunks"),
+        sum(col("c.s")).as("n_short"),
+        sum(col("c.m")).as("n_mid"),
+        sum(col("c.l")).as("n_long"),
+        sum(col("n") * (col("doc_id") % 9973)).as("checksum"))
+    },
+
     // Robust outlier statistics — median / MAD (median absolute
     // deviation), the quality-filtering primitive that survives the
     // heavy tails that break mean/stddev z-scores: med and MAD are both
