@@ -2762,6 +2762,38 @@ object PipelineQueries {
         sum(col("n") * (col("doc_id") % 9973)).as("checksum"))
     },
 
+    // Differentially-private-style noisy release: per-type counts with
+    // Laplace(1/eps) noise via the inverse CDF over a SEEDED md5-derived
+    // uniform — the x_dsir_sample Gumbel discipline applied to aggregate
+    // release, so the artifact is reproducible and fully oracled (one ln
+    // over one identically-ordered double expression, bit-identical both
+    // engines). Production DP draws the uniform from a CSPRNG — the
+    // derivation here is the portable stand-in that makes the pipeline
+    // shape testable; only the noisy column and epsilon are released.
+    Q("x_dp_release",
+      """WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+        |u AS (SELECT event_type, n,
+        |  (CAST(concat('0x', substr(md5(event_type), 1, 15)) AS BIGINT)
+        |    + 0.5) / 1152921504606846976.0 AS u FROM c)
+        |SELECT event_type,
+        |round(n + (-10.0) * (CASE WHEN u < 0.5 THEN -1.0 ELSE 1.0 END)
+        |  * ln(1.0 - 2.0 * abs(u - 0.5)), 4) AS noisy_count,
+        |0.1 AS epsilon
+        |FROM u ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val c = Tables(s, dir, "events")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+      val u = c.withColumn("u",
+        (conv(substring(md5(col("event_type").cast("binary")), 1, 15), 16, 10)
+          .cast("long") + lit(0.5)) / lit(1152921504606846976.0))
+      u.select(col("event_type"),
+          round(col("n") + lit(-10.0)
+            * when(col("u") < 0.5, lit(-1.0)).otherwise(lit(1.0))
+            * log(lit(1.0) - lit(2.0) * abs(col("u") - lit(0.5))), 4)
+            .as("noisy_count"),
+          lit(0.1).as("epsilon"))
+        .orderBy("event_type")
+    },
+
     // Robust outlier statistics — median / MAD (median absolute
     // deviation), the quality-filtering primitive that survives the
     // heavy tails that break mean/stddev z-scores: med and MAD are both
