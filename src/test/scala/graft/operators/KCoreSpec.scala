@@ -46,6 +46,35 @@ class KCoreSpec extends SparkSpec {
     assert(core(edges, 2) === want)
   }
 
+  test("random graphs: matches a reference peeler; cores nest downward in k") {
+    val rnd = new scala.util.Random(31)
+    def referenceCore(edges: Seq[(Long, Long)], k: Int): Set[Long] = {
+      // plain-Scala synchronous peeling over an adjacency map
+      var adj = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+        .filter { case (a, b) => a != b }.distinct
+        .groupBy(_._1).map { case (n, es) => (n, es.map(_._2).toSet) }
+      var changed = true
+      while (changed) {
+        val dead = adj.collect { case (n, ns) if ns.size < k => n }.toSet
+        changed = dead.nonEmpty
+        if (changed)
+          adj = (adj -- dead).map { case (n, ns) => (n, ns -- dead) }
+      }
+      adj.keySet.map(_.toLong)
+    }
+    for (trial <- 0 until 3) {
+      val n = 40 + trial * 20
+      val edges = Seq.fill(n * 3)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val cores = (1 to 4).map(k => k -> core(edges, k)).toMap
+      for (k <- 1 to 4)
+        assert(cores(k) === referenceCore(edges, k), s"trial $trial k=$k")
+      // k-cores nest: core(k) is a subgraph of core(k-1)
+      for (k <- 2 to 4)
+        assert(cores(k).subsetOf(cores(k - 1)), s"trial $trial nesting at k=$k")
+    }
+  }
+
   test("non-convergence within maxIter throws instead of truncating") {
     // a 60-node path needs ~30 peeling rounds at k=2 (both ends peel
     // inward); maxIter=3 must refuse rather than return a superset
