@@ -2794,6 +2794,46 @@ object PipelineQueries {
         .orderBy("event_type")
     },
 
+    // Exact quantile transform (percent_rank normalization) — the
+    // feature-engineering primitive that maps a value to its corpus
+    // percentile. The textbook percent_rank() is a window over the WHOLE
+    // table ordered by value — unpartitioned, the 100 TB killer. The
+    // scale shape here: aggregate counts per DISTINCT value (the cents
+    // domain is bounded — ~10k values regardless of row count), run the
+    // cumulative window over that domain-sized frame, and broadcast-join
+    // the cdf back. Tie semantics match percent_rank exactly: pr =
+    // rows-strictly-less / (n-1), identical integer division to DOUBLE
+    // in both engines, so the decile histogram is a full-value oracle.
+    Q("x_quantile_transform",
+      """WITH d AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS x
+        |  FROM events),
+        |r AS (SELECT x, percent_rank() OVER (ORDER BY x) AS pr FROM d),
+        |b AS (SELECT least(CAST(floor(pr * 10) AS BIGINT), 9) AS decile,
+        |  x FROM r)
+        |SELECT decile, count(*) AS n,
+        |CAST(sum(x % 999983) AS BIGINT) AS checksum
+        |FROM b GROUP BY decile ORDER BY decile""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables(s, dir, "events")
+        .select(round(col("value") * 100, 0).cast("long").as("x"))
+      val counts = d.groupBy("x").agg(count(lit(1)).as("c"))
+      val n = d.count()
+      // cumulative rows strictly below each distinct value — the window
+      // runs over the VALUE DOMAIN (bounded), never the corpus
+      val w = Window.orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cdf = counts
+        .withColumn("below", sum("c").over(w) - col("c"))
+        .withColumn("pr", col("below").cast("double") / (n - 1).toDouble)
+        .select(col("x"), col("pr"))
+      d.join(broadcast(cdf), "x")
+        .select(least(floor(col("pr") * 10).cast("long"), lit(9L))
+          .as("decile"), col("x"))
+        .groupBy("decile").agg(count(lit(1)).as("n"),
+          sum(col("x") % 999983).as("checksum"))
+        .orderBy("decile")
+    },
+
     // Robust outlier statistics — median / MAD (median absolute
     // deviation), the quality-filtering primitive that survives the
     // heavy tails that break mean/stddev z-scores: med and MAD are both
