@@ -1110,6 +1110,48 @@ object RelationalQueries {
     // allowMissingColumns, the shape every long-lived ingest pipeline hits
     // when a column is added mid-stream. Spark aligns by NAME and fills
     // missing columns with NULL; positional union would silently mis-bind.
+    // Corrupt-file tolerance: one of three parquet files is truncated to
+    // garbage (bit rot / partial upload — at 100 TB some file IS bad)
+    // and the scan must survive and return exactly the readable rows.
+    // The fixture corrupts a KNOWN subset (doc_id % 3 == 2), so the
+    // surviving population is SQL-derivable and the per-bucket counts +
+    // id checksums are a full oracle, not a rows-survived smoke test.
+    // ignoreCorruptFiles is set per-read via the option, never
+    // session-wide — a global setting would let OTHER queries silently
+    // half-read their inputs.
+    Q("x_corrupt_tolerance",
+      """SELECT CAST(doc_id % 3 AS BIGINT) AS bucket, count(*) AS n,
+        |CAST(sum(doc_id % 999983) AS BIGINT) AS id_checksum
+        |FROM documents WHERE doc_id % 3 <> 2
+        |GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents").select("doc_id", "lang")
+      val tmp = Tmp.dir("graft-corrupt")
+      try {
+        val path = tmp.resolve("t")
+        java.nio.file.Files.createDirectories(path)
+        for (b <- 0 to 2) {
+          val sub = tmp.resolve(s"part$b").toString
+          docs.where(col("doc_id") % 3 === b)
+            .coalesce(1).write.mode("overwrite").parquet(sub)
+          val f = new java.io.File(sub).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dest = path.resolve(s"bucket$b.parquet")
+          if (b == 2) {
+            // truncate mid-file: valid magic, shredded row groups/footer
+            val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+            java.nio.file.Files.write(dest,
+              java.util.Arrays.copyOf(bytes, math.max(16, bytes.length / 3)))
+          } else java.nio.file.Files.copy(f.toPath, dest)
+        }
+        s.read.option("ignoreCorruptFiles", "true").parquet(path.toString)
+          .groupBy((col("doc_id") % 3).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("doc_id") % 999983).as("id_checksum"))
+          .orderBy("bucket")
+          .localCheckpoint(true) // detach from tmp before the delete below
+      } finally PipelineQueries.deleteRecursively(tmp)
+    },
+
     // Dynamic partition overwrite: rewrite ONE lang partition in place
     // while every other partition's files stay untouched — the
     // incremental-backfill write path (static overwrite would wipe the
