@@ -69,7 +69,10 @@ object ScaleCheck {
     // r9 extended-session: one-pass Gram + driver eigensolve + projection
     // pass — the no-shuffle linear-algebra shape; curve should track the
     // corpus scan
-    "x_pca")
+    "x_pca",
+    // r9 extended-session: content-defined chunking — per-token md5 fold,
+    // the aggregate-HOF shape; curve should track the token scan
+    "x_cdc_chunks")
 
   /** Streaming-path members (r6 judge #5): real foreachBatch sinks over the
     * replicated corpus. Caveat on reading their ratios: each query's timed
