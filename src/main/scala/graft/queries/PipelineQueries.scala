@@ -444,6 +444,41 @@ object PipelineQueries {
       }
     },
 
+    // Canonical-document selection — the step AFTER clustering in every
+    // dedup pipeline: each near-dup cluster keeps ONE representative
+    // (here: longest text, doc_id tie-break) and sheds the rest. Runs
+    // the REAL distributed path (chain-decade edges -> large-star/
+    // small-star CC -> per-cluster max_by) while the closed-form
+    // clusters make the full (cluster, canonical, size) table
+    // SQL-derivable — a row-level oracle over the selection itself, not
+    // just counts. max_by on a (length, id) struct == arg_max on the
+    // composite integer key in DuckDB (length*1e7 + id, collision-free
+    // below 1e7 ids).
+    Q("x_dedup_canonical",
+      """SELECT doc_id - doc_id % 10 AS cluster,
+        |CAST(arg_max(doc_id, length(text) * 10000000 + doc_id) AS BIGINT)
+        |  AS canonical_id,
+        |count(*) AS n_members
+        |FROM documents GROUP BY 1 ORDER BY cluster""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents").select("doc_id", "text")
+      val maxId = docs.agg(max("doc_id")).first().getLong(0)
+      withShufflePartitions(s, 8) {
+        val edges = docs.where(pmod(col("doc_id"), lit(10)) =!= 9 &&
+            col("doc_id") < maxId)
+          .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+        val labels = graft.operators.ConnectedComponents.clusters(edges, "a", "b")
+        docs.join(labels, col("doc_id") === col("id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster"), col("doc_id")).as("cluster"),
+            (length(col("text")).cast("long") * 10000000L + col("doc_id"))
+              .as("keyv"))
+          .groupBy("cluster")
+          .agg(max_by(col("doc_id"), col("keyv")).as("canonical_id"),
+            count(lit(1)).as("n_members"))
+          .orderBy("cluster")
+      }
+    },
+
     // Pairs -> clusters -> representatives: the full dedup pipeline. Chains
     // of near-copies (src ~ copy1 ~ copy2, one more token per hop) are
     // injected; transitive clustering must put all three in ONE cluster even
