@@ -608,6 +608,53 @@ object CoreQueries {
       }
     },
 
+    // Bucket PRUNING on read: an equality filter on the bucket column
+    // must scan ONE bucket, not eight — at 100 TB this is the difference
+    // between a point lookup and a table scan. The in-query plan gate
+    // reads SelectedBucketsCount from the executed scan ("1 out of 8");
+    // the value oracle pins the filtered aggregate itself, so the prune
+    // is proven not to have dropped rows while it skipped files.
+    Q("x_bucket_pruning",
+      """SELECT count(*) AS n,
+        |CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |  AS sum_cents
+        |FROM orders WHERE o_orderkey = 32""".stripMargin) { (s, dir) =>
+      val tmp = Tmp.dir("graft-bprune")
+      s.sql("DROP TABLE IF EXISTS graft_orders_bp")
+      try {
+        Tables(s, dir, "orders")
+          .write.mode("overwrite").option("path", tmp.resolve("o").toString)
+          .bucketBy(8, "o_orderkey")
+          .saveAsTable("graft_orders_bp")
+        // autoBucketedScan declines the bucketed layout when the query
+        // itself doesn't exploit bucketing (this agg doesn't group on the
+        // key) — and silently takes the bucket PRUNE with it, falling
+        // back to an all-files scan. Pin it off for this read: the point
+        // lookup wants the 1-of-8 file skip, which is the whole query.
+        val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        val prev = s.conf.get(key)
+        s.conf.set(key, "false")
+        try {
+          val q = s.table("graft_orders_bp")
+            .where(col("o_orderkey") === 32)
+            .agg(count(lit(1)).as("n"),
+              sum(round(col("o_totalprice") * 100, 0).cast("long"))
+                .as("sum_cents"))
+          val out = q.localCheckpoint(true) // finalize the adaptive plan
+          val plan = q.queryExecution.executedPlan.toString
+          Gate.check(plan.contains("SelectedBucketsCount: 1 out of 8"),
+            "bucket pruning regressed: point filter did not select exactly " +
+              "one bucket")
+          out
+        } finally s.conf.set(key, prev)
+      } finally {
+        s.sql("DROP TABLE IF EXISTS graft_orders_bp")
+        import java.nio.file.Files
+        Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { Files.deleteIfExists(p); () })
+      }
+    },
+
     // Extension: range-sorted write — repartitionByRange + sortWithinPartitions
     // produces globally range-partitioned, locally sorted files: the layout
     // that makes parquet min/max stats actually skip data on the sort key.
