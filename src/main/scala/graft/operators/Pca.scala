@@ -33,6 +33,10 @@ object Pca {
       .rdd.map(_.getSeq[Double](0).toArray)
       .treeAggregate(zero)(
         seqOp = { case ((n0, s0, g0), x) =>
+          // a clear error beats the ArrayIndexOutOfBounds a ragged corpus
+          // would otherwise throw from deep inside the fold
+          require(x.length == dim,
+            s"PCA input has mixed dimensions: saw ${x.length}, expected $dim")
           var i = 0
           while (i < dim) {
             s0(i) += x(i)

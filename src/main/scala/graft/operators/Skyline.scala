@@ -33,9 +33,13 @@ object Skyline {
   def skyline2D(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // nulls and NaNs drop: dominance is undefined against NaN (every
+    // comparison is false, so a NaN row would silently survive every
+    // filter and pollute the front)
     val pts = df.select(col(xCol).cast("double").as("x"),
       col(yCol).cast("double").as("y"))
-      .where(col("x").isNotNull && col("y").isNotNull)
+      .where(col("x").isNotNull && col("y").isNotNull &&
+        !isnan(col("x")) && !isnan(col("y")))
       .groupBy("x").agg(min("y").as("y"))
     val sorted = pts.as[(Double, Double)]
       .repartitionByRange(col("x"))
