@@ -83,11 +83,22 @@ object TextFunctions {
     * element_at; guarded so short docs yield an empty set rather than a
     * descending `sequence`.
     */
-  def shingles(toks: Column, k: Int): Column =
-    when(size(toks) >= k,
-      array_distinct(transform(sequence(lit(1), size(toks) - (k - 1)),
-        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + lit(j))): _*))))
-      .otherwise(array_distinct(array(concat_ws(" ", toks))))
+  def shingles(toks: Column, k: Int): Column = {
+    // bind-once wrapper: the k-gram construction indexes positions, and a
+    // caller passing a DERIVED toks (split/filter of text) would have that
+    // derivation inlined by projection collapse into every element_at —
+    // re-tokenizing the row once per position (PlanGuard check 3, the
+    // x_cdc_chunks lesson). transform(array(toks), t -> ...) evaluates
+    // toks exactly once per row and the lambda indexes the materialized
+    // lambda variable. This is the reference construction; the hot path
+    // is the native graft_shingles kernel.
+    def over(t: Column): Column =
+      when(size(t) >= k,
+        array_distinct(transform(sequence(lit(1), size(t) - (k - 1)),
+          i => concat_ws(" ", (0 until k).map(j => element_at(t, i + lit(j))): _*))))
+        .otherwise(array_distinct(array(concat_ws(" ", t))))
+    element_at(transform(array(toks), t => over(t)), 1)
+  }
 
   /** MinHash signature: numHashes seeded xxhash64 minima over the shingle
     * set. Seeding via the (shingle, seed-index) pair keeps everything inside
@@ -98,18 +109,30 @@ object TextFunctions {
     * instead of numHashes) — same collision property, 32x less hash work,
     * different signature VALUES.
     */
-  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => coalesce(array_min(transform(shinglesCol, s => xxhash64(s, i))),
-        lit(Long.MaxValue)))
+  def minhashSignature(shinglesCol: Column, numHashes: Int): Column = {
+    // bind-once (same rationale as shingles): a derived shinglesCol
+    // referenced inside the per-hash lambda would be re-derived once per
+    // hash index; binding it first evaluates it once per row
+    def over(sh: Column): Column =
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        i => coalesce(array_min(transform(sh, s => xxhash64(s, i))),
+          lit(Long.MaxValue)))
+    element_at(transform(array(shinglesCol), sh => over(sh)), 1)
+  }
 
   /** LSH band keys from a MinHash signature: numBands structs of
     * (band, bhash). Equal (band, bhash) => candidate duplicate pair.
     */
-  def minhashBands(sig: Column, numBands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(numBands - 1)),
-      b => struct(b.as("band"),
-        xxhash64(b, slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))).as("bhash")))
+  def minhashBands(sig: Column, numBands: Int, rowsPerBand: Int): Column = {
+    // bind-once: a derived sig (e.g. graft_minhash(...)) referenced inside
+    // the per-band lambda is re-evaluated once per band — HOF lambdas are
+    // interpreted, so codegen subexpression elimination never rescues it
+    def over(s: Column): Column =
+      transform(sequence(lit(0), lit(numBands - 1)),
+        b => struct(b.as("band"),
+          xxhash64(b, slice(s, b * rowsPerBand + 1, lit(rowsPerBand))).as("bhash")))
+    element_at(transform(array(sig), s => over(s)), 1)
+  }
 
   /** 64-bit SimHash over pre-hashed tokens (`thCol` = array<bigint> of
     * xxhash64(token)): majority vote per bit.

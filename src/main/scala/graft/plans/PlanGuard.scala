@@ -30,6 +30,15 @@ final class PlanGuardViolation(msg: String) extends RuntimeException(msg)
   *     `spark.graft.planGuard.maxCartesianBytes` (default 128 MiB). A
   *     broadcast-sized side is a legitimate nested-loop probe; two big
   *     sides is an |A|x|B| explosion.
+  *  3. Positional indexing of a DERIVED array inside a lambda:
+  *     `element_at(arr, i)` / `arr[i]` where `arr` is not a bare column
+  *     but an expression that itself contains a split/regexp/higher-order
+  *     derivation. Catalyst's projection collapse inlines the array's
+  *     WHOLE derivation into every per-element call, turning an O(n)
+  *     scan into O(n^2) per row — measured as an 80s-vs-1s difference on
+  *     a per-token md5 chain (x_cdc_chunks' first formulation). The fix
+  *     is always the same: fold/transform over the array's ELEMENTS, or
+  *     materialize the derived array in a separate, non-collapsible step.
   *
   * Size estimates come from logical-plan statistics (`sizeInBytes`), which
   * Spark maintains bottom-up from file-scan sizes — the same signal the
@@ -79,6 +88,37 @@ case class PlanGuard(spark: SparkSession) extends Rule[LogicalPlan] {
   private def confBytes(key: String, default: Long): Long =
     spark.conf.getOption(key).map(_.toLong).getOrElse(default)
 
+  /** Check 3: an array argument of element_at / [] inside a lambda body
+    * that is itself a derivation (contains a higher-order function or a
+    * string split) — the projection-collapse O(n^2) trap. Bare
+    * attributes, lambda variables and literals are fine: indexing a
+    * MATERIALIZED array is O(1).
+    */
+  private def lambdaIndexedDerivedArray(
+      root: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def derived(arr: Expression): Boolean = arr match {
+      case _: Attribute | _: NamedLambdaVariable | _: Literal => false
+      case e => e.exists {
+        case _: HigherOrderFunction => true
+        case _: StringSplit => true
+        case _: RegExpExtract => true
+        case _ => false
+      }
+    }
+    var bad = false
+    root.foreach {
+      case lf: LambdaFunction =>
+        lf.function.foreach {
+          case ea: ElementAt if derived(ea.left) => bad = true
+          case ga: GetArrayItem if derived(ga.child) => bad = true
+          case _ => ()
+        }
+      case _ => ()
+    }
+    bad
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!confBool("spark.graft.planGuard.enabled", default = true)) return plan
     val maxWindow = confBytes("spark.graft.planGuard.maxWindowBytes", 1L << 30)
@@ -104,6 +144,20 @@ case class PlanGuard(spark: SparkSession) extends Rule[LogicalPlan] {
               "session with spark.graft.planGuard.enabled=false.")
       case _ => ()
     }
+    if (confBool("spark.graft.planGuard.lambdaIndex.enabled", default = true))
+      plan.foreach { node =>
+        node.expressions.foreach { e =>
+          if (lambdaIndexedDerivedArray(e))
+            throw new PlanGuardViolation(
+              "element_at/[] on a DERIVED array inside a lambda: projection " +
+                "collapse inlines the array's whole derivation into every " +
+                "per-element call — O(n^2) per row (measured 80s vs 1s on a " +
+                "per-token md5 chain). Fold or transform over the array's " +
+                "ELEMENTS instead, or materialize the derived array in a " +
+                "separate step. Disable with " +
+                "spark.graft.planGuard.lambdaIndex.enabled=false.")
+        }
+      }
     plan
   }
 }

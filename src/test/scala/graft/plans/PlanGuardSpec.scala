@@ -91,6 +91,40 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("lambda-indexed DERIVED array throws; element-wise transform passes") {
+    // scan-backed frame: a Seq-backed LocalRelation would be folded away
+    // by ConvertToLocalRelation before the guard ever sees a lambda
+    val docs = Tables(spark, sf001, "documents").select("doc_id", "text")
+    val n = docs.count()
+    // the x_cdc_chunks trap: element_at over an array whose derivation
+    // (split) collapses INTO the lambda
+    val trap = docs.select(col("doc_id"),
+      filter(sequence(lit(1), size(split(col("text"), " "))), i =>
+        length(element_at(split(col("text"), " "), i.cast("int"))) > 1)
+        .as("hits"))
+    // every action below REFERENCES hits: a bare count() lets
+    // ColumnPruning delete the lambda before the guard can see it (the
+    // same vacuous-pass trap countWithWindowPinned guards against)
+    def touch(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(size(col("hits")))).first().getLong(0)
+    val e = intercept[Throwable](touch(trap))
+    assert(isGuard(e), s"expected PlanGuardViolation, got $e")
+    // the correct shape: transform over the array's ELEMENTS
+    val ok = docs.select(col("doc_id"),
+      filter(split(col("text"), " "), w => length(w) > 1).as("hits"))
+    assert(touch(ok) > 0)
+    // escape hatch
+    withCap("spark.graft.planGuard.lambdaIndex.enabled", "false") {
+      assert(touch(trap) > 0)
+    }
+    // indexing a MATERIALIZED (attribute) array inside a lambda is fine
+    val mat = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .localCheckpoint(true)
+      .select(filter(sequence(lit(1), size(col("t"))), i =>
+        length(element_at(col("t"), i.cast("int"))) > 1).as("hits"))
+    assert(touch(mat) >= 0 && mat.count() === n)
+  }
+
   test("outer join whose condition references only one side is cartesian-like") {
     // A LEFT JOIN B ON a.x > 0 constrains nothing about the pairing: each
     // qualifying A row matches EVERY B row. The inner-join variants of this
