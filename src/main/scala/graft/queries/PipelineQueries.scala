@@ -2869,6 +2869,40 @@ object PipelineQueries {
         .orderBy("decile")
     },
 
+    // Time-decayed aggregation — exponential recency weighting
+    // (engagement scores, freshness-weighted counts): each event
+    // contributes cents * exp(-0.1 * age_days). Float discipline: the
+    // decay factor is QUANTIZED per event (floor(exp * 1e9) as BIGINT —
+    // the x_lm_score floor-at-1e6 pattern, and age_days takes only ~31
+    // distinct values so the ulp surface is tiny), making every term an
+    // exact integer and the sum ORDER-FREE — a raw float sum would hash
+    // differently under Spark's unordered partial aggregation. Overflow
+    // bound: |term| <= 1e4 cents * 1e9 = 1e13; safe to ~9e5 rows per
+    // group at BIGINT — document-and-assert territory past sf1.
+    Q("x_time_decay",
+      """WITH mx AS (SELECT max(ts) AS m FROM events),
+        |d AS (SELECT event_type,
+        |  date_diff('day', date_trunc('day', ts), date_trunc('day', m)) AS age,
+        |  CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events, mx)
+        |SELECT event_type, count(*) AS n,
+        |CAST(sum(cents * CAST(floor(exp(-0.1 * age) * 1000000000) AS BIGINT))
+        |  AS BIGINT) AS decayed_microcents
+        |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val mx = ev.agg(max("ts").as("m"))
+      ev.crossJoin(broadcast(mx))
+        .select(col("event_type"),
+          datediff(date_trunc("day", col("m")), date_trunc("day", col("ts")))
+            .as("age"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        .select(col("event_type"),
+          (col("cents") * floor(exp(col("age") * -0.1) * 1e9).cast("long"))
+            .as("term"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("term").as("decayed_microcents"))
+        .orderBy("event_type")
+    },
+
     // Robust outlier statistics — median / MAD (median absolute
     // deviation), the quality-filtering primitive that survives the
     // heavy tails that break mean/stddev z-scores: med and MAD are both
