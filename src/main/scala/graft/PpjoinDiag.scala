@@ -30,6 +30,40 @@ object PpjoinDiag {
     }
 
     val threshold = 0.8
+    // --skew: the repeated-text A/B (r9 verdict #1) on a synthetic corpus —
+    // production identity-collapse path vs the pre-collapse per-doc path
+    // rebuilt from the same stage functions. Usage:
+    //   runMain graft.PpjoinDiag --skew [nBase] [nHot]
+    if (args.contains("--skew")) {
+      val rest = args.filterNot(_ == "--skew")
+      val nBase = rest.headOption.map(_.toInt).getOrElse(50000)
+      val nHot = rest.lift(1).map(_.toInt).getOrElse(2000)
+      val base = spark.range(nBase).select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(49)),
+          i => concat(lit("w"), pmod(xxhash64(col("id"), i), lit(500)))))
+          .as("text"))
+      val hot = spark.range(nHot).select(
+        (lit(5000000L) + col("id")).as("doc_id"),
+        lit((0 until 60).map(i => s"hot$i").mkString(" ")).as("text"))
+      val corpus = base.unionByName(hot).repartition(64)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"PPJDIAG skew docs=${corpus.count()}")
+      t("skew_collapsed")(println("PPJDIAG collapsed_pairs=" +
+        graft.operators.Dedup.ppjoinPairs(
+          corpus, "doc_id", "text", 3, threshold).count()))
+      t("skew_perdoc") {
+        val shk = corpus.select(col("doc_id").as("id"),
+          graft_shingles(tokens(col("text")), 3).as("s"))
+        val agg = graft.operators.Dedup.ppjoinAgg(shk)
+        val perDoc = agg.withColumn("members", array(col("id")))
+        val cand = graft.operators.Dedup
+          .ppjoinCandidatesFromAgg(perDoc, threshold).localCheckpoint(true)
+        println("PPJDIAG perdoc_pairs=" + graft.operators.Dedup
+          .ppjoinVerifyExpand(perDoc, cand, threshold).count())
+      }
+      corpus.unpersist()
+      spark.stop(); return
+    }
     // --plan: print the interior (un-checkpointed) rank-frame plan — is
     // the ex-by-g exchange reused between the df aggregate and the
     // df-attach join, or paid twice?

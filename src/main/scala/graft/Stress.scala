@@ -157,6 +157,39 @@ object Stress {
         .ds.count())
     }
 
+    // repeated-text skew (r9 verdict #1): the exact set-join's worst
+    // corpus — a 2000-member exact-copy block whose C(2000,2) ~ 2M pairs
+    // are ALL true output, so no filter may prune them and the prefix-
+    // inverted lists for the block's shingles are 2000 deep. A/B: the
+    // production identity-collapse path vs the pre-collapse per-doc path
+    // reconstructed from the SAME stage functions (each doc its own
+    // 1-member group), so the delta is the collapse and nothing else.
+    {
+      functions.GraftFunctions.register(spark)
+      val hot = spark.range(2000).select(
+        (lit(5000000L) + col("id")).as("doc_id"),
+        lit((0 until 60).map(i => s"hot$i").mkString(" ")).as("text"))
+      val corpus = docs.where(col("doc_id") < nDocs / 4).unionByName(hot)
+        .repartition(64).cache()
+      println(s"PPJOIN_SKEW_DOCS=${corpus.count()}")
+      time(s"ppjoinPairs repeated-text skew WITH collapse") {
+        println("PPJOIN_SKEW_COLLAPSED=" + operators.Dedup.ppjoinPairs(
+          corpus, "doc_id", "text", shingleK = 3, threshold = 0.8).count())
+      }
+      time(s"ppjoinPairs repeated-text skew WITHOUT collapse (A/B)") {
+        val sh = corpus.select(col("doc_id").as("id"),
+          functions.GraftFunctions.graft_shingles(
+            functions.TextFunctions.tokens(col("text")), 3).as("s"))
+        val agg = operators.Dedup.ppjoinAgg(sh)
+        val perDoc = agg.withColumn("members", array(col("id")))
+        val cand = operators.Dedup.ppjoinCandidatesFromAgg(perDoc, 0.8)
+          .localCheckpoint(true)
+        println("PPJOIN_SKEW_PERDOC=" + operators.Dedup
+          .ppjoinVerifyExpand(perDoc, cand, 0.8).count())
+      }
+      corpus.unpersist()
+    }
+
     // exact bipartite decontamination at corpus scale: the benchmark side
     // stays fixed (1000 refs) while the corpus is the full synthetic set —
     // candidate volume is bounded by the refs' prefixes, so this is the

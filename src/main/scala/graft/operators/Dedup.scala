@@ -239,23 +239,52 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val agg = ppjoinAgg(sh)
     sh.unpersist(blocking = false)
-    val candidates = ppjoinCandidatesFromAgg(agg, threshold)
+    // Identity collapse (the prefix join's FREQUENCY LEVER, r9 verdict #1):
+    // documents with bit-identical shingle sets — exact duplicates, the
+    // one corpus shape that makes the prefix-inverted lists quadratic
+    // with every candidate surviving every filter (J = 1 passes anything)
+    // — are grouped to ONE representative before the join. A g-member
+    // group then costs the prefix stage one doc instead of g, its g^2
+    // candidate pairs never exist, and the C(g,2) output rows (jaccard
+    // exactly 1) are emitted by a constant-cost expansion instead of the
+    // verify kernel. Exactness is preserved by construction: J depends
+    // only on the set, so a member pair's jaccard IS its rep pair's, and
+    // within-group pairs are identically 1 >= t. Grouped by the `sorted`
+    // struct array ITSELF, not a fingerprint — a 64-bit hash would trade
+    // the operator's zero-false-anything contract for a collision
+    // lottery — and the exchange is ONE corpus pass of the same arrays
+    // the verify join already ships per candidate pair (PpjoinDiag
+    // --skew, 50k distinct + 8k-copy block = 32M true pairs: collapsed
+    // 28.1s vs per-doc 64.7s, and the per-doc gap grows with g^2 while
+    // the collapsed path is output-bound).
+    val groups = identityGroups(agg)
+    val candidates = ppjoinCandidatesFromAgg(groups, threshold)
       .localCheckpoint(true)
-    // Exact verification on each doc's GID set, not its shingle strings:
-    // the gid relabeling is a bijection, so |intersection| and |union| are
-    // identical to the string sets' — same integers, same double, same
-    // >= t decision — while the arrays are 8-byte longs with a ~3x
-    // smaller join payload than UTF8 shingles. The arrays are sorted
-    // ascending once per DOCUMENT (array_sort on longs), so each
-    // candidate PAIR intersects via the graft_sorted_intersect merge
-    // kernel — O(|x|+|y|) long compares, no per-pair hash-set build
-    // (array_union's cost shape) and no per-pair allocation. Unhinted —
-    // same AQE broadcast rationale as minhashPairs' verify join-back.
+    ppjoinVerifyExpand(groups, candidates, threshold)
+  }
+
+  /** ppjoinPairs' verify + expansion stage over the collapsed group frame —
+    * factored out so ScaleCheck can time the verify term alone (the
+    * per-stage decomposition the r9 verdict demands on the set-join rows).
+    *
+    * Exact verification on each rep's GID set, not its shingle strings:
+    * the gid relabeling is a bijection, so |intersection| and |union| are
+    * identical to the string sets' — same integers, same double, same
+    * >= t decision — while the arrays are 8-byte longs with a ~3x
+    * smaller join payload than UTF8 shingles. The arrays are sorted
+    * ascending once per GROUP (array_sort on longs), so each candidate
+    * PAIR intersects via the graft_sorted_intersect merge kernel —
+    * O(|x|+|y|) long compares, no per-pair hash-set build (array_union's
+    * cost shape) and no per-pair allocation. Unhinted — same AQE
+    * broadcast rationale as minhashPairs' verify join-back.
+    */
+  private[graft] def ppjoinVerifyExpand(groups: DataFrame,
+      candidates: DataFrame, threshold: Double): DataFrame = {
     import graft.functions.GraftFunctions.graft_sorted_intersect
-    val gids = agg.select(col("id"),
+    val gids = groups.select(col("id"),
       array_sort(transform(col("sorted"), x => x.getField("gid"))).as("gs"),
       col("len"))
-    val result = candidates
+    val repPairs = candidates
       .join(gids.select(col("id").as("id1"), col("gs").as("g1"),
         col("len").as("l1")), "id1")
       .join(gids.select(col("id").as("id2"), col("gs").as("g2"),
@@ -265,8 +294,40 @@ object Dedup {
       .withColumn("jaccard", col("i") / (col("l1") + col("l2") - col("i")))
       .where(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
-    result.localCheckpoint(true)
+    // Expansion: rep pairs fan back out to member pairs (same jaccard —
+    // sets identical within a group), and each multi-member group emits
+    // its own C(g,2) pairs at jaccard exactly 1.0. Group ids partition
+    // the corpus, so least/greatest ordering can never collide with a
+    // within-group pair and every member pair is emitted exactly once.
+    val expanded = repPairs
+      .join(groups.select(col("id").as("id1"), col("members").as("m1")), "id1")
+      .join(groups.select(col("id").as("id2"), col("members").as("m2")), "id2")
+      .select(explode(col("m1")).as("a"), col("m2"), col("jaccard"))
+      .select(col("a"), explode(col("m2")).as("b"), col("jaccard"))
+      .select(least(col("a"), col("b")).as("id1"),
+        greatest(col("a"), col("b")).as("id2"), col("jaccard"))
+    val within = groups.where(size(col("members")) > 1)
+      .select(posexplode(col("members")).as(Seq("i", "id1")), col("members"))
+      .select(col("id1"), explode(
+        slice(col("members"), col("i") + lit(2), size(col("members")))).as("id2"))
+      .withColumn("jaccard", lit(1.0))
+      .select("id1", "id2", "jaccard")
+    expanded.unionByName(within).localCheckpoint(true)
   }
+
+  /** The identity-collapse frame: one row per DISTINCT shingle set —
+    * (sorted, len, id = min member id, members = sorted member ids). The
+    * rep rows feed the prefix stage directly (same schema as ppjoinAgg
+    * plus `members`), so the collapse costs exactly one exchange keyed by
+    * the struct array and removes every duplicate document from the
+    * quadratic stages. Checkpointed: it feeds the prefix self-join sides,
+    * the verify join and both expansion joins off one frozen frame.
+    */
+  private[graft] def identityGroups(agg: DataFrame): DataFrame =
+    agg.groupBy(col("sorted"), col("len"))
+      .agg(min(col("id")).as("id"),
+        sort_array(collect_list(col("id"))).as("members"))
+      .localCheckpoint(true)
 
   /** ppjoinPairs' shared per-document frame: (id, len, sorted) where
     * `sorted` is the doc's shingles as (df, gid) structs in the global
@@ -350,11 +411,12 @@ object Dedup {
   }
 
   /** Candidate count over a pre-shingled (id, s) frame — the ScaleCheck
-    * pair-cell entry point.
+    * pair-cell entry point. Runs the identity collapse first so the
+    * published count is the verify stream the production query generates.
     */
   private[graft] def ppjoinCandidates(sh: DataFrame,
       threshold: Double): DataFrame =
-    ppjoinCandidatesFromAgg(ppjoinAgg(sh), threshold)
+    ppjoinCandidatesFromAgg(identityGroups(ppjoinAgg(sh)), threshold)
 
   /** EXACT bipartite set-similarity join — the R-S form of the AllPairs /
     * PPJoin family (ppjoinPairs is the self-join special case): every
@@ -394,14 +456,27 @@ object Dedup {
     val both = shingled(left, lIdCol, lTextCol, 0)
       .unionByName(shingled(right, rIdCol, rTextCol, 1))
     val agg = crossJaccardAgg(both)
-    val candidates = crossJaccardCandidatesFromAgg(agg, threshold)
+    // identity collapse per side (the ppjoinPairs lever, keyed by (side,
+    // set)): a corpus of g exact copies of a leaked benchmark doc costs
+    // the prefix join one row and expands to g output pairs afterwards
+    val groups = identityGroupsBySide(agg)
+    val candidates = crossJaccardCandidatesFromAgg(groups, threshold)
       .localCheckpoint(true)
-    // exact verify on sorted gid sets — the ppjoinPairs kernel discipline
+    crossJaccardVerifyExpand(groups, candidates, threshold)
+  }
+
+  /** crossJaccardJoin's verify + expansion over the per-side collapsed
+    * frame — exact verify on sorted gid sets (the ppjoinPairs kernel
+    * discipline), then the rep-pair fan-out to member pairs. No
+    * within-group emission: same-side pairs are not this join's output.
+    */
+  private[graft] def crossJaccardVerifyExpand(groups: DataFrame,
+      candidates: DataFrame, threshold: Double): DataFrame = {
     import graft.functions.GraftFunctions.graft_sorted_intersect
-    val gids = agg.select(col("side"), col("id"),
+    val gids = groups.select(col("side"), col("id"),
       array_sort(transform(col("sorted"), x => x.getField("gid"))).as("gs"),
       col("len"))
-    val result = candidates
+    val repPairs = candidates
       .join(gids.where(col("side") === 0).select(col("id").as("id1"),
         col("gs").as("g1"), col("len").as("l1")), "id1")
       .join(gids.where(col("side") === 1).select(col("id").as("id2"),
@@ -411,8 +486,27 @@ object Dedup {
       .withColumn("jaccard", col("i") / (col("l1") + col("l2") - col("i")))
       .where(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
+    val result = repPairs
+      .join(groups.where(col("side") === 0)
+        .select(col("id").as("id1"), col("members").as("m1")), "id1")
+      .join(groups.where(col("side") === 1)
+        .select(col("id").as("id2"), col("members").as("m2")), "id2")
+      .select(explode(col("m1")).as("id1"), col("m2"), col("jaccard"))
+      .select(col("id1"), explode(col("m2")).as("id2"), col("jaccard"))
+      .select("id1", "id2", "jaccard")
     result.localCheckpoint(true)
   }
+
+  /** identityGroups keyed additionally by side — one doc may appear on
+    * BOTH sides under the same id (refs drawn from the corpus), and
+    * same-side grouping is what the expansion's side-filtered joins rely
+    * on.
+    */
+  private[graft] def identityGroupsBySide(agg: DataFrame): DataFrame =
+    agg.groupBy(col("side"), col("sorted"), col("len"))
+      .agg(min(col("id")).as("id"),
+        sort_array(collect_list(col("id"))).as("members"))
+      .localCheckpoint(true)
 
   /** crossJaccardJoin's shared per-(side, doc) rank frame — ppjoinAgg
     * generalized by the side tag (one doc may appear on BOTH sides under

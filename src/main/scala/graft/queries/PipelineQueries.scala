@@ -4118,6 +4118,97 @@ object PipelineQueries {
       } finally deleteRecursively(tmp)
     },
 
+    // STATEFUL sessionization RESTART — gates the event-time-timeout
+    // sessionize path (emitOpen = false, EventStreams.sessionizeMs) end
+    // to end across a mid-corpus kill (r9 verdict #7: that path was
+    // spec-covered but never CORRECTNESS-gated; the batch-mode oracle
+    // runs emitOpen = true). The fixture splits by TIME with an 8-HOUR
+    // gap (the events table's per-user cadence is hours apart — median
+    // ~7h — so a 30-minute gap would close every session inside phase A
+    // and the restart would carry nothing): sessions straddling the
+    // split are OPEN in the state store when instance A dies, instance
+    // B reloads them, merges gen2 events into the same session, and the
+    // far-future sentinel (> end + 2*gap for every real session) flushes
+    // everything. Lost state splits a spanning session in two and flips
+    // n_sessions — the exact-count oracle catches it; the spanning Gate
+    // pins that the fixture actually exercised a cross-restart session
+    // (at least one output session holds events from BOTH phases).
+    // Parquet file sink: its _spark_metadata manifest is the
+    // exactly-once ledger across instances.
+    Q("x_stream_sessionize_restart",
+      """WITH d AS (SELECT user_id, epoch_ms(ts) AS t FROM events
+        |  WHERE user_id < 35),
+        |m AS (SELECT user_id, t, CASE WHEN t - lag(t) OVER
+        |  (PARTITION BY user_id ORDER BY t) > 28800000
+        |  OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+        |  THEN 1 ELSE 0 END AS new_s FROM d),
+        |s AS (SELECT user_id, sum(new_s) OVER
+        |  (PARTITION BY user_id ORDER BY t
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m)
+        |SELECT user_id, CAST(count(DISTINCT sid) AS BIGINT) AS n_sessions,
+        |count(*) AS n_events FROM s GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val tmp = Tmp.dir("graft-ssrst")
+      try {
+        val src = tmp.resolve("src").toString
+        val out = tmp.resolve("out").toString
+        val ckpt = tmp.resolve("ckpt").toString
+        val gapMs = 8L * 3600000L
+        val ev = Tables(s, dir, "events").where(col("user_id") < 35)
+          .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+            col("event_type"), col("value"))
+        val bounds = ev.agg(
+          expr("approx_percentile(unix_millis(ts), 0.5)"),
+          max(unix_millis(col("ts")))).first()
+        val (mid, maxMs) = (bounds.getLong(0), bounds.getLong(1))
+        val stamped = scala.collection.mutable.Set.empty[String]
+        val t0 = System.currentTimeMillis()
+        def runInstance(): Unit = withShufflePartitions(s, 4) {
+          import s.implicits._
+          val stream = s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+            .as[graft.streaming.EventStreams.Event]
+          val q = graft.streaming.EventStreams
+            .sessionizeMs(stream, gapMs, emitOpen = false)
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        // phase A: first half by time; the spanning sessions stay open
+        // in state when this instance dies
+        ev.where(unix_millis(col("ts")) < mid)
+          .coalesce(2).write.mode("overwrite").parquet(src)
+        stampNewFiles(src, stamped, t0)
+        runInstance()
+        val aRows = s.read.parquet(out).count()
+        // second half + sentinel land while nothing is running
+        ev.where(unix_millis(col("ts")) >= mid)
+          .coalesce(2).write.mode("append").parquet(src)
+        stampNewFiles(src, stamped, t0 + 60000L)
+        import s.implicits._
+        Seq((-1L, new java.sql.Timestamp(maxMs + 2 * gapMs + 3600000L),
+          "sentinel", 0.0))
+          .toDF("user_id", "ts", "event_type", "value")
+          .coalesce(1).write.mode("append").parquet(src)
+        stampNewFiles(src, stamped, t0 + 120000L)
+        runInstance()
+        val all = s.read.parquet(out).where(col("user_id") >= 0)
+          .localCheckpoint(true)
+        val bRows = all.count() - aRows
+        Gate.check(aRows >= 1 && bRows >= 1,
+          s"restart not exercised: phase A emitted $aRows, phase B $bRows")
+        val spanning = all.where(unix_millis(col("session_start")) < mid &&
+          unix_millis(col("session_end")) >= mid).count()
+        Gate.check(spanning >= 1,
+          "no session crossed the restart: the open-session state path " +
+            s"was not exercised (mid=$mid)")
+        all.groupBy("user_id")
+          .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+          .orderBy("user_id")
+      } finally deleteRecursively(tmp)
+    },
+
     // Stream-stream LEFT OUTER interval join, driver-visible END-TO-END:
     // unlike x_stream_join (inner, batch twin), this runs the real
     // watermarked stream — the outer (null-click) rows are the part batch

@@ -129,6 +129,33 @@ class PpjoinSpec extends SparkSpec {
       shingleK = 3, threshold = 0.5).count() === 0)
   }
 
+  test("identity collapse: a large exact-copy group is exhaustive and exact") {
+    // The frequency-lever shape (r9 verdict #1): g identical docs make
+    // every prefix-inverted list quadratic with no filter able to prune —
+    // the collapse must emit all C(g,2) pairs at jaccard exactly 1.0 via
+    // expansion, plus the cross-group near-dups against EVERY member,
+    // while brute force stays the arbiter of the full set.
+    import spark.implicits._
+    val repeated = (0 until 30).map(i =>
+      (500L + i, "alpha beta gamma delta eps zeta eta theta iota"))
+    val docs = corpus().unionByName(
+      spark.createDataFrame(repeated).toDF("doc_id", "text"))
+    val got = Dedup.ppjoinPairs(docs, "doc_id", "text", shingleK = 3,
+      threshold = 0.5).collect().map(key).toSet
+    val want = bruteForce(docs, 0.5).collect().map(key).toSet
+    assert(got === want)
+    val withinGroup = got.filter { case (a, b, _) => a >= 500L && b >= 500L }
+    assert(withinGroup.size === 30 * 29 / 2, "C(30,2) within-group pairs")
+    assert(withinGroup.forall(_._3 === 1000000000L), "within-group J = 1.0")
+    // cross-group: refs against the repeated group must hit every member
+    val cross = Dedup.crossJaccardJoin(docs, "doc_id", "text",
+      docs.where(col("doc_id") === 500L)
+        .select(col("doc_id").as("rid"), col("text").as("rtext")),
+      "rid", "rtext", shingleK = 3, threshold = 1.0).collect().map(key).toSet
+    assert(cross.size === 30 && cross.forall(_._2 == 500L),
+      "every member of the collapsed group pairs with the identical ref")
+  }
+
   test("threshold 0 is rejected (degenerate full inverted index)") {
     val docs = corpus()
     intercept[IllegalArgumentException] {
