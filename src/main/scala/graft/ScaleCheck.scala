@@ -79,9 +79,16 @@ object ScaleCheck {
     * path INCLUDES writing its own source fixture (a corpus-sized
     * coalesce(1) parquet write) — strictly linear in data — so the ratio
     * is an upper bound on how the micro-batch machinery itself scales
-    * (decomposition in NOTES round 8).
+    * (decomposition in NOTES round 8). r10 adds the watermark-
+    * choreographed family (r9 verdict #3: the bench's top parallel-cost
+    * queries had no curves): their user_id filters keep the STREAMED
+    * population copy-0-constant under replication, so the fixture cell
+    * (median-split source scan, data-linear) is the row's whole growth
+    * term and the remainder measures the micro-batch machinery flat.
     */
-  private val Streaming = Seq("x_stream_index_probe", "x_stream_upsert")
+  private val Streaming = Seq("x_stream_index_probe", "x_stream_upsert",
+    "x_stream_window", "x_stream_join_outer", "x_stream_join_full",
+    "x_stream_restart_agg", "x_stream_sessionize_restart")
 
   /** Candidate-pair counts per scale for the two LSH-pair queries (r7 judge
     * #6): the scale axis for this family is the pair count, not the join
@@ -89,24 +96,42 @@ object ScaleCheck {
     * the times. Uses the exact adaptive schedule each query would pick at
     * that corpus size, including the +20 injected rows x_knn_join adds.
     */
-  private def pairCounts(spark: SparkSession, dir: String): Seq[(String, Long)] = {
+  private def pairCounts(spark: SparkSession, dir: String,
+      run: String => Boolean = _ => true): Seq[(String, Long)] = {
     import graft.operators.Similarity
-    val vecs = Tables(spark, dir, "embeddings")
+    lazy val vecs = Tables(spark, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
-    val n = vecs.count()
-    val knnPlanes = Similarity.adaptivePlanes(n + 20, targetOccupancy = 8)
-    val dedupPlanes = Similarity.adaptivePlanes(n + 20, targetOccupancy = 2)
-    Seq(
-      ("x_knn_join", knnPlanes,
-        Similarity.tablesForRecall(knnPlanes, cosine = 0.97), 64),
-      ("x_dedup_embedding", dedupPlanes,
-        Similarity.tablesForRecall(dedupPlanes, cosine = 0.95), 32)
-    ).map { case (name, planes, tables, cap) =>
-      val pairs = Similarity.lshCandidatePairsForDiag(
-        vecs, planes, tables, cap).count()
-      println(s"SCALECHECK pairs $name planes=$planes tables=$tables n=$n pairs=$pairs")
+    lazy val n = vecs.count()
+    val all = pairCountsAll(spark, dir, () => vecs, () => n)
+    all.filter(e => run(e._1)).map { case (name, count) =>
+      val pairs = count()
       (name, pairs)
-    } :+ {
+    }
+  }
+
+  /** The per-query pair-count closures — evaluated only when the query is
+    * in the run filter (a full-table pass still counts everything; a
+    * filtered dev pass no longer pays for the whole vector family).
+    */
+  private def pairCountsAll(spark: SparkSession, dir: String,
+      vecsF: () => DataFrame, nF: () => Long): Seq[(String, () => Long)] = {
+    import graft.operators.Similarity
+    lazy val vecs = vecsF()
+    lazy val n = nF()
+    val lshFamily = Seq(
+      ("x_knn_join", 8, 0.97, 64),
+      ("x_dedup_embedding", 2, 0.95, 32)
+    ).map { case (name, occ, cos, cap) =>
+      (name, () => {
+        val planes = Similarity.adaptivePlanes(n + 20, targetOccupancy = occ)
+        val tables = Similarity.tablesForRecall(planes, cosine = cos)
+        val pairs = Similarity.lshCandidatePairsForDiag(
+          vecs, planes, tables, cap).count()
+        println(s"SCALECHECK pairs $name planes=$planes tables=$tables n=$n pairs=$pairs")
+        pairs
+      })
+    }
+    lshFamily :+ (("x_ann_bipartite", () => {
       // x_ann_bipartite's candidate count at its schedule (left = corpus
       // twins + 20, right = corpus): the 100x ratio's cost axis — the
       // family's steepest at 14.2x — decomposed the same way knn's was
@@ -118,8 +143,8 @@ object ScaleCheck {
       val pairs = Similarity.bipartiteCandidates(l, r, planes, tables,
         maxOccupancy = 16, contentSeededSplit = true).count()
       println(s"SCALECHECK pairs x_ann_bipartite planes=$planes tables=$tables n=$n pairs=$pairs")
-      ("x_ann_bipartite", pairs)
-    } :+ {
+      pairs
+    })) :+ (("x_ann_ingest", () => {
       // x_ann_ingest's cross-pair count at its geomean schedule: the claim
       // the query exists to carry is pairs-per-ingest-row bounded by the
       // cross-pair density sqrt(nl*nr)/2^p — this cell is that number at
@@ -134,8 +159,8 @@ object ScaleCheck {
       val pairs = Similarity.bipartiteCandidates(l, r, planes, tables,
         maxOccupancy = 16, contentSeededSplit = true).count()
       println(s"SCALECHECK pairs x_ann_ingest planes=$planes tables=$tables n=$n nIdx=$nIdx pairs=$pairs")
-      ("x_ann_ingest", pairs)
-    } :+ {
+      pairs
+    })) :+ (("x_embed_dedup", () => {
       // x_embed_dedup's candidate count at its production schedule (r8
       // verdict #2: the suite's most expensive query, now with its pair
       // volume published): full-corpus feature-hash embedding, occupancy-2
@@ -152,8 +177,8 @@ object ScaleCheck {
       val pairs = Similarity.lshCandidatePairsForDiag(embv, planes, tables,
         maxOccupancy = 8, contentSeededSplit = true).count()
       println(s"SCALECHECK pairs x_embed_dedup planes=$planes tables=$tables n=$nd pairs=$pairs")
-      ("x_embed_dedup", pairs)
-    } :+ {
+      pairs
+    })) :+ (("x_semdedup", () => {
       // x_semdedup's candidate count at its own adaptive schedule:
       // threshold -1 turns the verify filter into a pass-through, so the
       // pair count IS the cluster-bucketed candidate volume (post
@@ -165,8 +190,8 @@ object ScaleCheck {
         threshold = -1.0, nlist = nlist, iterations = 3,
         maxOccupancy = 384, refineThreshold = 0.99).count()
       println(s"SCALECHECK pairs x_semdedup nlist=$nlist n=$n pairs=$pairs")
-      ("x_semdedup", pairs)
-    } :+ {
+      pairs
+    })) :+ (("x_jaccard_join", () => {
       // x_jaccard_join's candidate count after the prefix + positional
       // filters (the exact algorithm has no recall knob — this cell is the
       // quantity its verify join's cost rides on).
@@ -180,8 +205,8 @@ object ScaleCheck {
           graft.functions.TextFunctions.tokens(col("text")), 3).as("s"))
       val pairs = graft.operators.Dedup.ppjoinCandidates(sh, 0.8).count()
       println(s"SCALECHECK pairs x_jaccard_join pairs=$pairs")
-      ("x_jaccard_join", pairs)
-    } :+ {
+      pairs
+    })) :+ (("x_cross_dedup", () => {
       // x_cross_dedup's candidate count after the bipartite prefix +
       // positional filters — the verify join's cost axis, the same cell
       // the self-join sibling carries. Exact query fixture: corpus + 20
@@ -197,11 +222,86 @@ object ScaleCheck {
             graft.functions.TextFunctions.tokens(col("text")), 3).as("s"))
       val both = sh(docs.unionByName(injected), 0)
         .unionByName(sh(docs.where(col("doc_id") < 50), 1))
+      // identity collapse included (as the production query runs it)
       val pairs = graft.operators.Dedup.crossJaccardCandidatesFromAgg(
-        graft.operators.Dedup.crossJaccardAgg(both), 0.8).count()
+        graft.operators.Dedup.identityGroupsBySide(
+          graft.operators.Dedup.crossJaccardAgg(both)), 0.8).count()
       println(s"SCALECHECK pairs x_cross_dedup pairs=$pairs")
-      ("x_cross_dedup", pairs)
+      pairs
+    }))
+  }
+
+  /** Per-stage decomposition for the exact set-join family (r9 verdict
+    * #1): times the PRODUCTION stages against the same fixtures the
+    * queries build — agg (tokenize + shingle + one-exchange rank frame),
+    * cand (identity collapse + prefix-confined inverted join + pair
+    * dedup), verify (gid-intersect join-back + member expansion). Each
+    * stage ends in an eager checkpoint or count, so the boundaries are
+    * real barriers and the cells sum to ~the query's end-to-end time.
+    */
+  private def setJoinStages(spark: SparkSession,
+      dir: String): Seq[(String, String, Double)] = {
+    import graft.operators.Dedup
+    graft.functions.GraftFunctions.register(spark)
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
     }
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    val injected = docs.where(col("doc_id") < 20)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" graftdup")).as("text"))
+    val jac = {
+      val sh = docs.unionByName(injected).select(col("doc_id").as("id"),
+        graft.functions.GraftFunctions.graft_shingles(
+          graft.functions.TextFunctions.tokens(col("text")), 3).as("s"))
+      val (agg, tAgg) = timed(Dedup.ppjoinAgg(sh))
+      val (gc, tCand) = timed {
+        val groups = Dedup.identityGroups(agg)
+        (groups, Dedup.ppjoinCandidatesFromAgg(groups, 0.8)
+          .localCheckpoint(true))
+      }
+      val (_, tVer) = timed(Dedup.ppjoinVerifyExpand(gc._1, gc._2, 0.8).count())
+      Seq(("x_jaccard_join", "agg", tAgg), ("x_jaccard_join", "cand", tCand),
+        ("x_jaccard_join", "verify", tVer))
+    }
+    val cross = {
+      def sh(df: DataFrame, side: Int) =
+        df.select(lit(side).as("side"), col("doc_id").as("id"),
+          graft.functions.GraftFunctions.graft_shingles(
+            graft.functions.TextFunctions.tokens(col("text")), 3).as("s"))
+      val both = sh(docs.unionByName(injected), 0)
+        .unionByName(sh(docs.where(col("doc_id") < 50), 1))
+      val (agg, tAgg) = timed(Dedup.crossJaccardAgg(both))
+      val (gc, tCand) = timed {
+        val groups = Dedup.identityGroupsBySide(agg)
+        (groups, Dedup.crossJaccardCandidatesFromAgg(groups, 0.8)
+          .localCheckpoint(true))
+      }
+      val (_, tVer) = timed(
+        Dedup.crossJaccardVerifyExpand(gc._1, gc._2, 0.8).count())
+      Seq(("x_cross_dedup", "agg", tAgg), ("x_cross_dedup", "cand", tCand),
+        ("x_cross_dedup", "verify", tVer))
+    }
+    (jac ++ cross).map { case (q, c, t) =>
+      println(f"SCALECHECK stage $q $c $dir $t%.2fs")
+      (q, c, t)
+    }
+  }
+
+  /** Growth-term counts for the two steepest one-exchange rows (r9
+    * verdict #5): x_novelty's cost axis is the distinct (doc, gram)
+    * cardinality every one of its exchanges is keyed on; x_triangles' is
+    * the wedge stream its self-join materializes.
+    */
+  private def growthCounts(spark: SparkSession,
+      dir: String): Seq[(String, String, Long)] = {
+    val grams = graft.queries.CorpusQueries.noveltyGrams(spark, dir).count()
+    val wedges = graft.operators.Triangles.wedgeCount(
+      graft.queries.CorpusQueries.triangleEdges(spark, dir))
+    println(s"SCALECHECK counts $dir novelty_grams=$grams triangle_wedges=$wedges")
+    Seq(("x_novelty", "grams", grams), ("x_triangles", "wedges", wedges))
   }
 
   private[graft] def materialize(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
@@ -298,7 +398,12 @@ object ScaleCheck {
       basePairs: Seq[(String, Long)], bigPairs: Seq[(String, Long)],
       baseFixture: Seq[(String, Double)] = Nil,
       bigFixture: Seq[(String, Double)] = Nil,
-      minMerge: Boolean = false): Unit = {
+      minMerge: Boolean = false,
+      baseStages: Seq[(String, String, Double)] = Nil,
+      bigStages: Seq[(String, String, Double)] = Nil,
+      baseCounts: Seq[(String, String, Long)] = Nil,
+      bigCounts: Seq[(String, String, Long)] = Nil,
+      cal: Option[(Double, Double)] = None): Unit = {
     import com.fasterxml.jackson.databind.node.ObjectNode
     val path = java.nio.file.Paths.get("SCALECHECK.json")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -315,6 +420,16 @@ object ScaleCheck {
       "cells min-merged across same-HEAD full-suite passes (ratios from " +
       "merged mins); structure-preserving replication (ScaleCheck.scala " +
       "scaladoc)")
+    // Box-calibration constants at generation time (r9 verdict #4):
+    // ratios are box-invariant within a run, but cross-round comparisons
+    // of ABSOLUTE cells need the same divisor warm_norm uses — divide a
+    // cell by cal_par (the 32-thread fixed-work wall-clock; these cells
+    // run the parallel scheduler flat out) to express it in
+    // box-independent units before diffing against another round's table.
+    cal.foreach { case (c, cp) =>
+      meta.put("cal", math.round(c * 1000.0) / 1000.0)
+      meta.put("cal_par", math.round(cp * 1000.0) / 1000.0)
+    }
     // minMerge (repeat runs at the SAME HEAD): keep the smaller time per
     // cell and recompute the ratio from the merged mins — both cells are
     // min-estimators of unimpeded time, so their ratio is the stable
@@ -357,6 +472,33 @@ object ScaleCheck {
         case _ =>
       }
     }
+    // per-stage decomposition cells (r9 verdict #1) — min-merged like the
+    // row times (each stage cell is a min-estimator of that stage's
+    // unimpeded time, so min across passes composes)
+    def putStage(entries: Seq[(String, String, Double)], suffix: String): Unit =
+      entries.foreach { case (name, cell, t) =>
+        root.get(name) match {
+          case q: ObjectNode =>
+            val field = s"${cell}_$suffix"
+            val nv = math.round(t * 100.0) / 100.0
+            q.put(field,
+              if (minMerge && q.has(field)) math.min(q.get(field).asDouble(), nv)
+              else nv)
+          case _ =>
+        }
+      }
+    putStage(baseStages, "base_s")
+    putStage(bigStages, s"${factor}x_s")
+    // growth-term count cells (r9 verdict #5) — deterministic per corpus
+    def putCounts(entries: Seq[(String, String, Long)], suffix: String): Unit =
+      entries.foreach { case (name, cell, v) =>
+        root.get(name) match {
+          case q: ObjectNode => q.put(s"${cell}_$suffix", v)
+          case _ =>
+        }
+      }
+    putCounts(baseCounts, "base")
+    putCounts(bigCounts, s"${factor}x")
     // trailing newline: text artifacts end with one (r7 advice)
     java.nio.file.Files.write(path,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root) ++ "\n".getBytes)
@@ -384,6 +526,13 @@ object ScaleCheck {
       val df = Tables(spark, dir, t)
       df.select(hash(df.columns.map(col): _*).as("h")).agg(sum("h")).collect()
     }
+    // box-calibration constants for cross-round cell comparison (r9 #4) —
+    // measured HERE, in the quiet warm preamble (the Bench discipline): at
+    // the end of a pass the JVM's cleanup threads contaminate the
+    // 32-thread sample (measured 0.31 vs 0.52 end-of-pass on one box)
+    val cal = Bench.calibrate()
+    val calPar = Bench.calibratePar()
+    println(f"SCALECHECK cal $cal%.3f cal_par $calPar%.3f")
     def run1(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).collect()
@@ -413,8 +562,8 @@ object ScaleCheck {
     println(f"SCALECHECK worst ${worst._1} ${worst._4}%.1fx at ${factor}x data")
     // untimed: pair counts are evidence about WHY the curve bends, logged
     // after every timing so they never pollute the measured runs
-    val basePairs = pairCounts(spark, src)
-    val bigPairs = pairCounts(spark, out)
+    val basePairs = pairCounts(spark, src, toRun.contains)
+    val bigPairs = pairCounts(spark, out, toRun.contains)
     // fixture decomposition for the streaming family: time the source
     // fixture write alone (strictly linear in data) at each scale, so the
     // artifact separates the fixture share from the micro-batch machinery
@@ -438,10 +587,23 @@ object ScaleCheck {
         }
     val baseFixture = fixtureTimes(src)
     val bigFixture = fixtureTimes(out)
+    // per-stage decomposition + growth-term counts, gated on the filter so
+    // dev re-measures of other rows don't pay for them
+    def ifRun[A](names: String*)(body: => Seq[A]): Seq[A] =
+      if (names.exists(toRun.contains)) body else Nil
+    val baseStages = ifRun("x_jaccard_join", "x_cross_dedup")(
+      setJoinStages(spark, src))
+    val bigStages = ifRun("x_jaccard_join", "x_cross_dedup")(
+      setJoinStages(spark, out))
+    val baseCounts = ifRun("x_novelty", "x_triangles")(growthCounts(spark, src))
+    val bigCounts = ifRun("x_novelty", "x_triangles")(growthCounts(spark, out))
     // optional 5th arg `merge`: min-merge this run's cells into the
     // artifact instead of overwriting (repeat runs at the same HEAD)
     writeArtifact(rows, factor, src, basePairs, bigPairs, baseFixture,
-      bigFixture, minMerge = args.lift(4).contains("merge"))
+      bigFixture, minMerge = args.lift(4).contains("merge"),
+      baseStages = baseStages, bigStages = bigStages,
+      baseCounts = baseCounts, bigCounts = bigCounts,
+      cal = Some((cal, calPar)))
     spark.stop()
   }
 }

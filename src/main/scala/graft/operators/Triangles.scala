@@ -90,4 +90,35 @@ object Triangles {
     und.unpersist(blocking = false)
     out
   }
+
+  /** The wedge count — sum over apexes of C(out-degree, 2) under the same
+    * (degree, id) orientation triangles() uses: the size of the operator's
+    * self-join stream, i.e. the quantity its scale curve rides on
+    * (bounded by O(m^1.5) via the orientation). Published by ScaleCheck
+    * as the x_triangles row's growth-term cell.
+    */
+  private[graft] def wedgeCount(edges0: DataFrame): Long = {
+    val src = edges0.columns(0)
+    val dst = edges0.columns(1)
+    val und = edges0
+      .select(least(col(src), col(dst)).as("lo"),
+        greatest(col(src), col(dst)).as("hi"))
+      .where(col("lo") =!= col("hi"))
+      .dropDuplicates("lo", "hi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(col("lo").as("n"))
+      .unionAll(und.select(col("hi").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val n = und
+      .join(deg.select(col("n").as("lo"), col("d").as("dlo")), "lo")
+      .join(deg.select(col("n").as("hi"), col("d").as("dhi")), "hi")
+      .select(when(col("dlo") < col("dhi") ||
+        (col("dlo") === col("dhi") && col("lo") < col("hi")),
+        col("lo")).otherwise(col("hi")).as("u"))
+      .groupBy("u").agg(count(lit(1)).as("d"))
+      .agg(coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)))
+      .first().getLong(0)
+    und.unpersist(blocking = false)
+    n
+  }
 }

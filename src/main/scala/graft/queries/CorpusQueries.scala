@@ -13,6 +13,51 @@ import org.apache.spark.sql.functions._
   */
 object CorpusQueries {
 
+  /** x_novelty's distinct (doc, 8-gram-fingerprint) frame — factored out
+    * so ScaleCheck can publish its cardinality as the row's growth-term
+    * cell (r9 verdict #5: the curve's cost axis is this count; the
+    * query's three exchanges are all keyed on it).
+    */
+  private[graft] def noveltyGrams(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), toks.as("ts"))
+      .where(size(col("ts")) >= 8)
+      .select(col("doc_id"), expr(
+        "transform(ts, x -> CAST(conv(substr(md5(x), 1, 15), 16, 10) AS BIGINT))")
+        .as("h"))
+      .select(col("doc_id"),
+        expr("transform(h, x -> x div 1073741824L)").as("t1"),
+        expr("transform(h, x -> x % 1073741824L)").as("t2"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(t1) - 7), i ->
+          |  pmod(t1[i-1]*31 + t1[i]*37 + t1[i+1]*41 + t1[i+2]*43
+          |    + t1[i+3]*47 + t1[i+4]*53 + t1[i+5]*59 + t1[i+6]*61,
+          |    2147483647L) * 2147483648L
+          |  + pmod(t2[i-1]*31 + t2[i]*37 + t2[i+1]*41 + t2[i+2]*43
+          |    + t2[i+3]*47 + t2[i+4]*53 + t2[i+5]*59 + t2[i+6]*61,
+          |    2147483647L))""".stripMargin)).as("g"))
+      .dropDuplicates("doc_id", "g")
+  }
+
+  /** x_triangles' chain+skip edge fixture — factored out so ScaleCheck can
+    * feed the same edges to Triangles.wedgeCount (the row's growth-term
+    * cell: the wedge stream is the operator's cost axis).
+    */
+  private[graft] def triangleEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val ids = Tables(s, dir, "documents").select(col("doc_id").as("id"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("id")
+    val nbrs = ids
+      .withColumn("n1", lead(col("id"), 1).over(w))
+      .withColumn("n2", lead(col("id"), 2).over(w))
+    nbrs.where(col("n1").isNotNull)
+      .select(col("id").as("src"), col("n1").as("dst"))
+      .unionByName(nbrs.where(col("n2").isNotNull)
+        .select(col("id").as("src"), col("n2").as("dst")))
+  }
+
   def all: Seq[Q] = Seq(
 
     // Global contiguous row ids WITHOUT the row_number()-over-everything
@@ -155,25 +200,7 @@ object CorpusQueries {
         |round(CAST(sum(CASE WHEN docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |  / count(*), 4) AS dup_share
         |FROM nd GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val toks = filter(split(lower(col("text")), " "), t => t =!= "")
-      val grams = Tables(s, dir, "documents")
-        .select(col("doc_id"), toks.as("ts"))
-        .where(size(col("ts")) >= 8)
-        .select(col("doc_id"), expr(
-          "transform(ts, x -> CAST(conv(substr(md5(x), 1, 15), 16, 10) AS BIGINT))")
-          .as("h"))
-        .select(col("doc_id"),
-          expr("transform(h, x -> x div 1073741824L)").as("t1"),
-          expr("transform(h, x -> x % 1073741824L)").as("t2"))
-        .select(col("doc_id"), explode(expr(
-          """transform(sequence(1, size(t1) - 7), i ->
-            |  pmod(t1[i-1]*31 + t1[i]*37 + t1[i+1]*41 + t1[i+2]*43
-            |    + t1[i+3]*47 + t1[i+4]*53 + t1[i+5]*59 + t1[i+6]*61,
-            |    2147483647L) * 2147483648L
-            |  + pmod(t2[i-1]*31 + t2[i]*37 + t2[i+1]*41 + t2[i+2]*43
-            |    + t2[i+3]*47 + t2[i+4]*53 + t2[i+5]*59 + t2[i+6]*61,
-            |    2147483647L))""".stripMargin)).as("g"))
-        .dropDuplicates("doc_id", "g")
+      val grams = noveltyGrams(s, dir)
       // gram-partitioned doc-count window (count(*) over distinct
       // (doc, g) rows == count of distinct docs per gram), then the
       // per-doc aggregate — no join back, the dup flag rides the window.
@@ -207,15 +234,7 @@ object CorpusQueries {
         |CAST(coalesce(sum(((a % 999983) * (b % 999983) % 999983)
         |  * (c % 999983) % 999983), 0) AS BIGINT) AS checksum
         |FROM tri""".stripMargin) { (s, dir) =>
-      val ids = Tables(s, dir, "documents").select(col("doc_id").as("id"))
-      val w = org.apache.spark.sql.expressions.Window.orderBy("id")
-      val nbrs = ids
-        .withColumn("n1", lead(col("id"), 1).over(w))
-        .withColumn("n2", lead(col("id"), 2).over(w))
-      val edges = nbrs.where(col("n1").isNotNull)
-        .select(col("id").as("src"), col("n1").as("dst"))
-        .unionByName(nbrs.where(col("n2").isNotNull)
-          .select(col("id").as("src"), col("n2").as("dst")))
+      val edges = triangleEdges(s, dir)
       val p = lit(999983L)
       graft.operators.Triangles.triangles(edges)
         .agg(count(lit(1)).as("n_triangles"),

@@ -122,7 +122,52 @@ object PipelineQueries {
             .cast("double").as("v")),
         dayofmonth(col("ts")) <= 15, src)
       ()
-    }))
+    }),
+    // The watermark-choreographed queries below build a TIME-split source
+    // (median-bounds aggregate + two filtered writes) — that scan is the
+    // strictly-data-linear share of their timed paths (their user_id
+    // filters keep the STREAMED population copy-0-constant under
+    // ScaleCheck replication, so the curve minus this fixture cell is the
+    // micro-batch machinery's own scaling). Sentinel writes are
+    // corpus-independent and omitted.
+    "x_stream_window" -> (src => timeSplitFixture(
+      Tables(s, dir, "events").where(col("user_id") < 40)
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+          col("event_type"), col("value")), src)),
+    "x_stream_join_outer" -> (src => timeSplitFixture(
+      Tables(s, dir, "events").where(col("user_id") < 40)
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+          col("event_type")), src)),
+    "x_stream_join_full" -> (src => timeSplitFixture(
+      Tables(s, dir, "events").where(col("user_id") < 30)
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+          col("event_type")), src)),
+    "x_stream_restart_agg" -> (src => timeSplitFixture(
+      Tables(s, dir, "events").where(col("user_id") < 25)
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+          col("event_type"), col("value")), src, sortTs = true)),
+    "x_stream_sessionize_restart" -> (src => timeSplitFixture(
+      Tables(s, dir, "events").where(col("user_id") < 35)
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+          col("event_type"), col("value")), src, sortTs = true)))
+
+  /** The median-time-split source fixture the watermark queries build —
+    * bounds aggregate + two filtered writes, mirrored here so ScaleCheck
+    * can time the fixture share of those rows alone. sortTs mirrors the
+    * restart queries' one-sorted-file-per-phase discipline.
+    */
+  private def timeSplitFixture(ev: org.apache.spark.sql.DataFrame,
+      src: String, sortTs: Boolean = false): Unit = {
+    val mid = ev.agg(expr("approx_percentile(unix_millis(ts), 0.5)"))
+      .first().getLong(0)
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      if (sortTs) df.repartition(1).sortWithinPartitions("ts")
+      else df.coalesce(1)
+    shape(ev.where(unix_millis(col("ts")) < mid))
+      .write.mode("overwrite").parquet(src)
+    shape(ev.where(unix_millis(col("ts")) >= mid))
+      .write.mode("append").parquet(src)
+  }
 
   /** Run `body` with spark.sql.shuffle.partitions temporarily lowered —
     * for small-subset streaming sections, where every shuffle partition
@@ -4093,15 +4138,21 @@ object PipelineQueries {
           try q.processAllAvailable() finally q.stop()
         }
         // phase A: first half by TIME, then the instance dies with the
-        // boundary windows still open in state
+        // boundary windows still open in state. ONE time-sorted file per
+        // phase: the windowed aggregate silently DROPS rows behind the
+        // watermark, and on a corpus that isn't incidentally time-ordered
+        // (ScaleCheck's replicated tables) a second unsorted file would
+        // trail the first file's watermark and lose events.
         ev.where(unix_millis(col("ts")) < mid)
-          .coalesce(2).write.mode("overwrite").parquet(src)
+          .repartition(1).sortWithinPartitions("ts")
+          .write.mode("overwrite").parquet(src)
         stampNewFiles(src, stamped, t0)
         runInstance()
         val aRows = s.read.parquet(out).count()
         // second half + sentinel land while nothing is running
         ev.where(unix_millis(col("ts")) >= mid)
-          .coalesce(2).write.mode("append").parquet(src)
+          .repartition(1).sortWithinPartitions("ts")
+          .write.mode("append").parquet(src)
         stampNewFiles(src, stamped, t0 + 60000L)
         import s.implicits._
         Seq((-1L, new java.sql.Timestamp(maxMs + 10800000L), "sentinel", 0.0))
@@ -4175,16 +4226,25 @@ object PipelineQueries {
             .outputMode("append").start()
           try q.processAllAvailable() finally q.stop()
         }
-        // phase A: first half by time; the spanning sessions stay open
-        // in state when this instance dies
+        // phase A: first half by time, ONE time-sorted file — the source
+        // table is only incidentally time-ordered at gate SFs (ScaleCheck's
+        // replicated corpora are repartitioned), and flatMapGroupsWithState
+        // has NO automatic late-row filter: a second unsorted file whose
+        // events trail the watermark the first file set makes
+        // setTimeoutTimestamp throw (timeout below watermark). One sorted
+        // file per phase = the watermark only ever advances at the phase
+        // boundary, at any corpus order. The spanning sessions stay open
+        // in state when this instance dies.
         ev.where(unix_millis(col("ts")) < mid)
-          .coalesce(2).write.mode("overwrite").parquet(src)
+          .repartition(1).sortWithinPartitions("ts")
+          .write.mode("overwrite").parquet(src)
         stampNewFiles(src, stamped, t0)
         runInstance()
         val aRows = s.read.parquet(out).count()
         // second half + sentinel land while nothing is running
         ev.where(unix_millis(col("ts")) >= mid)
-          .coalesce(2).write.mode("append").parquet(src)
+          .repartition(1).sortWithinPartitions("ts")
+          .write.mode("append").parquet(src)
         stampNewFiles(src, stamped, t0 + 60000L)
         import s.implicits._
         Seq((-1L, new java.sql.Timestamp(maxMs + 2 * gapMs + 3600000L),
