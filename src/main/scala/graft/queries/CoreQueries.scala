@@ -827,6 +827,41 @@ object CoreQueries {
           (sum(round(col("o_totalprice") * 100, 0).cast("bigint"))
             .cast("double") / 100.0).as("total_price"))
         .orderBy("o_orderpriority")
+    },
+
+    // Extension: Avro roundtrip — completes the io matrix's one missing
+    // mainstream format (parquet/ORC/CSV/JSON/text/binary are all oracled
+    // elsewhere). No spark-avro DataSource ships in this container, so
+    // sources.AvroIO drives the avro-mapred Hadoop formats directly —
+    // distributed one-file-per-partition write, block-splittable read.
+    // Write a pruned projection (long + string + double + TIMESTAMP_NTZ,
+    // the local-timestamp-micros logical type), read back, aggregate; the
+    // oracle computes the same result from the parquet source, so any
+    // value corrupted in the Avro write/read/type mapping fails the hash.
+    // key_checksum pins row MEMBERSHIP (every o_orderkey, mod-reduced,
+    // overflow-safe), not just aggregates of other columns.
+    Q("x_avro_roundtrip",
+      """SELECT o_orderpriority, count(*) AS n,
+        |CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+        |  / 100.0 AS total_price,
+        |CAST(sum(o_orderkey % 999983) AS BIGINT) AS key_checksum,
+        |max(o_orderdate) AS last_order
+        |FROM orders WHERE o_orderstatus = 'O'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val out = Tmp.dir("graft-avro").toString + "/orders"
+      graft.sources.AvroIO.write(
+        Tables(s, dir, "orders")
+          .where(col("o_orderstatus") === "O")
+          .select("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"),
+        out)
+      graft.sources.AvroIO.read(s, out)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("double") / 100.0).as("total_price"),
+          sum(col("o_orderkey") % 999983).as("key_checksum"),
+          max(col("o_orderdate")).as("last_order"))
+        .orderBy("o_orderpriority")
     }
   )
 }
