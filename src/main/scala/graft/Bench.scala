@@ -252,6 +252,8 @@ object Bench {
       .config("spark.scheduler.mode", "FAIR")
       // benched plans run under the same scale-killer linter as Verify
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.queryExecutionListeners",
+        "graft.plans.JoinBlowupListener")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: absorb JVM/codegen/scheduler startup AND first-touch

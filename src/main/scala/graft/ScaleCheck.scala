@@ -517,6 +517,8 @@ object ScaleCheck {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.queryExecutionListeners",
+        "graft.plans.JoinBlowupListener")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     materialize(spark, src, out, factor)

@@ -19,6 +19,8 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // the full query suite runs under the scale-killer plan linter
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.queryExecutionListeners",
+        "graft.plans.JoinBlowupListener")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

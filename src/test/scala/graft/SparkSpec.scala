@@ -23,6 +23,8 @@ object SparkSpec {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // every spec runs under the scale-killer plan linter (plans.PlanGuard)
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.queryExecutionListeners",
+        "graft.plans.JoinBlowupListener")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
