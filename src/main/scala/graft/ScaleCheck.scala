@@ -452,6 +452,20 @@ object ScaleCheck {
       val f = putMin(s"${factor}x_s", big)
       val r = if (minMerge) f / math.max(b, 1e-9) else ratio
       q.put(s"ratio$factor", math.round(r * 10.0) / 10.0)
+      // keep EVERY factor's ratio consistent with the stored cells: a
+      // later pass at another factor can lower base_s below what an
+      // earlier factor's ratio was computed against
+      val it = q.fieldNames()
+      val factors = scala.collection.mutable.Buffer[String]()
+      while (it.hasNext) {
+        val fn = it.next()
+        if (fn.endsWith("x_s") && fn.takeWhile(_.isDigit).nonEmpty)
+          factors += fn.stripSuffix("x_s")
+      }
+      factors.foreach { k =>
+        q.put(s"ratio$k", math.round(
+          q.get(s"${k}x_s").asDouble() / math.max(b, 1e-9) * 10.0) / 10.0)
+      }
     }
     val bigByName = bigPairs.toMap
     basePairs.foreach { case (name, base) =>

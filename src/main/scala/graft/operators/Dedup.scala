@@ -234,11 +234,13 @@ object Dedup {
       s"threshold ($threshold) must be in (0, 1] - at 0 the prefix is the " +
         "whole document and the join degenerates to the full inverted index")
     graft.functions.GraftFunctions.register(df.sparkSession)
+    // No persist on the shingle frame: since the verify moved to the
+    // collapsed gid frame, ppjoinAgg is its ONLY consumer — the old
+    // MEMORY_AND_DISK pin just wrote a corpus-sized array table nobody
+    // read twice.
     val sh = df.select(col(idCol).as("id"),
       graft.functions.GraftFunctions.graft_shingles(tokens(col(textCol)), shingleK).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val agg = ppjoinAgg(sh)
-    sh.unpersist(blocking = false)
     // Identity collapse (the prefix join's FREQUENCY LEVER, r9 verdict #1):
     // documents with bit-identical shingle sets — exact duplicates, the
     // one corpus shape that makes the prefix-inverted lists quadratic
