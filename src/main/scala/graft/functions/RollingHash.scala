@@ -157,6 +157,20 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_mg_stats",
       exprs => MgStats(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_kmv",
+      exprs => KmvBuild(exprs(0),
+        if (exprs.length > 1) intArg(exprs(1)) else KmvSketch.K)
+        .toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_kmv_merge",
+      exprs => KmvMerge(exprs(0)).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_kmv_stats",
+      exprs => KmvStats(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_kmv_overlap",
+      exprs => KmvOverlap(exprs(0), exprs(1)), "built-in")
     // Spark's own runtime-filter expressions, surfaced for EXPLICIT
     // semi-join prefilters (Catalyst injects them only under its own
     // InjectRuntimeFilter heuristics; a pipeline author building a
@@ -235,6 +249,15 @@ object GraftFunctions {
     call_function("graft_mg_query", sketch, key)
   def graft_mg_stats(sketch: Column): Column =
     call_function("graft_mg_stats", sketch)
+  def graft_kmv(key: Column): Column = call_function("graft_kmv", key)
+  def graft_kmv(key: Column, k: Int): Column =
+    call_function("graft_kmv", key, org.apache.spark.sql.functions.lit(k))
+  def graft_kmv_merge(sketch: Column): Column =
+    call_function("graft_kmv_merge", sketch)
+  def graft_kmv_stats(sketch: Column): Column =
+    call_function("graft_kmv_stats", sketch)
+  def graft_kmv_overlap(a: Column, b: Column): Column =
+    call_function("graft_kmv_overlap", a, b)
   def graft_qsketch(v: Column, k: Int, ps: Seq[Double]): Column =
     call_function("graft_qsketch", v,
       org.apache.spark.sql.functions.lit(k),

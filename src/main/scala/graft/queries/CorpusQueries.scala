@@ -13,12 +13,12 @@ import org.apache.spark.sql.functions._
   */
 object CorpusQueries {
 
-  /** x_novelty's distinct (doc, 8-gram-fingerprint) frame — factored out
-    * so ScaleCheck can publish its cardinality as the row's growth-term
-    * cell (r9 verdict #5: the curve's cost axis is this count; the
-    * query's three exchanges are all keyed on it).
+  /** The positional 8-gram fingerprint stream (doc_id, pos, g) — the
+    * two-lane 62-bit fingerprint of x_span_dedup, with the gram's start
+    * position kept (pos is 0-based and engine-local; consumers only ever
+    * use position DIFFERENCES, which are base-invariant).
     */
-  private[graft] def noveltyGrams(s: org.apache.spark.sql.SparkSession,
+  private[graft] def gramPositions(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val toks = filter(split(lower(col("text")), " "), t => t =!= "")
     Tables(s, dir, "documents")
@@ -30,16 +30,24 @@ object CorpusQueries {
       .select(col("doc_id"),
         expr("transform(h, x -> x div 1073741824L)").as("t1"),
         expr("transform(h, x -> x % 1073741824L)").as("t2"))
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), posexplode(expr(
         """transform(sequence(1, size(t1) - 7), i ->
           |  pmod(t1[i-1]*31 + t1[i]*37 + t1[i+1]*41 + t1[i+2]*43
           |    + t1[i+3]*47 + t1[i+4]*53 + t1[i+5]*59 + t1[i+6]*61,
           |    2147483647L) * 2147483648L
           |  + pmod(t2[i-1]*31 + t2[i]*37 + t2[i+1]*41 + t2[i+2]*43
           |    + t2[i+3]*47 + t2[i+4]*53 + t2[i+5]*59 + t2[i+6]*61,
-          |    2147483647L))""".stripMargin)).as("g"))
-      .dropDuplicates("doc_id", "g")
+          |    2147483647L))""".stripMargin)).as(Seq("pos", "g")))
   }
+
+  /** x_novelty's distinct (doc, 8-gram-fingerprint) frame — factored out
+    * so ScaleCheck can publish its cardinality as the row's growth-term
+    * cell (r9 verdict #5: the curve's cost axis is this count; the
+    * query's three exchanges are all keyed on it).
+    */
+  private[graft] def noveltyGrams(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    gramPositions(s, dir).select("doc_id", "g").dropDuplicates("doc_id", "g")
 
   /** x_triangles' chain+skip edge fixture — factored out so ScaleCheck can
     * feed the same edges to Triangles.wedgeCount (the row's growth-term
@@ -211,6 +219,151 @@ object CorpusQueries {
           round(sum(when(col("docs") > 1, 1).otherwise(0)).cast("double") /
             count(lit(1)), 4).as("dup_share"))
         .orderBy("doc_id")
+    },
+
+    // MAXIMAL duplicated spans per document — the span machinery's
+    // third view (x_span_dedup: corpus totals; x_novelty: per-doc dup
+    // share; this: per-doc SPAN EXTENTS — where the duplication sits and
+    // how long it runs, the unit the Lee et al. 2022 exact-substring
+    // dedup pipeline actually removes). A gram is cross-doc duplicated
+    // when it occurs in >1 distinct document; per doc, duplicated gram
+    // START POSITIONS merge into islands wherever the gap is <= 7 (two
+    // 8-gram token ranges overlap or touch exactly when their starts
+    // differ by <= 7), and an island from start a to end b covers
+    // b - a + 8 contiguous tokens — islands are then provably disjoint
+    // in token space, so the per-doc covered_tokens sum is exact. Plan:
+    // the positional gram stream, one g-keyed aggregate for cross-doc
+    // counts, a hot-gram join back, a doc-partitioned lag window
+    // (gaps-and-islands), two aggregates — shuffle-linear, every window
+    // partitioned.
+    Q("x_span_maximal",
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        |  FROM documents),
+        |th AS (SELECT doc_id, list_transform(ts, x ->
+        |  CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)) AS h
+        |  FROM toks WHERE len(ts) >= 8),
+        |lanes AS (SELECT doc_id,
+        |  list_transform(h, x -> x // 1073741824) AS t1,
+        |  list_transform(h, x -> x % 1073741824) AS t2 FROM th),
+        |gp AS (SELECT doc_id, i AS pos,
+        |  ((t1[i]*31 + t1[i+1]*37 + t1[i+2]*41 + t1[i+3]*43 + t1[i+4]*47
+        |    + t1[i+5]*53 + t1[i+6]*59 + t1[i+7]*61) % 2147483647) * 2147483648
+        |  + ((t2[i]*31 + t2[i+1]*37 + t2[i+2]*41 + t2[i+3]*43 + t2[i+4]*47
+        |    + t2[i+5]*53 + t2[i+6]*59 + t2[i+7]*61) % 2147483647) AS g
+        |  FROM lanes, UNNEST(range(1, len(t1) - 6)) AS u(i)),
+        |hot AS (SELECT g FROM gp GROUP BY g
+        |  HAVING count(DISTINCT doc_id) > 1),
+        |dp AS (SELECT doc_id, pos FROM gp JOIN hot USING (g)),
+        |m AS (SELECT doc_id, pos, CASE WHEN lag(pos) OVER
+        |  (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |  OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 7
+        |  THEN 1 ELSE 0 END AS ni FROM dp),
+        |isl AS (SELECT doc_id, pos, sum(ni) OVER
+        |  (PARTITION BY doc_id ORDER BY pos
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iid FROM m),
+        |sp AS (SELECT doc_id, iid, max(pos) - min(pos) + 8 AS tokens
+        |  FROM isl GROUP BY doc_id, iid)
+        |SELECT doc_id, count(*) AS n_spans,
+        |CAST(max(tokens) AS BIGINT) AS max_span_tokens,
+        |CAST(sum(tokens) AS BIGINT) AS covered_tokens
+        |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val gp = gramPositions(s, dir)
+      val hot = gp.groupBy("g")
+        .agg(count_distinct(col("doc_id")).as("nd"))
+        .where(col("nd") > 1)
+        .select("g")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val spans = gp.join(hot, "g")
+        .select("doc_id", "pos")
+        .withColumn("prev", lag(col("pos"), 1).over(w))
+        .withColumn("ni",
+          when(col("prev").isNull || col("pos") - col("prev") > 7, 1L)
+            .otherwise(0L))
+        .withColumn("iid", sum(col("ni")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy("doc_id", "iid")
+        .agg((max(col("pos")) - min(col("pos")) + 8).as("tokens"))
+      spans.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          max(col("tokens")).as("max_span_tokens"),
+          sum(col("tokens")).as("covered_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // Corpus-overlap estimation via KMV/theta sketches — the two-sketch
+    // set-algebra member of the stored-sketch family (contamination
+    // triage: estimate |corpus_A ∩ corpus_B| from two KB-sized summaries
+    // BEFORE paying for the exact decontamination join). Fixture: A =
+    // ids with doc_id%10 < 6, B = ids with doc_id%10 >= 4 — engineered
+    // 20%-of-union overlap whose exact counts the oracle states in SQL.
+    // The sketch estimates are NOT SQL-reproducible (splitmix64), so the
+    // output carries exact counts + a violation counter: below capacity
+    // the sketch must be EXACT (count == size, theta == 1 set ops); past
+    // capacity the estimates must land inside generous-but-meaningful
+    // error bounds (k=128 -> RSE 8.9%; bounds at ~4 sigma). The stored
+    // per-source shard -> merge path must be BIT-IDENTICAL to the direct
+    // build (k-smallest-of-union is order-insensitive and the wire form
+    // canonical) — gated in-query.
+    Q("x_kmv_overlap",
+      """WITH a AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 10 < 6),
+        |b AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 10 >= 4)
+        |SELECT (SELECT count(*) FROM a) AS n_a,
+        |(SELECT count(*) FROM b) AS n_b,
+        |(SELECT count(*) FROM a JOIN b USING (doc_id)) AS n_inter,
+        |(SELECT count(*) FROM (SELECT doc_id FROM a UNION SELECT doc_id FROM b) u)
+        |  AS n_union,
+        |CAST(0 AS BIGINT) AS n_viol""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions._
+      val k = 128
+      val docs = Tables(s, dir, "documents")
+      def inA = pmod(col("doc_id"), lit(10)) < 6
+      def inB = pmod(col("doc_id"), lit(10)) >= 4
+      val sk = docs.agg(
+        graft_kmv(when(inA, col("doc_id")), k).as("ska"),
+        graft_kmv(when(inB, col("doc_id")), k).as("skb"))
+        .crossJoin(docs.agg(
+          count_distinct(when(inA, col("doc_id"))).as("n_a"),
+          count_distinct(when(inB, col("doc_id"))).as("n_b"),
+          count_distinct(when(inA && inB, col("doc_id"))).as("n_inter"),
+          count_distinct(col("doc_id")).as("n_union")))
+      // stored-shard merge path: per-source sketches unioned back must be
+      // byte-identical to the one-pass build
+      val mergedBytes = docs.where(inA).groupBy("source")
+        .agg(graft_kmv(col("doc_id"), k).as("sk"))
+        .agg(graft_kmv_merge(col("sk")).as("m"))
+        .first().getAs[Array[Byte]](0)
+      val row = sk.select(col("n_a"), col("n_b"), col("n_inter"),
+        col("n_union"), col("ska"),
+        graft_kmv_overlap(col("ska"), col("skb")).as("o"))
+        .withColumn("est_a", element_at(col("o"), 1))
+        .withColumn("est_b", element_at(col("o"), 2))
+        .withColumn("est_i", element_at(col("o"), 3))
+        .withColumn("est_u", element_at(col("o"), 4))
+        .first()
+      Gate.check(java.util.Arrays.equals(mergedBytes,
+        row.getAs[Array[Byte]]("ska")),
+        "per-source merge diverged from the direct build (must be " +
+          "bit-identical: k-smallest-of-union, canonical wire form)")
+      val (nA, nB, nI, nU) = (row.getAs[Long]("n_a"), row.getAs[Long]("n_b"),
+        row.getAs[Long]("n_inter"), row.getAs[Long]("n_union"))
+      def relOk(est: Double, exact: Long, bound: Double, floor: Double = 0.0) =
+        math.abs(est - exact) <= math.max(bound * exact, floor)
+      val exactRegime = nA < k && nB < k
+      val viols = Seq(
+        if (nA < k) row.getAs[Double]("est_a") != nA.toDouble
+        else !relOk(row.getAs[Double]("est_a"), nA, 0.35),
+        if (nB < k) row.getAs[Double]("est_b") != nB.toDouble
+        else !relOk(row.getAs[Double]("est_b"), nB, 0.35),
+        if (exactRegime) row.getAs[Double]("est_i") != nI.toDouble
+        else !relOk(row.getAs[Double]("est_i"), nI, 0.5, floor = 20.0),
+        if (exactRegime) row.getAs[Double]("est_u") != nU.toDouble
+        else !relOk(row.getAs[Double]("est_u"), nU, 0.35)).count(identity)
+      import s.implicits._
+      Seq((nA, nB, nI, nU, viols.toLong))
+        .toDF("n_a", "n_b", "n_inter", "n_union", "n_viol")
     },
 
     // Triangle enumeration — degree-ordered compact-forward (operators.
