@@ -2618,6 +2618,108 @@ object PipelineQueries {
       } finally deleteRecursively(tmp)
     },
 
+    // STREAMING KMV — the set-algebra sketch in the stream matrix (fifth
+    // member after qdigest/CMS/MG/HLL): per-(day, micro-batch) graft_kmv
+    // partials for TWO key populations (even users; users divisible by
+    // 3) accumulate from a foreachBatch sink; per-day merged-of-partials
+    // must equal the direct-over-raw sketch BYTE-FOR-BYTE (k-smallest-
+    // of-union is order-insensitive and the wire form canonical — the
+    // CMS/HLL identity class), and the all-time merged sketches answer
+    // the OVERLAP question from stored state alone: |even ∩ div3| =
+    // the div6 population, an engineered 0.25 jaccard the oracle states
+    // exactly. Below capacity (gate SFs) the sketch estimates must be
+    // EXACT; past it, 4-sigma bounds (the x_kmv_overlap discipline).
+    Q("x_stream_kmv",
+      """SELECT CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+        |CAST(count(DISTINCT CASE WHEN user_id % 2 = 0 THEN user_id END)
+        |  AS BIGINT) AS n_even,
+        |CAST(count(DISTINCT CASE WHEN user_id % 3 = 0 THEN user_id END)
+        |  AS BIGINT) AS n_div3,
+        |CAST(count(DISTINCT CASE WHEN user_id % 6 = 0 THEN user_id END)
+        |  AS BIGINT) AS n_both,
+        |CAST(0 AS BIGINT) AS n_violations FROM events""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions.{graft_kmv, graft_kmv_merge, graft_kmv_overlap, graft_kmv_stats}
+      val kCap = 1024
+      val tmp = Tmp.dir("graft-skmv")
+      try {
+        val src = tmp.resolve("src").toString
+        val state = tmp.resolve("state").toString
+        val ev = Tables(s, dir, "events").select(col("ts"), col("user_id"))
+        val genFiles = twoFileStreamFixture(ev,
+          pmod(col("user_id"), lit(2)) === 0, src)
+        val stream = s.readStream.schema(s.read.parquet(src).schema)
+          .option("maxFilesPerTrigger", genFiles).parquet(src)
+        withShufflePartitions(s, 4) {
+          val sink = stream.writeStream.foreachBatch {
+            (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              batch.groupBy(date_trunc("day", col("ts")).as("day"))
+                .agg(
+                  graft_kmv(when(pmod(col("user_id"), lit(2)) === 0,
+                    col("user_id")), kCap).as("sk_even"),
+                  graft_kmv(when(pmod(col("user_id"), lit(3)) === 0,
+                    col("user_id")), kCap).as("sk_div3"))
+                .write.mode("append").parquet(state)
+              ()
+          }.option("checkpointLocation", tmp.resolve("ckpt").toString).start()
+          try sink.processAllAvailable() finally sink.stop()
+        }
+        val stored = s.read.parquet(state)
+        val perDay = stored.groupBy("day")
+          .agg(graft_kmv_merge(col("sk_even")).as("me"),
+            graft_kmv_merge(col("sk_div3")).as("m3"),
+            count(lit(1)).as("n_partials"))
+        val direct = ev.groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(
+            graft_kmv(when(pmod(col("user_id"), lit(2)) === 0,
+              col("user_id")), kCap).as("de"),
+            graft_kmv(when(pmod(col("user_id"), lit(3)) === 0,
+              col("user_id")), kCap).as("d3"))
+        val dayRows = perDay.join(direct, "day")
+          .select(col("n_partials"),
+            (col("me") === col("de") && col("m3") === col("d3")).as("same"))
+          .collect()
+        val nDays = dayRows.length.toLong
+        val nMulti = dayRows.count(_.getAs[Long]("n_partials") > 1)
+        val mismatch = dayRows.count(r => !r.getAs[Boolean]("same"))
+        Gate.check(mismatch == 0,
+          s"$mismatch/$nDays days: merged-of-stream-partials != direct sketch")
+        Gate.check(nMulti >= 1,
+          "no day accumulated >1 partial — cross-batch merge not exercised")
+        // overlap from STORED state alone: all-time merged even/div3
+        // sketches -> intersection estimate vs the exact div6 population
+        val o = stored.agg(graft_kmv_merge(col("sk_even")).as("ae"),
+          graft_kmv_merge(col("sk_div3")).as("a3"))
+          .select(graft_kmv_overlap(col("ae"), col("a3")).as("o"),
+            graft_kmv_stats(col("ae")).as("se"),
+            graft_kmv_stats(col("a3")).as("s3"))
+          .first()
+        val ov = o.getAs[scala.collection.Seq[Double]]("o")
+        val exact = ev.agg(
+          count_distinct(when(pmod(col("user_id"), lit(2)) === 0,
+            col("user_id"))).as("ne"),
+          count_distinct(when(pmod(col("user_id"), lit(3)) === 0,
+            col("user_id"))).as("n3"),
+          count_distinct(when(pmod(col("user_id"), lit(6)) === 0,
+            col("user_id"))).as("n6")).first()
+        val (nE, n3, n6) = (exact.getLong(0), exact.getLong(1), exact.getLong(2))
+        def ok(est: Double, ex: Long, full: Boolean, bound: Double,
+            floor: Double): Boolean =
+          if (!full) est == ex.toDouble
+          else math.abs(est - ex) <= math.max(bound * ex, floor)
+        val eFull = o.getAs[scala.collection.Seq[Double]]("se")(1) >= kCap
+        val dFull = o.getAs[scala.collection.Seq[Double]]("s3")(1) >= kCap
+        val viol = Seq(
+          !ok(ov(0), nE, eFull, 0.2, 0),
+          !ok(ov(1), n3, dFull, 0.2, 0),
+          !ok(ov(2), n6, eFull || dFull, 0.5, 20)).count(identity).toLong
+        import s.implicits._
+        Seq((nDays, nE, n3, n6,
+          viol + mismatch.toLong + (if (nMulti >= 1) 0L else 1L)))
+          .toDF("n_days", "n_even", "n_div3", "n_both", "n_violations")
+      } finally deleteRecursively(tmp)
+    },
+
     // STREAMING exactly-once across a RESTART — the durability semantic
     // every other stream query assumes, demonstrated instead of assumed:
     // the first stream instance ingests generation 1, is STOPPED, a
