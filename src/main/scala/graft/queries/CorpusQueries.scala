@@ -221,6 +221,81 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // Contamination TRIAGE — the composition x_kmv_overlap exists for:
+    // estimate SHINGLE-space overlap between a corpus and a benchmark
+    // from two KB-sized sketches, and make the flag/clear decision
+    // BEFORE paying for the exact decontamination join (x_cross_dedup's
+    // machinery). Same corpus fixture as x_cross_dedup (docs + 20
+    // injected " graftdup" leaks; refs = doc_id < 50 drawn FROM the
+    // corpus — a true leak, shared-shingle ratio ~1), plus a NEGATIVE
+    // control: the same refs under an injective "_x" token remap
+    // (disjoint vocabulary — zero shared shingles, and distinct strings
+    // hash to distinct sample points a.s., so the sketch intersection
+    // is exactly empty). Gates: corpus/ref estimates within 0.2 rel
+    // (k=1024 => 6.4 sigma), the leak DECISION fires (est_shared >
+    // 0.5 x exact ref shingles — robust at every SF: the intersection
+    // sample count stays >= ~10 even when theta ~ 1e-3), and the
+    // control stays silent (< 0.1 x). Exact counts ride the oracle;
+    // decisions ride n_violations.
+    Q("x_contamination_triage",
+      """WITH corpus AS (
+        |  SELECT doc_id, lower(text) AS text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lower(text) || ' graftdup' FROM documents
+        |  WHERE doc_id < 20),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+        |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+        |  list_distinct(list_transform(generate_series(1, len(t)-2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |  ELSE [array_to_string(t, ' ')] END AS s FROM tok),
+        |cg AS (SELECT DISTINCT unnest(s) AS g FROM sh),
+        |rg AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 50)
+        |SELECT (SELECT count(*) FROM cg) AS n_corpus,
+        |(SELECT count(*) FROM rg) AS n_refs,
+        |(SELECT count(*) FROM cg JOIN rg USING (g)) AS n_shared,
+        |CAST(0 AS BIGINT) AS n_viol""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions._
+      import graft.functions.TextFunctions.tokens
+      val kCap = 1024
+      val docs = Tables(s, dir, "documents").select("doc_id", "text")
+      val injected = docs.where(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" graftdup")).as("text"))
+      def gstream(df: org.apache.spark.sql.DataFrame) = df.select(
+        explode(graft_shingles(tokens(col("text")), 3)).as("g"))
+      val corpusG = gstream(docs.unionByName(injected))
+      val refsG = gstream(docs.where(col("doc_id") < 50))
+      // negative control: injective vocab remap => disjoint shingles
+      val controlG = gstream(docs.where(col("doc_id") < 50)
+        .select(col("doc_id"), concat_ws(" ",
+          transform(split(col("text"), " "),
+            w => concat(w, lit("_x")))).as("text")))
+      val sk = corpusG.agg(graft_kmv(xxhash64(col("g")), kCap).as("skc"))
+        .crossJoin(refsG.agg(graft_kmv(xxhash64(col("g")), kCap).as("skr")))
+        .crossJoin(controlG.agg(graft_kmv(xxhash64(col("g")), kCap).as("skx")))
+        .select(graft_kmv_overlap(col("skc"), col("skr")).as("leak"),
+          graft_kmv_overlap(col("skc"), col("skx")).as("ctrl"))
+        .first()
+      val cset = corpusG.distinct()
+      val rset = refsG.distinct()
+      val (nC, nR) = (cset.count(), rset.count())
+      val nShared = cset.join(rset, "g").count()
+      val leak = sk.getAs[scala.collection.Seq[Double]]("leak")
+      val ctrl = sk.getAs[scala.collection.Seq[Double]]("ctrl")
+      def relOk(est: Double, exact: Long) =
+        math.abs(est - exact) <= 0.2 * exact
+      val viols = Seq(
+        !relOk(leak(0), nC),
+        !relOk(leak(1), nR),
+        leak(2) <= 0.5 * nR,  // the leak decision must FIRE
+        ctrl(2) >= 0.1 * nR   // the control must stay silent
+      ).count(identity).toLong
+      import s.implicits._
+      Seq((nC, nR, nShared, viols))
+        .toDF("n_corpus", "n_refs", "n_shared", "n_viol")
+    },
+
     // MAXIMAL duplicated spans per document — the span machinery's
     // third view (x_span_dedup: corpus totals; x_novelty: per-doc dup
     // share; this: per-doc SPAN EXTENTS — where the duplication sits and
