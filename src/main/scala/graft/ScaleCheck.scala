@@ -290,6 +290,52 @@ object ScaleCheck {
     }
   }
 
+  /** x_knn_join's per-stage decomposition (the vector family's steepest
+    * row gets the set-join family's stage-cell discipline): cand =
+    * banding + bucket self-join + pair dedup, verify = vector join-back
+    * + cosine + symmetric explode + bounded heaps. Reading note: the
+    * cand cell ends in a materialization barrier the production query
+    * does NOT pay (knnJoin streams candidates into the verify), so the
+    * cells BOUND the stages rather than partitioning the end-to-end
+    * time exactly.
+    */
+  private def knnStages(spark: SparkSession,
+      dir: String): Seq[(String, String, Double)] = {
+    import graft.operators.Similarity
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val injected = emb.where(col("vec_id") < 20)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        graft.queries.PipelineQueries.perturb(col("embedding")).as("embedding"))
+    val corpus = emb.unionByName(injected)
+    val n = corpus.count()
+    val planes = Similarity.adaptivePlanes(n, targetOccupancy = 8)
+    val tables = Similarity.tablesForRecall(planes, cosine = 0.97)
+    val vecs = corpus.select(col("vec_id").cast("long").as("id"),
+      col("embedding").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (cand, tCand) = timed {
+        val (c, release) = Similarity.lshCandidatePairsForDiagManaged(
+          vecs, planes, tables, 64)
+        val pinned = c.localCheckpoint(true)
+        release()
+        pinned
+      }
+      val (_, tVer) = timed(Similarity.knnVerifyTopK(cand, vecs, 10).count())
+      Seq(("x_knn_join", "cand", tCand), ("x_knn_join", "verify", tVer))
+        .map { case (q, c, t) =>
+          println(f"SCALECHECK stage $q $c $dir $t%.2fs")
+          (q, c, t)
+        }
+    } finally vecs.unpersist()
+  }
+
   /** Growth-term counts for the two steepest one-exchange rows (r9
     * verdict #5): x_novelty's cost axis is the distinct (doc, gram)
     * cardinality every one of its exchanges is keyed on; x_triangles' is
@@ -608,9 +654,9 @@ object ScaleCheck {
     def ifRun[A](names: String*)(body: => Seq[A]): Seq[A] =
       if (names.exists(toRun.contains)) body else Nil
     val baseStages = ifRun("x_jaccard_join", "x_cross_dedup")(
-      setJoinStages(spark, src))
+      setJoinStages(spark, src)) ++ ifRun("x_knn_join")(knnStages(spark, src))
     val bigStages = ifRun("x_jaccard_join", "x_cross_dedup")(
-      setJoinStages(spark, out))
+      setJoinStages(spark, out)) ++ ifRun("x_knn_join")(knnStages(spark, out))
     val baseCounts = ifRun("x_novelty", "x_triangles")(growthCounts(spark, src))
     val bigCounts = ifRun("x_novelty", "x_triangles")(growthCounts(spark, out))
     // optional 5th arg `merge`: min-merge this run's cells into the

@@ -338,6 +338,15 @@ object Similarity {
     lshCandidatePairs(vecs, numPlanes, numTables, maxOccupancy,
       contentSeededSplit)
 
+  /** Managed variant for ScaleCheck's knn stage cells: the stage timing
+    * must release the banded cache inside the cand stage, as knnJoin
+    * does.
+    */
+  private[graft] def lshCandidatePairsForDiagManaged(vecs: DataFrame,
+      numPlanes: Int, numTables: Int,
+      maxOccupancy: Int): (DataFrame, () => Unit) =
+    lshCandidatePairsManaged(vecs, numPlanes, numTables, maxOccupancy)
+
   private[operators] def lshCandidatePairs(vecs: DataFrame, numPlanes: Int,
       numTables: Int, maxOccupancy: Int = 0,
       contentSeededSplit: Boolean = false): DataFrame =
@@ -447,25 +456,36 @@ object Similarity {
       // occupancy x tables x corpus — see the Dedup scaladoc contrast
       val (candidates, releaseBanded) = lshCandidatePairsManaged(
         vecs, numPlanes, numTables, maxOccupancy)
-      val scored = candidates
-        .join(vecs.select(col("id").as("id1"), col("v").as("v1"))
-          .hint("shuffle_hash"), "id1")
-        .join(vecs.select(col("id").as("id2"), col("v").as("v2"))
-          .hint("shuffle_hash"), "id2")
-        .withColumn("sim", round(graft_cosine(col("v1"), col("v2")), 4))
-        .select("id1", "id2", "sim")
-      // Each undirected pair feeds BOTH endpoints' heaps via one inline
-      // explode — r7's self-unionByName evaluated the whole join+cosine
-      // subtree twice (ReuseExchange dedupes the shuffles, not the
-      // post-join map work), doubling the dominant per-pair cost.
-      val sym = scored.select(explode(array(
-        struct(col("id1").as("qid"), col("id2").as("vid"), col("sim")),
-        struct(col("id2").as("qid"), col("id1").as("vid"), col("sim")))).as("e"))
-        .select(col("e.qid").as("qid"), col("e.vid").as("vid"), col("e.sim").as("sim"))
-      val out = topKPerQuery(sym, k).localCheckpoint(true)
+      val out = knnVerifyTopK(candidates, vecs, k).localCheckpoint(true)
       releaseBanded()
       out
     } finally vecs.unpersist()
+  }
+
+  /** knnJoin's verify + heap stage over a (id1, id2) candidate frame and
+    * a projected (id, v) vector frame — factored so ScaleCheck can time
+    * the pair-driven term alone (the x_jaccard_join stage-cell
+    * discipline applied to the vector family's steepest row).
+    */
+  private[graft] def knnVerifyTopK(candidates: DataFrame, vecs: DataFrame,
+      k: Int): DataFrame = {
+    import graft.functions.GraftFunctions.graft_cosine
+    val scored = candidates
+      .join(vecs.select(col("id").as("id1"), col("v").as("v1"))
+        .hint("shuffle_hash"), "id1")
+      .join(vecs.select(col("id").as("id2"), col("v").as("v2"))
+        .hint("shuffle_hash"), "id2")
+      .withColumn("sim", round(graft_cosine(col("v1"), col("v2")), 4))
+      .select("id1", "id2", "sim")
+    // Each undirected pair feeds BOTH endpoints' heaps via one inline
+    // explode — r7's self-unionByName evaluated the whole join+cosine
+    // subtree twice (ReuseExchange dedupes the shuffles, not the
+    // post-join map work), doubling the dominant per-pair cost.
+    val sym = scored.select(explode(array(
+      struct(col("id1").as("qid"), col("id2").as("vid"), col("sim")),
+      struct(col("id2").as("qid"), col("id1").as("vid"), col("sim")))).as("e"))
+      .select(col("e.qid").as("qid"), col("e.vid").as("vid"), col("e.sim").as("sim"))
+    topKPerQuery(sym, k)
   }
 
   /** Bipartite ANN join: top-k RIGHT-side cosine neighbors for EVERY left

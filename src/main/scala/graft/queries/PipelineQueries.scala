@@ -204,7 +204,7 @@ object PipelineQueries {
     * above the 0.95 dedup threshold but far enough from 1.0 that LSH
     * buckets genuinely differ per table.
     */
-  private def perturb(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def perturb(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     transform(vec, (x, i) =>
       x * (lit(1.0) + lit(0.25) * when(pmod(i, lit(2)) === 0, lit(1.0))
         .otherwise(lit(-1.0))))
