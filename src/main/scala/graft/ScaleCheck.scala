@@ -336,6 +336,51 @@ object ScaleCheck {
     } finally vecs.unpersist()
   }
 
+  /** x_embed_dedup's per-stage decomposition: embed (full-corpus
+    * feature-hash + the eager checkpoint production pays), cand (banding
+    * + bucket self-join + dedup under the content-seeded cap), verify
+    * (vector join-back + exact cosine + threshold). Same materialization-
+    * barrier reading note as knnStages.
+    */
+  private def embedDedupStages(spark: SparkSession,
+      dir: String): Seq[(String, String, Double)] = {
+    import graft.operators.{Dedup, Similarity, TextEmbed}
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val docs = Tables(spark, dir, "documents")
+    val (en, tEmbed) = timed {
+      val emb = TextEmbed.featureHash(docs, "doc_id", "text", dim = 64,
+        normalize = true).localCheckpoint(true)
+      (emb, emb.count())
+    }
+    val (emb, n) = en
+    val planes = Similarity.adaptivePlanes(n, targetOccupancy = 2)
+    val tables = Similarity.tablesForRecall(planes, cosine = 0.999,
+      minTables = 3)
+    val vecs = emb.select(col("id"), col("vec").cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (cand, tCand) = timed {
+        val (c, release) = Similarity.lshCandidatePairsForDiagManaged(
+          vecs, planes, tables, 8, contentSeededSplit = true)
+        val pinned = c.localCheckpoint(true)
+        release()
+        pinned
+      }
+      val (_, tVer) = timed(
+        Dedup.embeddingVerify(cand, vecs, 1.0 - 1e-9).count())
+      Seq(("x_embed_dedup", "embed", tEmbed), ("x_embed_dedup", "cand", tCand),
+        ("x_embed_dedup", "verify", tVer))
+        .map { case (q, c, t) =>
+          println(f"SCALECHECK stage $q $c $dir $t%.2fs")
+          (q, c, t)
+        }
+    } finally vecs.unpersist()
+  }
+
   /** Growth-term counts for the two steepest one-exchange rows (r9
     * verdict #5): x_novelty's cost axis is the distinct (doc, gram)
     * cardinality every one of its exchanges is keyed on; x_triangles' is
@@ -654,9 +699,11 @@ object ScaleCheck {
     def ifRun[A](names: String*)(body: => Seq[A]): Seq[A] =
       if (names.exists(toRun.contains)) body else Nil
     val baseStages = ifRun("x_jaccard_join", "x_cross_dedup")(
-      setJoinStages(spark, src)) ++ ifRun("x_knn_join")(knnStages(spark, src))
+      setJoinStages(spark, src)) ++ ifRun("x_knn_join")(knnStages(spark, src)) ++
+      ifRun("x_embed_dedup")(embedDedupStages(spark, src))
     val bigStages = ifRun("x_jaccard_join", "x_cross_dedup")(
-      setJoinStages(spark, out)) ++ ifRun("x_knn_join")(knnStages(spark, out))
+      setJoinStages(spark, out)) ++ ifRun("x_knn_join")(knnStages(spark, out)) ++
+      ifRun("x_embed_dedup")(embedDedupStages(spark, out))
     val baseCounts = ifRun("x_novelty", "x_triangles")(growthCounts(spark, src))
     val bigCounts = ifRun("x_novelty", "x_triangles")(growthCounts(spark, out))
     // optional 5th arg `merge`: min-merge this run's cells into the

@@ -583,7 +583,20 @@ object Dedup {
     // the signature), so the worst-case bound costs essentially no recall.
     val (candidates, releaseBanded) = Similarity.lshCandidatePairsManaged(
       vecs, numPlanes, numTables, maxOccupancy, contentSeededSplit)
-    val result = candidates
+    val out = embeddingVerify(candidates, vecs, threshold)
+    releaseBanded()
+    vecs.unpersist()
+    out
+  }
+
+  /** embeddingNearDup's verify stage over a (id1, id2) candidate frame
+    * and a projected (id, v) vector frame — factored so ScaleCheck can
+    * time the pair-driven term alone (the knnVerifyTopK discipline).
+    */
+  private[graft] def embeddingVerify(candidates: DataFrame, vecs: DataFrame,
+      threshold: Double): DataFrame = {
+    import graft.functions.GraftFunctions.graft_cosine
+    candidates
       .join(vecs.select(col("id").as("id1"), col("v").as("v1"))
         .hint("shuffle_hash"), "id1")
       .join(vecs.select(col("id").as("id2"), col("v").as("v2"))
@@ -591,10 +604,7 @@ object Dedup {
       .withColumn("cosine", graft_cosine(col("v1"), col("v2")))
       .where(col("cosine") >= threshold)
       .select("id1", "id2", "cosine")
-    val out = result.localCheckpoint(true)
-    releaseBanded()
-    vecs.unpersist()
-    out
+      .localCheckpoint(true)
   }
 
   /** SemDeDup-style semantic near-dup pairs (Abbas et al., arXiv:2303.09540):

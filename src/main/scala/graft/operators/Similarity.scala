@@ -343,9 +343,10 @@ object Similarity {
     * does.
     */
   private[graft] def lshCandidatePairsForDiagManaged(vecs: DataFrame,
-      numPlanes: Int, numTables: Int,
-      maxOccupancy: Int): (DataFrame, () => Unit) =
-    lshCandidatePairsManaged(vecs, numPlanes, numTables, maxOccupancy)
+      numPlanes: Int, numTables: Int, maxOccupancy: Int,
+      contentSeededSplit: Boolean = false): (DataFrame, () => Unit) =
+    lshCandidatePairsManaged(vecs, numPlanes, numTables, maxOccupancy,
+      contentSeededSplit)
 
   private[operators] def lshCandidatePairs(vecs: DataFrame, numPlanes: Int,
       numTables: Int, maxOccupancy: Int = 0,
