@@ -72,7 +72,13 @@ object ScaleCheck {
     "x_pca",
     // r9 extended-session: content-defined chunking — per-token md5 fold,
     // the aggregate-HOF shape; curve should track the token scan
-    "x_cdc_chunks")
+    "x_cdc_chunks",
+    // r10: new ops get curves from birth — per-doc maximal duplicated
+    // spans (the novelty family's gram-stream shape), KMV overlap over
+    // ids (sketch build = corpus scan), and the sketch-then-exact
+    // contamination triage (corpus shingle scan + two KB sketches +
+    // the exact distinct-shingle counts its oracle pins)
+    "x_span_maximal", "x_kmv_overlap", "x_contamination_triage")
 
   /** Streaming-path members (r6 judge #5): real foreachBatch sinks over the
     * replicated corpus. Caveat on reading their ratios: each query's timed
@@ -88,7 +94,7 @@ object ScaleCheck {
     */
   private val Streaming = Seq("x_stream_index_probe", "x_stream_upsert",
     "x_stream_window", "x_stream_join_outer", "x_stream_join_full",
-    "x_stream_restart_agg", "x_stream_sessionize_restart")
+    "x_stream_restart_agg", "x_stream_sessionize_restart", "x_stream_kmv")
 
   /** Candidate-pair counts per scale for the two LSH-pair queries (r7 judge
     * #6): the scale axis for this family is the pair count, not the join

@@ -149,7 +149,13 @@ object PipelineQueries {
     "x_stream_sessionize_restart" -> (src => timeSplitFixture(
       Tables(s, dir, "events").where(col("user_id") < 35)
         .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
-          col("event_type"), col("value")), src, sortTs = true)))
+          col("event_type"), col("value")), src, sortTs = true)),
+    "x_stream_kmv" -> (src => {
+      twoFileStreamFixture(
+        Tables(s, dir, "events").select(col("ts"), col("user_id")),
+        pmod(col("user_id"), lit(2)) === 0, src)
+      ()
+    }))
 
   /** The median-time-split source fixture the watermark queries build —
     * bounds aggregate + two filtered writes, mirrored here so ScaleCheck
