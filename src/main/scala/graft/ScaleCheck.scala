@@ -387,6 +387,55 @@ object ScaleCheck {
     } finally vecs.unpersist()
   }
 
+  /** x_contamination_triage's two arms, timed separately: the SKETCH arm
+    * (three kmv builds + two overlap evals — the production triage
+    * decision) vs the EXACT arm (two distinct-shingle sets + a join —
+    * exists to pin the oracle). The row's curve is the exact arm; the
+    * cells make that attribution a measurement.
+    */
+  private def triageStages(spark: SparkSession,
+      dir: String): Seq[(String, String, Double)] = {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.GraftFunctions._
+    import graft.functions.TextFunctions.tokens
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    val injected = docs.where(col("doc_id") < 20)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" graftdup")).as("text"))
+    def gstream(df: DataFrame) = df.select(
+      explode(graft_shingles(tokens(col("text")), 3)).as("g"))
+    val corpusG = gstream(docs.unionByName(injected))
+    val refsG = gstream(docs.where(col("doc_id") < 50))
+    val controlG = gstream(docs.where(col("doc_id") < 50)
+      .select(col("doc_id"), concat_ws(" ",
+        transform(split(col("text"), " "),
+          w => concat(w, lit("_x")))).as("text")))
+    val (_, tSketch) = timed {
+      corpusG.agg(graft_kmv(xxhash64(col("g")), 1024).as("skc"))
+        .crossJoin(refsG.agg(graft_kmv(xxhash64(col("g")), 1024).as("skr")))
+        .crossJoin(controlG.agg(graft_kmv(xxhash64(col("g")), 1024).as("skx")))
+        .select(graft_kmv_overlap(col("skc"), col("skr")),
+          graft_kmv_overlap(col("skc"), col("skx")))
+        .first()
+    }
+    val (_, tExact) = timed {
+      val cset = corpusG.distinct()
+      val rset = refsG.distinct()
+      (cset.count(), rset.count(), cset.join(rset, "g").count())
+    }
+    Seq(("x_contamination_triage", "sketch", tSketch),
+      ("x_contamination_triage", "exact", tExact))
+      .map { case (q, c, t) =>
+        println(f"SCALECHECK stage $q $c $dir $t%.2fs")
+        (q, c, t)
+      }
+  }
+
   /** Growth-term counts for the two steepest one-exchange rows (r9
     * verdict #5): x_novelty's cost axis is the distinct (doc, gram)
     * cardinality every one of its exchanges is keyed on; x_triangles' is
@@ -706,10 +755,12 @@ object ScaleCheck {
       if (names.exists(toRun.contains)) body else Nil
     val baseStages = ifRun("x_jaccard_join", "x_cross_dedup")(
       setJoinStages(spark, src)) ++ ifRun("x_knn_join")(knnStages(spark, src)) ++
-      ifRun("x_embed_dedup")(embedDedupStages(spark, src))
+      ifRun("x_embed_dedup")(embedDedupStages(spark, src)) ++
+      ifRun("x_contamination_triage")(triageStages(spark, src))
     val bigStages = ifRun("x_jaccard_join", "x_cross_dedup")(
       setJoinStages(spark, out)) ++ ifRun("x_knn_join")(knnStages(spark, out)) ++
-      ifRun("x_embed_dedup")(embedDedupStages(spark, out))
+      ifRun("x_embed_dedup")(embedDedupStages(spark, out)) ++
+      ifRun("x_contamination_triage")(triageStages(spark, out))
     val baseCounts = ifRun("x_novelty", "x_triangles")(growthCounts(spark, src))
     val bigCounts = ifRun("x_novelty", "x_triangles")(growthCounts(spark, out))
     // optional 5th arg `merge`: min-merge this run's cells into the
