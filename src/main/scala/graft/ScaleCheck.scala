@@ -203,7 +203,7 @@ object ScaleCheck {
       // quantity its verify join's cost rides on).
       val docs = Tables(spark, dir, "documents").select("doc_id", "text")
       val injected = docs.where(col("doc_id") < 20)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
+        .select((col("doc_id") + graft.queries.PipelineQueries.BigOff).as("doc_id"),
           concat(col("text"), lit(" graftdup")).as("text"))
       graft.functions.GraftFunctions.register(spark)
       val sh = docs.unionByName(injected).select(col("doc_id").as("id"),
@@ -219,7 +219,7 @@ object ScaleCheck {
       // injected leaks vs the fixed 50-doc benchmark side.
       val docs = Tables(spark, dir, "documents").select("doc_id", "text")
       val injected = docs.where(col("doc_id") < 20)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
+        .select((col("doc_id") + graft.queries.PipelineQueries.BigOff).as("doc_id"),
           concat(col("text"), lit(" graftdup")).as("text"))
       graft.functions.GraftFunctions.register(spark)
       def sh(df: org.apache.spark.sql.DataFrame, side: Int) =
@@ -256,7 +256,7 @@ object ScaleCheck {
     }
     val docs = Tables(spark, dir, "documents").select("doc_id", "text")
     val injected = docs.where(col("doc_id") < 20)
-      .select((col("doc_id") + 1000000L).as("doc_id"),
+      .select((col("doc_id") + graft.queries.PipelineQueries.BigOff).as("doc_id"),
         concat(col("text"), lit(" graftdup")).as("text"))
     val jac = {
       val sh = docs.unionByName(injected).select(col("doc_id").as("id"),
@@ -316,7 +316,7 @@ object ScaleCheck {
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
     val injected = emb.where(col("vec_id") < 20)
-      .select((col("vec_id") + 1000000L).as("vec_id"),
+      .select((col("vec_id") + graft.queries.PipelineQueries.BigOff).as("vec_id"),
         graft.queries.PipelineQueries.perturb(col("embedding")).as("embedding"))
     val corpus = emb.unionByName(injected)
     val n = corpus.count()
@@ -450,7 +450,14 @@ object ScaleCheck {
     Seq(("x_novelty", "grams", grams), ("x_triangles", "wedges", wedges))
   }
 
-  private[graft] def materialize(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+  /** `idCap`: the smallest injected-fixture offset the MEASURED queries
+    * use — 1e6 for full-table runs, PipelineQueries.BigOff (1e8) for the
+    * >100x runs restricted to the BigOff-fixture queries. `corpusOnly`
+    * skips events/customer (the >100x hop measures only the three corpus
+    * queries; replicating 2 GB of events it will never read is waste).
+    */
+  private[graft] def materialize(spark: SparkSession, src: String, out: String,
+      factor: Int, idCap: Long = 1000000L, corpusOnly: Boolean = false): Unit = {
     val outDir = new java.io.File(out)
     // reuse marker records (src, factor): a rerun with a different factor
     // into the same outDir must re-materialize, not silently measure the
@@ -458,7 +465,8 @@ object ScaleCheck {
     val marker = new java.io.File(outDir, s"_GRAFT_SCALE_${factor}x_${src.hashCode}")
     if (marker.exists() &&
       new java.io.File(outDir, "embeddings.parquet/_SUCCESS").exists() &&
-      new java.io.File(outDir, "customer.parquet/_SUCCESS").exists()) {
+      (corpusOnly ||
+        new java.io.File(outDir, "customer.parquet/_SUCCESS").exists())) {
       println(s"SCALECHECK reuse existing ${factor}x corpus at $out")
       return
     }
@@ -472,8 +480,8 @@ object ScaleCheck {
       docs.agg(max("doc_id")).first().getLong(0),
       emb.agg(max("vec_id")).first().getLong(0))
     val stride = java.lang.Long.highestOneBit(maxId) * 2
-    require((factor - 1) * stride + maxId < 1000000L,
-      s"factor $factor x stride $stride collides with the 1e6 fixture offsets")
+    require((factor - 1) * stride + maxId < idCap,
+      s"factor $factor x stride $stride collides with the $idCap fixture offsets")
     val docCopies = (0 until factor).map { k =>
       val text =
         if (k == 0) col("text")
@@ -494,6 +502,11 @@ object ScaleCheck {
     }
     embCopies.reduce(_ unionByName _).repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    if (corpusOnly) {
+      marker.createNewFile()
+      println(s"SCALECHECK materialized ${factor}x corpus (docs+emb) at $out")
+      return
+    }
     // events: copy k strides user_id and event_id — per-user event multisets
     // are IDENTICAL in every copy, so per-key work (sessionize, latest-per-
     // user compaction) stays constant as the key population grows, which is
@@ -681,7 +694,21 @@ object ScaleCheck {
         "graft.plans.JoinBlowupListener")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    materialize(spark, src, out, factor)
+    // Factors past 100 overflow the 1e6 fixture-offset headroom most
+    // queries inject at; only the three BigOff-fixture queries (offsets at
+    // 1e8 — the steepest curves, the ones a 1000x point is FOR) may run
+    // there. The corpus is built in two hops (100x of src, then x(f/100)
+    // of that) so the union width per materialization stays ≤100 — a
+    // single 1000-branch union is an analyzer stress test, not a corpus.
+    val bigOffSafe = Set("x_jaccard_join", "x_cross_dedup", "x_knn_join")
+    if (factor > 100) {
+      require(factor % 100 == 0 && factor <= 10000,
+        s"factor $factor: >100x runs must be a multiple of 100 up to 10000")
+      val mid = s"${out}_mid100"
+      materialize(spark, src, mid, 100)
+      materialize(spark, mid, out, factor / 100,
+        idCap = graft.queries.PipelineQueries.BigOff, corpusOnly = true)
+    } else materialize(spark, src, out, factor)
     // warm both corpora into the page cache so ratios measure compute
     // (32-bit hash: summing xxhash64 overflows long under ANSI mode)
     for (dir <- Seq(src, out); t <- Seq("documents", "embeddings")) {
@@ -707,15 +734,21 @@ object ScaleCheck {
     val all = Heavy ++ Streaming
     // "all" runs the whole table (so the 5th `merge` arg stays reachable
     // for unfiltered passes)
-    val toRun = args.lift(3).filter(f => f.nonEmpty && f != "all") match {
+    val toRun0 = args.lift(3).filter(f => f.nonEmpty && f != "all") match {
       case Some(f) => all.filter(f.split(",").toSet)
       case None => all
     }
+    // >100x corpora exist only for the BigOff-fixture queries (see above)
+    val toRun = if (factor > 100) toRun0.filter(bigOffSafe) else toRun0
+    require(toRun.nonEmpty, "no queries to run at this factor")
     val rows = toRun.map { name =>
       // two runs per scale, keep the min: strips JIT/first-plan noise so
-      // the ratio reflects the plan, not compilation luck
+      // the ratio reflects the plan, not compilation luck. Past 100x a
+      // single pass stands (minutes per run; the point of the cell is
+      // order-of-growth, not a settled min)
       val base = math.min(run1(name, src), run1(name, src))
-      val big = math.min(run1(name, out), run1(name, out))
+      val big = if (factor > 100) run1(name, out)
+        else math.min(run1(name, out), run1(name, out))
       val ratio = big / math.max(base, 1e-9)
       println(f"| $name | $base%.2f | $big%.2f | $ratio%.1fx |")
       (name, base, big, ratio)

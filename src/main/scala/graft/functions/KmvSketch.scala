@@ -105,9 +105,14 @@ object KmvSketch {
   /** Unsigned hash -> fraction of the 64-bit line in [0, 1). */
   private def frac(u: Long): Double = (u >>> 11).toDouble / (1L << 53).toDouble
 
-  /** Distinct estimate: exact below capacity, (k-1)/theta once full. */
+  /** Distinct estimate: exact below capacity, (k-1)/theta once full. The
+    * empty guard comes FIRST: an UNSET merge buffer (k=0 — graft_kmv_merge
+    * over an empty or all-NULL group) has size 0 and k 0, so the `< k`
+    * test alone would fall through to `set.last()` on an empty set.
+    */
   def estimate(st: State): Double =
-    if (st.set.size() < st.k) st.set.size().toDouble
+    if (st.set.isEmpty) 0.0
+    else if (st.set.size() < st.k) st.set.size().toDouble
     else (st.k - 1).toDouble / math.max(frac(st.set.last()), Double.MinPositiveValue)
 
   def toBytes(st: State): Array[Byte] = {
@@ -151,7 +156,7 @@ object KmvSketch {
     val sa = fromBytes(a)
     val sb = fromBytes(b)
     def theta(st: State): Double =
-      if (st.set.size() < st.k) 1.0 else frac(st.set.last())
+      if (st.set.isEmpty || st.set.size() < st.k) 1.0 else frac(st.set.last())
     val th = math.min(theta(sa), theta(sb))
     // samples strictly below the shared theta cut (when theta == 1.0 the
     // whole set qualifies — both sketches are exact)

@@ -25,8 +25,20 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * after their run (the specs do). Registered in every graft session via
   * `spark.sql.queryExecutionListeners` alongside the PlanGuard extension.
   *
+  * The same walk also reads GenerateExec (explode/posexplode) output
+  * metrics: the identity-collapse expansion (Dedup.scala's C(g,2)
+  * pair-emitter) is a generator, not a join, and a cap bug there would
+  * blow up invisibly to the join check. Generators get their OWN, much
+  * higher threshold (`genFactor`, default 4096 at `genMinRows` 50M):
+  * legitimate corpus explodes (shingling, banding) expand by
+  * tokens-per-document — hundreds — while a cap escape on a g-sized
+  * duplicate group expands by g²/2 per row, which at the g≥10⁴ corpora
+  * worth guarding is ≥10⁷x. The gap between the two regimes is ~4 orders
+  * of magnitude; 4096 sits in it with margin on both sides.
+  *
   * Conf: `spark.graft.runtimeGuard.enabled` (default true),
-  * `.factor` (default 32), `.minRows` (default 10_000_000).
+  * `.factor` (default 32), `.minRows` (default 10_000_000),
+  * `.genFactor` (default 4096), `.genMinRows` (default 50_000_000).
   */
 class JoinBlowupListener extends QueryExecutionListener {
 
@@ -39,7 +51,12 @@ class JoinBlowupListener extends QueryExecutionListener {
       .map(_.toLong).getOrElse(32L)
     val minRows = conf.getOption("spark.graft.runtimeGuard.minRows")
       .map(_.toLong).getOrElse(10000000L)
-    JoinBlowupListener.inspect(qe.executedPlan, factor, minRows)
+    val genFactor = conf.getOption("spark.graft.runtimeGuard.genFactor")
+      .map(_.toLong).getOrElse(4096L)
+    val genMinRows = conf.getOption("spark.graft.runtimeGuard.genMinRows")
+      .map(_.toLong).getOrElse(50000000L)
+    JoinBlowupListener.inspect(qe.executedPlan, factor, minRows,
+        genFactor, genMinRows)
       .foreach { f =>
         JoinBlowupListener.record(f)
         System.err.println(s"[graft.runtimeGuard] $f")
@@ -55,9 +72,10 @@ object JoinBlowupListener {
   /** One flagged join: the node's name, its output rows, and the larger
     * input's rows — everything needed to judge the blowup by eye.
     */
-  final case class Finding(node: String, outputRows: Long, maxInputRows: Long) {
+  final case class Finding(node: String, outputRows: Long, maxInputRows: Long,
+      kind: String = "join") {
     override def toString: String =
-      s"join blowup: $node produced $outputRows rows from a " +
+      s"$kind blowup: $node produced $outputRows rows from a " +
         s"max input of $maxInputRows (ratio ${outputRows / math.max(1L, maxInputRows)}x) " +
         "- a hot key/bucket outgrew its occupancy cap; re-check the " +
         "bucketing scheme's split/cap parameters"
@@ -89,11 +107,12 @@ object JoinBlowupListener {
           fs.mkString("\n"))
   }
 
-  /** Walk the executed plan (through AQE wrappers), read each join node's
-    * numOutputRows metric against its children's, return the blowups.
-    * Exposed for the spec and for overhead measurement.
+  /** Walk the executed plan (through AQE wrappers), read each join and
+    * generator node's numOutputRows metric against its children's, return
+    * the blowups. Exposed for the spec and for overhead measurement.
     */
-  def inspect(plan: SparkPlan, factor: Long, minRows: Long): Seq[Finding] = {
+  def inspect(plan: SparkPlan, factor: Long, minRows: Long,
+      genFactor: Long = 4096L, genMinRows: Long = 50000000L): Seq[Finding] = {
     val out = scala.collection.mutable.Buffer[Finding]()
     // AQE hides subtrees behind leaf wrappers: AdaptiveSparkPlanExec's
     // final plan and QueryStageExec's materialized stage both hang off a
@@ -106,13 +125,19 @@ object JoinBlowupListener {
       case other => other
     }
     def inputRows(p: SparkPlan): Option[Long] = {
-      // nearest descendant that measures row count; joins terminate the
-      // descent (their own inputs are not THIS join's input)
+      // nearest measuring descendants, SUMMED: a multi-child pass-through
+      // (union) contributes every branch's count — taking only the first
+      // branch would understate the input and manufacture false blowups.
+      // Joins/generators terminate the descent (their own inputs are not
+      // THIS node's input).
       val root = unwrap(p)
       if (root.metrics.contains("numOutputRows"))
         Some(root.metrics("numOutputRows").value)
-      else if (isJoin(root)) None
-      else root.children.map(inputRows).collectFirst { case Some(v) => v }
+      else if (isJoin(root) || isGenerate(root)) None
+      else {
+        val kids = root.children.flatMap(inputRows)
+        if (kids.isEmpty) None else Some(kids.sum)
+      }
     }
     def isJoin(p: SparkPlan): Boolean = p match {
       case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec => true
@@ -122,16 +147,22 @@ object JoinBlowupListener {
       case _: org.apache.spark.sql.execution.joins.CartesianProductExec => true
       case _ => false
     }
+    def isGenerate(p: SparkPlan): Boolean =
+      p.isInstanceOf[org.apache.spark.sql.execution.GenerateExec]
     def walk(p: SparkPlan): Unit = {
       val n = unwrap(p)
-      if (isJoin(n) && n.metrics.contains("numOutputRows")) {
+      val join = isJoin(n)
+      val gen = isGenerate(n)
+      if ((join || gen) && n.metrics.contains("numOutputRows")) {
         val o = n.metrics("numOutputRows").value
-        if (o >= minRows) {
+        val (floor, ratio, kind) =
+          if (join) (minRows, factor, "join") else (genMinRows, genFactor, "generator")
+        if (o >= floor) {
           val ins = n.children.flatMap(inputRows)
           if (ins.nonEmpty) {
             val maxIn = ins.max
-            if (o > factor * math.max(1L, maxIn))
-              out += Finding(n.nodeName, o, maxIn)
+            if (o > ratio * math.max(1L, maxIn))
+              out += Finding(n.nodeName, o, maxIn, kind)
           }
         }
       }

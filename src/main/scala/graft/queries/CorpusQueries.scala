@@ -264,8 +264,13 @@ object CorpusQueries {
           concat(col("text"), lit(" graftdup")).as("text"))
       def gstream(df: org.apache.spark.sql.DataFrame) = df.select(
         explode(graft_shingles(tokens(col("text")), 3)).as("g"))
+      // the tokenize+shingle explode is the dominant term and each stream
+      // feeds BOTH arms (sketch aggregate + exact distinct/join) — persist
+      // so the explode is paid once per stream, not once per consumer
       val corpusG = gstream(docs.unionByName(injected))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val refsG = gstream(docs.where(col("doc_id") < 50))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // negative control: injective vocab remap => disjoint shingles
       val controlG = gstream(docs.where(col("doc_id") < 50)
         .select(col("doc_id"), concat_ws(" ",
@@ -291,6 +296,8 @@ object CorpusQueries {
         leak(2) <= 0.5 * nR,  // the leak decision must FIRE
         ctrl(2) >= 0.1 * nR   // the control must stay silent
       ).count(identity).toLong
+      corpusG.unpersist()
+      refsG.unpersist()
       import s.implicits._
       Seq((nC, nR, nShared, viols))
         .toDF("n_corpus", "n_refs", "n_shared", "n_viol")

@@ -13,6 +13,18 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
 
+  /** Injected-fixture id offset for the three queries ScaleCheck measures
+    * past 100x (x_jaccard_join, x_cross_dedup, x_knn_join). The rest of
+    * the suite injects at +1e6/+2e6, which caps structure-preserving
+    * replication at ~100x of sf0.1 (ids must stay below the offsets or
+    * the injected fixtures collide with replica ids); these three carry
+    * the steepest curves, so THEIR fixtures live at +1e8 to leave id
+    * headroom for the 1000x corpus. The offset appears verbatim in each
+    * query's oracle SQL via string interpolation — one constant, both
+    * arms.
+    */
+  private[graft] val BigOff = 100000000L
+
   /** The documents/embeddings fixtures are single parquet files — one scan
     * partition — which serializes the sketch kernels onto one core. At
     * 100 TB the input arrives in thousands of splits; locally we restore
@@ -380,10 +392,10 @@ object PipelineQueries {
     // against it). 20 injected near-copies (one appended token, J ~ m/(m+1))
     // guarantee the result is non-trivially populated at every SF.
     Q("x_jaccard_join",
-      """WITH corpus AS (
+      s"""WITH corpus AS (
         |  SELECT doc_id, lower(text) AS text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000, lower(text) || ' graftdup' FROM documents
+        |  SELECT doc_id + $BigOff, lower(text) || ' graftdup' FROM documents
         |  WHERE doc_id < 20),
         |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
         |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN
@@ -402,7 +414,7 @@ object PipelineQueries {
         |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
       val docs = par(Tables(s, dir, "documents")).select("doc_id", "text")
       val injected = docs.where(col("doc_id") < 20)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
+        .select((col("doc_id") + BigOff).as("doc_id"),
           concat(col("text"), lit(" graftdup")).as("text"))
       Dedup.ppjoinPairs(docs.unionByName(injected), "doc_id", "text",
         shingleK = 3, threshold = 0.8)
@@ -426,10 +438,10 @@ object PipelineQueries {
     // the complete pair LIST with jaccards — organic borderline pairs
     // included, which only an exact join can promise to match.
     Q("x_cross_dedup",
-      """WITH corpus AS (
+      s"""WITH corpus AS (
         |  SELECT doc_id, lower(text) AS text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000, lower(text) || ' graftdup' FROM documents
+        |  SELECT doc_id + $BigOff, lower(text) || ' graftdup' FROM documents
         |  WHERE doc_id < 20),
         |refs AS (SELECT doc_id, lower(text) AS text FROM documents
         |  WHERE doc_id < 50),
@@ -457,7 +469,7 @@ object PipelineQueries {
         |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
       val docs = par(Tables(s, dir, "documents")).select("doc_id", "text")
       val injected = docs.where(col("doc_id") < 20)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
+        .select((col("doc_id") + BigOff).as("doc_id"),
           concat(col("text"), lit(" graftdup")).as("text"))
       val refs = docs.where(col("doc_id") < 50)
         .select(col("doc_id").as("ref_id"), col("text").as("ref_text"))
@@ -1186,7 +1198,7 @@ object PipelineQueries {
       val emb = par(Tables(s, dir, "embeddings"))
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       val injected = emb.where(col("vec_id") < 20)
-        .select((col("vec_id") + 1000000L).as("vec_id"),
+        .select((col("vec_id") + BigOff).as("vec_id"),
           perturb(col("embedding")).as("embedding"))
       val corpus = emb.unionByName(injected)
       val n = corpus.count()
@@ -1217,8 +1229,8 @@ object PipelineQueries {
             org.apache.spark.sql.expressions.Window
               .partitionBy("qid").orderBy(col("sim").desc, col("vid"))))
             .where(col("rn") === 1)
-          val nTop1 = top1.where(col("qid") >= 1000000L &&
-            col("vid") === col("qid") - 1000000L).count()
+          val nTop1 = top1.where(col("qid") >= BigOff &&
+            col("vid") === col("qid") - BigOff).count()
           Gate.check(nTop1 >= 18,
             s"knn join: only $nTop1/20 planted pairs are top-1 neighbors")
           val nSelf = knn.where(col("qid") === col("vid")).count()
@@ -1229,8 +1241,8 @@ object PipelineQueries {
           Seq((n, 20L, if (nTop1 >= 18 && nSelf == 0 && maxK <= 10) 0L else 1L))
             .toDF("n_corpus", "n_planted", "n_violations")
         } else {
-          val nFound = knn.where(col("qid") >= 1000000L &&
-            col("vid") === col("qid") - 1000000L).count()
+          val nFound = knn.where(col("qid") >= BigOff &&
+            col("vid") === col("qid") - BigOff).count()
           Gate.check(nFound >= 18,
             s"knn join: only $nFound/20 planted pairs appear in top-k")
           Seq((n, 20L, if (nFound >= 18) 0L else 1L))
@@ -4373,6 +4385,102 @@ object PipelineQueries {
             s"was not exercised (mid=$mid)")
         all.groupBy("user_id")
           .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+          .orderBy("user_id")
+      } finally deleteRecursively(tmp)
+    },
+
+    // Stream-stream JOIN restart — the last restart-uncovered state store
+    // (restart coverage spans agg, dedup-upsert, sessionize; the interval
+    // join's BUFFERED-ROW state is the riskiest reload because both sides
+    // hold un-evicted rows mid-corpus). Choreography: the phase boundary
+    // `mid` is placed AT the latest strictly-ordered matched pair (click
+    // strictly before purchase, data-derived — existence holds at every
+    // gate SF): instance 1 consumes everything before that pair's
+    // purchase, so the pair's CLICK enters the join's click state and the
+    // instance dies holding it; instance 2 (same checkpoint) consumes the
+    // rest + two flushing sentinels. The straddle gate then demands that
+    // cross-phase pair in the output — it can only match if the
+    // state-store reload handed instance 2 a click it never read from the
+    // source. Result is the per-user LEFT JOIN aggregate; equality with
+    // the batch oracle across the kill is the exactly-once claim.
+    Q("x_stream_join_restart",
+      """WITH p AS (SELECT user_id, ts FROM events
+        |  WHERE event_type = 'purchase' AND user_id < 20),
+        |c AS (SELECT user_id, ts FROM events
+        |  WHERE event_type = 'click' AND user_id < 20)
+        |SELECT p.user_id AS user_id, count(*) AS n_rows,
+        |count(c.ts) AS n_matched
+        |FROM p LEFT JOIN c ON c.user_id = p.user_id
+        |AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+        |GROUP BY p.user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val tmp = Tmp.dir("graft-sjrst")
+      try {
+        val src = tmp.resolve("src").toString
+        val out = tmp.resolve("out").toString
+        val ckpt = tmp.resolve("ckpt").toString
+        val ev = Tables(s, dir, "events").where(col("user_id") < 20)
+          .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+            col("event_type"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id").as("cu"), col("ts").as("cts"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("user_id").as("pu"), col("ts").as("pts"))
+        val mid = purchases.join(clicks,
+            col("cu") === col("pu") &&
+              col("cts") >= col("pts") - expr("INTERVAL 30 MINUTES") &&
+              col("cts") < col("pts"))
+          .agg(max(unix_millis(col("pts")))).first().getLong(0)
+        val maxMs = ev.agg(max(unix_millis(col("ts")))).first().getLong(0)
+        val stamped = scala.collection.mutable.Set.empty[String]
+        val t0 = System.currentTimeMillis()
+        def runInstance(): Unit = withShufflePartitions(s, 4) {
+          val stream = s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+          val joined = graft.streaming.EventStreams
+            .clickPurchaseLeftJoin(stream, 30)
+          val q = joined.writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        // phase A: one time-sorted file (the restart queries' watermark
+        // discipline); the straddle pair's click is buffered when the
+        // instance stops
+        ev.where(unix_millis(col("ts")) < mid)
+          .repartition(1).sortWithinPartitions("ts")
+          .write.mode("overwrite").parquet(src)
+        stampNewFiles(src, stamped, t0)
+        runInstance()
+        val aRows = s.read.parquet(out)
+          .where(col("p_type") === "purchase").count()
+        // second half + two flushing sentinels land while nothing runs
+        ev.where(unix_millis(col("ts")) >= mid)
+          .repartition(1).sortWithinPartitions("ts")
+          .write.mode("append").parquet(src)
+        stampNewFiles(src, stamped, t0 + 60000L)
+        import s.implicits._
+        def sentinel(offsetMs: Long, fileTs: Long): Unit = {
+          Seq((-1L, new java.sql.Timestamp(maxMs + offsetMs), "sentinel"))
+            .toDF("user_id", "ts", "event_type")
+            .coalesce(1).write.mode("append").parquet(src)
+          stampNewFiles(src, stamped, fileTs)
+        }
+        sentinel(10800000L, t0 + 120000L)
+        sentinel(21600000L, t0 + 180000L)
+        runInstance()
+        val all = s.read.parquet(out)
+          .where(col("p_type") === "purchase").localCheckpoint(true)
+        val bRows = all.count() - aRows
+        Gate.check(aRows >= 1 && bRows >= 1,
+          s"restart not exercised: phase A emitted $aRows, phase B $bRows")
+        val straddle = all.where(unix_millis(col("click_ts")) < mid &&
+          unix_millis(col("purchase_ts")) >= mid).count()
+        Gate.check(straddle >= 1,
+          "no matched pair crossed the restart: the reloaded click state " +
+            s"was not exercised (mid=$mid)")
+        all.groupBy(col("p_user").as("user_id"))
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("click_ts")).as("n_matched"))
           .orderBy("user_id")
       } finally deleteRecursively(tmp)
     },

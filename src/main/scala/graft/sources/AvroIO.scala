@@ -137,15 +137,23 @@ object AvroIO {
         avro.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
       else avro
     dt match {
-      case TimestampType =>
-        val ts = v.asInstanceOf[java.sql.Timestamp]
-        ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+      // Row externals for datetime depend on spark.sql.datetime.java8API
+      // .enabled (Timestamp/Date when off, Instant/LocalDate when on) —
+      // match both so the sink works under either session conf.
+      case TimestampType => v match {
+        case ts: java.sql.Timestamp =>
+          ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+        case inst: java.time.Instant =>
+          inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+      }
       case TimestampNTZType =>
         val ldt = v.asInstanceOf[java.time.LocalDateTime]
         val ep = ldt.toEpochSecond(java.time.ZoneOffset.UTC)
         ep * 1000000L + ldt.getNano / 1000L
-      case DateType =>
-        v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt
+      case DateType => v match {
+        case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+        case ld: java.time.LocalDate => ld.toEpochDay.toInt
+      }
       case ShortType => v.asInstanceOf[Short].toInt
       case ByteType => v.asInstanceOf[Byte].toInt
       case BinaryType => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
@@ -172,15 +180,21 @@ object AvroIO {
     rec
   }
 
-  private def fromAvroValue(v: Any, dt: DataType): Any = {
+  private def fromAvroValue(v: Any, dt: DataType, java8: Boolean): Any = {
     if (v == null) return null
     dt match {
       case StringType => v.toString // Utf8 -> String
       case TimestampType =>
         val micros = v.asInstanceOf[Long]
-        val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
-        ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
-        ts
+        if (java8)
+          java.time.Instant.ofEpochSecond(
+            Math.floorDiv(micros, 1000000L),
+            Math.floorMod(micros, 1000000L) * 1000L)
+        else {
+          val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+          ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+          ts
+        }
       case TimestampNTZType =>
         val micros = v.asInstanceOf[Long]
         java.time.LocalDateTime.ofEpochSecond(
@@ -188,7 +202,8 @@ object AvroIO {
           (Math.floorMod(micros, 1000000L) * 1000L).toInt,
           java.time.ZoneOffset.UTC)
       case DateType =>
-        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
+        val ld = java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong)
+        if (java8) ld else java.sql.Date.valueOf(ld)
       case BinaryType =>
         val bb = v.asInstanceOf[java.nio.ByteBuffer]
         val out = new Array[Byte](bb.remaining())
@@ -196,18 +211,19 @@ object AvroIO {
         out
       case ArrayType(et, _) =>
         v.asInstanceOf[java.util.Collection[Any]].asScala
-          .map(fromAvroValue(_, et)).toSeq
+          .map(fromAvroValue(_, et, java8)).toSeq
       case MapType(StringType, vt, _) =>
         v.asInstanceOf[java.util.Map[Any, Any]].asScala
-          .map { case (k, mv) => k.toString -> fromAvroValue(mv, vt) }.toMap
-      case st: StructType => recordToRow(v.asInstanceOf[GenericRecord], st)
+          .map { case (k, mv) => k.toString -> fromAvroValue(mv, vt, java8) }.toMap
+      case st: StructType => recordToRow(v.asInstanceOf[GenericRecord], st, java8)
       case _ => v
     }
   }
 
-  private def recordToRow(rec: GenericRecord, schema: StructType): Row =
+  private def recordToRow(rec: GenericRecord, schema: StructType,
+      java8: Boolean): Row =
     Row.fromSeq(schema.fields.indices.map(i =>
-      fromAvroValue(rec.get(i), schema(i).dataType)))
+      fromAvroValue(rec.get(i), schema(i).dataType, java8)))
 
   // ---- sink ----
 
@@ -259,6 +275,11 @@ object AvroIO {
   def read(spark: SparkSession, path: String): DataFrame = {
     val avroSchema = readFileSchema(spark, path)
     val sparkSchema = toSparkSchema(avroSchema)
+    // the Row->Catalyst converter expects Instant/LocalDate externals when
+    // the java8API conf is on — resolve it once driver-side and ship the
+    // flag in the closure so the emitted Rows match either way
+    val java8 = spark.conf
+      .getOption("spark.sql.datetime.java8API.enabled").exists(_.toBoolean)
     val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
     AvroJob.setInputKeySchema(job, avroSchema)
     val rdd = spark.sparkContext.newAPIHadoopFile(
@@ -268,7 +289,8 @@ object AvroIO {
       job.getConfiguration)
       // convert at pull time: the Hadoop reader reuses the key object, so
       // the datum must be deep-copied into a Row before the next record
-      .mapPartitions(_.map { case (k, _) => recordToRow(k.datum(), sparkSchema) })
+      .mapPartitions(_.map { case (k, _) =>
+        recordToRow(k.datum(), sparkSchema, java8) })
     spark.createDataFrame(rdd, sparkSchema)
   }
 }

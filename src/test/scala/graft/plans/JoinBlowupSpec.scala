@@ -27,6 +27,45 @@ class JoinBlowupSpec extends SparkSpec {
     assert(findings.head.maxInputRows <= 2000L)
   }
 
+  test("an explode-driven generator blowup is detected; shingle-scale explodes are not") {
+    // the identity-collapse failure mode: a generator that emits C(g,2)
+    // pairs per group row — here 200 rows each exploding into 100k
+    // elements = 20M rows at a 100000x per-row ratio, far past genFactor
+    val blown = spark.range(200)
+      .select(explode(sequence(lit(0), lit(99999))).as("v"))
+    val plan = execute(blown.select(count(lit(1))))
+    val findings = JoinBlowupListener.inspect(plan, 32, 10000000,
+      genFactor = 4096, genMinRows = 1000000)
+    assert(findings.nonEmpty, "20M-from-200 explode must be flagged")
+    assert(findings.head.kind === "generator")
+    assert(findings.head.outputRows === 20000000L)
+    // a legitimate corpus-shaped explode (hundreds of grams per doc) sits
+    // orders of magnitude under genFactor and is NOT flagged even with the
+    // row floor forced to 1
+    val grams = spark.range(5000)
+      .select(explode(sequence(lit(0), lit(499))).as("g"))
+    val gplan = execute(grams.select(count(lit(1))))
+    assert(JoinBlowupListener.inspect(gplan, 32, 10000000,
+      genFactor = 4096, genMinRows = 1).isEmpty,
+      "a 500x-per-doc shingle explode must stay under the generator threshold")
+  }
+
+  test("a union feeding a join contributes EVERY branch to the input estimate") {
+    // regression: inputRows used to collectFirst the first measuring
+    // child — a union's input was one branch's count, understating the
+    // denominator and manufacturing false blowups. 40k-row union joined
+    // to itself on a unique key outputs 40k rows: ratio 1, never a blowup.
+    val half = spark.range(20000).select(col("id").as("k"))
+    val both = half.unionByName(
+      spark.range(20000, 40000).select(col("id").as("k")))
+    val plan = execute(both.as("a").join(both.as("b"), "k").select(count(lit(1))))
+    // factor=1 is the discriminating setting: the true ratio is exactly 1
+    // (40000 > 1*40000 is false), while the old one-branch estimate read
+    // 40000 > 1*20000 and flagged a phantom blowup
+    assert(JoinBlowupListener.inspect(plan, factor = 1, minRows = 1).isEmpty,
+      "unique-key self-join over a union must read ratio ~1, not 2x")
+  }
+
   test("legitimate joins are not flagged at production thresholds") {
     val orders = graft.Tables(spark, sf001, "orders")
     val cust = graft.Tables(spark, sf001, "customer")

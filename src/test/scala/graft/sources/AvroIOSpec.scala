@@ -15,6 +15,31 @@ class AvroIOSpec extends SparkSpec {
   private def tmpDir(): String =
     java.nio.file.Files.createTempDirectory("graft-avro-spec").toString + "/t"
 
+  test("datetime roundtrip under spark.sql.datetime.java8API.enabled") {
+    // regression: Row externals become Instant/LocalDate under the java8
+    // conf; the converters used to hard-cast Timestamp/Date and threw
+    // ClassCastException at write time
+    spark.conf.set("spark.sql.datetime.java8API.enabled", "true")
+    try {
+      val schema = StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("ts", TimestampType, nullable = true),
+        StructField("dt", DateType, nullable = true)))
+      val rows = Seq(
+        Row(1L, java.time.Instant.parse("2024-02-29T12:34:56.123456Z"),
+          java.time.LocalDate.parse("2024-02-29")),
+        Row(2L, null, null))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+      val out = tmpDir()
+      AvroIO.write(df, out)
+      val got = AvroIO.read(spark, out).collect().sortBy(_.getLong(0))
+      assert(got(0).get(1) === rows(0).get(1))
+      assert(got(0).get(2) === rows(0).get(2))
+      assert(got(1).get(1) == null && got(1).get(2) == null)
+    } finally spark.conf.unset("spark.sql.datetime.java8API.enabled")
+  }
+
   test("full-width type roundtrip is bit-identical (schema included)") {
     val schema = StructType(Seq(
       StructField("id", LongType, nullable = false),
