@@ -264,13 +264,13 @@ object CorpusQueries {
           concat(col("text"), lit(" graftdup")).as("text"))
       def gstream(df: org.apache.spark.sql.DataFrame) = df.select(
         explode(graft_shingles(tokens(col("text")), 3)).as("g"))
-      // the tokenize+shingle explode is the dominant term and each stream
-      // feeds BOTH arms (sketch aggregate + exact distinct/join) — persist
-      // so the explode is paid once per stream, not once per consumer
+      // NOT persisted: caching the corpus-sized exploded gram stream costs
+      // more than re-running the tokenize+shingle explode (measured at
+      // 100x — MEMORY_AND_DISK materialization of 46M string rows lost to
+      // recompute); the scan-count fix is in the exact arm below, which
+      // pays ONE distinct-shuffle instead of two distincts + a join
       val corpusG = gstream(docs.unionByName(injected))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val refsG = gstream(docs.where(col("doc_id") < 50))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // negative control: injective vocab remap => disjoint shingles
       val controlG = gstream(docs.where(col("doc_id") < 50)
         .select(col("doc_id"), concat_ws(" ",
@@ -282,10 +282,18 @@ object CorpusQueries {
         .select(graft_kmv_overlap(col("skc"), col("skr")).as("leak"),
           graft_kmv_overlap(col("skc"), col("skx")).as("ctrl"))
         .first()
-      val cset = corpusG.distinct()
-      val rset = refsG.distinct()
-      val (nC, nR) = (cset.count(), rset.count())
-      val nShared = cset.join(rset, "g").count()
+      // exact attestation in ONE gram-keyed exchange: tag each stream,
+      // OR the flags per distinct gram (map-side partial agg collapses
+      // duplicates before the shuffle), then three sums in one scalar
+      // aggregate — where two distinct()s + a join paid three corpus-sized
+      // shuffles, this pays one
+      val flags = corpusG.select(col("g"), lit(1).as("c"), lit(0).as("r"))
+        .unionByName(refsG.select(col("g"), lit(0).as("c"), lit(1).as("r")))
+        .groupBy("g").agg(max("c").as("c"), max("r").as("r"))
+      val tot = flags.agg(
+        sum("c").as("nc"), sum("r").as("nr"),
+        sum(col("c") * col("r")).as("ns")).first()
+      val (nC, nR, nShared) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
       val leak = sk.getAs[scala.collection.Seq[Double]]("leak")
       val ctrl = sk.getAs[scala.collection.Seq[Double]]("ctrl")
       def relOk(est: Double, exact: Long) =
@@ -296,8 +304,6 @@ object CorpusQueries {
         leak(2) <= 0.5 * nR,  // the leak decision must FIRE
         ctrl(2) >= 0.1 * nR   // the control must stay silent
       ).count(identity).toLong
-      corpusG.unpersist()
-      refsG.unpersist()
       import s.implicits._
       Seq((nC, nR, nShared, viols))
         .toDF("n_corpus", "n_refs", "n_shared", "n_viol")

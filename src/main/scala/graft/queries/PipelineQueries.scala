@@ -162,6 +162,10 @@ object PipelineQueries {
       Tables(s, dir, "events").where(col("user_id") < 35)
         .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
           col("event_type"), col("value")), src, sortTs = true)),
+    "x_stream_join_restart" -> (src => timeSplitFixture(
+      Tables(s, dir, "events").where(col("user_id") < 20)
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+          col("event_type")), src, sortTs = true)),
     "x_stream_kmv" -> (src => {
       twoFileStreamFixture(
         Tables(s, dir, "events").select(col("ts"), col("user_id")),
