@@ -78,7 +78,11 @@ object ScaleCheck {
     // ids (sketch build = corpus scan), and the sketch-then-exact
     // contamination triage (corpus shingle scan + two KB sketches +
     // the exact distinct-shingle counts its oracle pins)
-    "x_span_maximal", "x_kmv_overlap", "x_contamination_triage")
+    "x_span_maximal", "x_kmv_overlap", "x_contamination_triage",
+    // r12: d=3 grid skyline over documents — quantile grid + driver
+    // cell-dominance DP + per-cell local fronts; the curve should track
+    // the corpus scan (the front union is output-bound)
+    "x_pareto_curation")
 
   /** Streaming-path members (r6 judge #5): real foreachBatch sinks over the
     * replicated corpus. Caveat on reading their ratios: each query's timed
@@ -732,7 +736,10 @@ object ScaleCheck {
       require(factor % 100 == 0 && factor <= 10000,
         s"factor $factor: >100x runs must be a multiple of 100 up to 10000")
       val mid = s"${out}_mid100"
-      materialize(spark, src, mid, 100)
+      // corpusOnly on BOTH hops: the >100x run measures only the three
+      // corpus queries — replicating 2 GB of events/customer into the mid
+      // dir that the second hop never reads is pure waste (r11 advice)
+      materialize(spark, src, mid, 100, corpusOnly = true)
       materialize(spark, mid, out, factor / 100,
         idCap = graft.queries.PipelineQueries.BigOff, corpusOnly = true)
     } else materialize(spark, src, out, factor)

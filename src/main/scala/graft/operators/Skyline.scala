@@ -113,6 +113,12 @@ object Skyline {
     require(dims.size >= 2 && dims.size <= 6,
       s"skylineGrid supports 2-6 dims, got ${dims.size}")
     require(gridBits >= 1 && gridBits <= 4, s"gridBits $gridBits out of [1,4]")
+    // g^d bounds BOTH the driver's dominance-DP array and the broadcast
+    // alive-cell frame; 2^16 cells keeps each under a megabyte no matter
+    // how the (gridBits, d) budget is spent
+    require(gridBits * dims.size <= 16,
+      s"grid too fine: g^d = ${1L << (gridBits * dims.size)} cells " +
+        s"exceeds 65536 (need gridBits*dims <= 16)")
     val spark = df.sparkSession
     import spark.implicits._
     val g = 1 << gridBits
@@ -143,21 +149,42 @@ object Skyline {
       while (i < d) { out(i) = (c % g).toInt; c /= g; i += 1 }
       out
     }
-    // driver-side cell pruning over occupied-cell COUNTS (<= g^d entries)
+    // driver-side cell pruning over occupied-cell IDs (<= g^d entries).
+    // Cell A dies iff some occupied B sits strictly above it in EVERY dim
+    // (cb(k) >= ca(k)+1 ∀k) — i.e. iff the occupied set intersects the
+    // closed upper-corner region at ca+1. Computed exactly with a
+    // suffix-OR sum-over-supersets DP: one in-place high-to-low pass per
+    // dim turns "occupied at c" into "occupied anywhere >= c", O(g^d * d)
+    // total — never the O(occupied^2) pairwise scan, which at the g^d cap
+    // could be 4B driver comparisons.
     val occupied = withCell.groupBy("sk_cell").count()
       .collect().map(r => r.getLong(0)).toSeq
-    val coords = occupied.map(c => c -> unpack(c)).toMap
-    val alive = occupied.filter { a =>
-      val ca = coords(a)
-      !occupied.exists { b =>
-        b != a && {
-          val cb = coords(b)
-          (0 until d).forall(k => cb(k) >= ca(k) + 1)
-        }
+    val nCells = 1 << (gridBits * d)
+    val suffix = new Array[Boolean](nCells)
+    occupied.foreach(c => suffix(c.toInt) = true)
+    var k = 0
+    var stride = 1
+    while (k < d) {
+      var c = nCells - 1 - stride
+      while (c >= 0) {
+        if ((c / stride) % g != g - 1) suffix(c) |= suffix(c + stride)
+        c -= 1
       }
+      stride *= g
+      k += 1
+    }
+    // pack(ca + 1) = a + sum_k g^k when every coord has headroom
+    val cornerOff = (nCells - 1) / (g - 1)
+    val alive = occupied.filter { a =>
+      val ca = unpack(a)
+      !((0 until d).forall(i => ca(i) < g - 1) && suffix(a.toInt + cornerOff))
     }
     val pruned = occupied.size - alive.size
-    val survivors = withCell.where(col("sk_cell").isin(alive: _*))
+    // broadcast semi-join, not isin: an In over thousands of literals is
+    // a giant non-codegen predicate; a broadcast hash semi-join on the
+    // cell id stays inside whole-stage codegen
+    val aliveDf = alive.toDF("sk_cell")
+    val survivors = withCell.join(broadcast(aliveDf), Seq("sk_cell"), "left_semi")
     // local fronts: one hash exchange on the cell, d0-descending scan per
     // cell holding only the front-so-far (a later row can invalidate a
     // buffered one only on d0 ties, so the buffer prunes both ways)

@@ -309,6 +309,51 @@ object CorpusQueries {
         .toDF("n_corpus", "n_refs", "n_shared", "n_viol")
     },
 
+    // Pareto curation shortlist (d=3 skyline, maximize all): the documents
+    // no other document beats-or-ties on EVERY axis and strictly beats on
+    // one — quality (alpha-character fraction), novelty (distinct-token
+    // fraction), recency (ingest order; doc_id IS the ingest sequence —
+    // documents carries no timestamp column). The multi-criteria "which
+    // docs are not strictly obsoleted" curation cut. The 2D prefix-min
+    // decomposition (x_skyline) does not generalize past two dims, so this
+    // exercises operators.Skyline.skylineGrid: quantile grid + driver
+    // cell-dominance pruning over cell IDs (suffix-OR DP, never rows) +
+    // per-cell local fronts in one exchange + an output-bound broadcast
+    // anti-join verify. The oracle is the brute-force NOT EXISTS dominance
+    // statement — O(n^2) is fine at oracle SF, and stating it that way is
+    // the point: the grid must agree with the definition, not with a
+    // parallel reimplementation of itself. Dims are rounded to 4dp in
+    // BOTH engines BEFORE dominance so the predicate sees bit-identical
+    // values.
+    Q("x_pareto_curation",
+      """WITH pts AS (
+        |  SELECT doc_id,
+        |    round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        |      / n_chars, 4) AS quality,
+        |    round(CAST(length(list_distinct(str_split_regex(trim(text), '\s+'))) AS DOUBLE)
+        |      / length(str_split_regex(trim(text), '\s+')), 4) AS novelty,
+        |    CAST(doc_id AS DOUBLE) AS recency
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, quality, novelty, recency FROM pts a
+        |WHERE NOT EXISTS (SELECT 1 FROM pts b
+        |  WHERE b.quality >= a.quality AND b.novelty >= a.novelty
+        |    AND b.recency >= a.recency
+        |    AND (b.quality > a.quality OR b.novelty > a.novelty
+        |      OR b.recency > a.recency))
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = split(trim(col("text")), "\\s+")
+      val pts = Tables(s, dir, "documents").where(col("n_chars") > 0)
+        .select(col("doc_id"),
+          round(length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+            .cast("double") / col("n_chars"), 4).as("quality"),
+          round(size(array_distinct(toks)).cast("double") / size(toks), 4)
+            .as("novelty"),
+          col("doc_id").cast("double").as("recency"))
+      graft.operators.Skyline.skylineGrid(pts, "doc_id",
+          Seq("quality", "novelty", "recency"), gridBits = 3)
+        .orderBy("doc_id")
+    },
+
     // MAXIMAL duplicated spans per document — the span machinery's
     // third view (x_span_dedup: corpus totals; x_novelty: per-doc dup
     // share; this: per-doc SPAN EXTENTS — where the duplication sits and

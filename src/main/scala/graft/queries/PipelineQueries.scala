@@ -4429,11 +4429,20 @@ object PipelineQueries {
           .select(col("user_id").as("cu"), col("ts").as("cts"))
         val purchases = ev.where(col("event_type") === "purchase")
           .select(col("user_id").as("pu"), col("ts").as("pts"))
-        val mid = purchases.join(clicks,
+        // read the max as an Option: an absent strictly-ordered matched
+        // pair at some future SF/filter must surface as a diagnosable
+        // fixture-precondition failure, not an opaque NPE off a null
+        // aggregate (r11 advice)
+        val midRow = purchases.join(clicks,
             col("cu") === col("pu") &&
               col("cts") >= col("pts") - expr("INTERVAL 30 MINUTES") &&
               col("cts") < col("pts"))
-          .agg(max(unix_millis(col("pts")))).first().getLong(0)
+          .agg(max(unix_millis(col("pts")))).first()
+        Gate.check(!midRow.isNullAt(0),
+          "fixture precondition failed: no click strictly before a " +
+            "purchase within 30min for any user_id < 20 — the straddle " +
+            "phase boundary cannot be placed at this SF/filter")
+        val mid = midRow.getLong(0)
         val maxMs = ev.agg(max(unix_millis(col("ts")))).first().getLong(0)
         val stamped = scala.collection.mutable.Set.empty[String]
         val t0 = System.currentTimeMillis()

@@ -204,6 +204,18 @@ class BenchLineSpec extends AnyFunSuite {
     }
   }
 
+  test("pass walls ride the parsed line; absent when not provided") {
+    val results = (1 to 30).map(i => s"q$i" -> 0.5)
+    val node = parse(Bench.officialLine(results, "/x", wall = Some(46.1),
+      workers = 8, wallPasses = Some((46.1, 52.3))))
+    assert(node.get("wall_pass1").asDouble() == 46.1)
+    assert(node.get("wall_pass2").asDouble() == 52.3)
+    // value stays the min of the two passes, provided separately as wall
+    assert(node.get("value").asDouble() == 46.1)
+    val without = parse(Bench.officialLine(results, "/x"))
+    assert(without.get("wall_pass1") == null)
+  }
+
   test("formatting is locale-independent") {
     val prev = java.util.Locale.getDefault
     try {

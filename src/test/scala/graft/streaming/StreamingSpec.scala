@@ -321,4 +321,54 @@ class StreamingSpec extends SparkSpec {
         |GROUP BY user_id""".stripMargin)
     assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty)
   }
+
+  test("torn checkpoint fails LOUDLY on restart — no silent duplicates") {
+    // The restart matrix (agg/dedup/sessionize/interval-join) all reload
+    // HEALTHY checkpoints. This pins the damaged case: delete the LATEST
+    // offsets file while keeping its commit — the torn state a partial
+    // rmdir or non-atomic copy leaves behind. The exactly-once claim is
+    // only as strong as the failure mode here: a restart that silently
+    // re-planned from the stale offset would re-emit batch data into a
+    // sink whose manifest no longer matches. Spark's offset-log write
+    // collides with the surviving commit and the query must DIE
+    // (STREAM_FAILED / CONCURRENT_STREAM_LOG_UPDATE on 4.x), leaving the
+    // sink byte-identical to its pre-damage state.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-torn")
+    val src = tmp.resolve("src"); val out = tmp.resolve("out")
+    val ckpt = tmp.resolve("ckpt")
+    java.nio.file.Files.createDirectories(src)
+    def feed(ids: Range): Unit =
+      ids.map(i => (i.toLong, s"e$i")).toDF("event_id", "v")
+        .coalesce(1).write.mode("append").parquet(src.toString)
+    def runInstance(): Unit = {
+      val st = spark.readStream.schema("event_id LONG, v STRING")
+        .option("maxFilesPerTrigger", 1).parquet(src.toString)
+      val q = st.dropDuplicates("event_id").writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // two healthy batches so the torn state sits BEHIND a committed batch
+    feed(0 until 10); runInstance()
+    feed(10 until 20); runInstance()
+    val before = spark.read.parquet(out.toString).count()
+    assert(before == 20L)
+    val offsetFiles = ckpt.resolve("offsets").toFile.listFiles()
+      .filter(_.getName.forall(_.isDigit))
+    assert(offsetFiles.length >= 2, "fixture: need >= 2 committed batches")
+    assert(offsetFiles.maxBy(_.getName.toInt).delete())
+    feed(20 until 30)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runInstance()
+    }
+    // pin the loud failure class, not the message prose: the condition
+    // name is the stable API (SPARK-level error class)
+    assert(ex.getMessage.contains("CONCURRENT_STREAM_LOG_UPDATE") ||
+      ex.getMessage.contains("STREAM_FAILED"),
+      s"unexpected failure mode: ${ex.getMessage.take(200)}")
+    // and the sink did not move: zero rows emitted by the failed instance
+    assert(spark.read.parquet(out.toString).count() == before,
+      "torn-checkpoint restart emitted rows before dying")
+  }
 }
