@@ -593,6 +593,10 @@ object ScaleCheck {
       "cells min-merged across same-HEAD full-suite passes (ratios from " +
       "merged mins); structure-preserving replication (ScaleCheck.scala " +
       "scaladoc)")
+    if (factor > 100)
+      meta.put("codec_gt100x", "zstd-3/256k shuffle codec for >100x runs " +
+        "(both scales in-run, ratio internally consistent) — lz4 shuffle " +
+        "of the 1000x gram exchange overran this box's ~79 GB free disk")
     // Box-calibration constants at generation time (r9 verdict #4):
     // ratios are box-invariant within a run, but cross-round comparisons
     // of ABSOLUTE cells need the same divisor warm_norm uses — divide a
@@ -717,6 +721,17 @@ object ScaleCheck {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // >100x only: a single gram-keyed exchange at 1000x writes 460M
+      // hash-shuffled strings — under lz4 that overran this box's ~79 GB
+      // free (observed ENOSPC); zstd-3 at a 256 KB window is the knob a
+      // real 100 TB deployment runs for exactly this reason (shuffle is
+      // IO-bound text, CPU is spare). Applied to the WHOLE run so the
+      // base and big cells share a codec and the ratio stays internally
+      // consistent; ≤100x keeps lz4 so those cells remain comparable to
+      // earlier rounds' tables.
+      .config("spark.io.compression.codec", if (factor > 100) "zstd" else "lz4")
+      .config("spark.io.compression.zstd.level", "3")
+      .config("spark.io.compression.zstd.bufferSize", "256k")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -775,6 +790,21 @@ object ScaleCheck {
     // >100x corpora exist only for the BigOff-fixture queries (see above)
     val toRun = if (factor > 100) toRun0.filter(bigOffSafe) else toRun0
     require(toRun.nonEmpty, "no queries to run at this factor")
+    // Past 100x a single query's shuffle files run to tens of GB, and
+    // Spark's ContextCleaner only unlinks a finished query's shuffles once
+    // a JVM GC collects the dropped ShuffleDependency refs — three 1000x
+    // queries back-to-back therefore ACCUMULATE their shuffle dirs and can
+    // fill the disk even though each alone fits (observed: ENOSPC at 79 GB
+    // free with x_jaccard_join+x_cross_dedup+x_knn_join at 1000x). Force
+    // the collection between big runs and give the cleaner's async unlink
+    // a beat; log headroom so a future ENOSPC is attributable from the log.
+    def reclaimShuffles(): Unit = {
+      System.gc()
+      Thread.sleep(3000)
+      val freeGb = new java.io.File(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")).getUsableSpace / 1e9
+      println(f"SCALECHECK disk headroom $freeGb%.0f GB")
+    }
     val rows = toRun.map { name =>
       // two runs per scale, keep the min: strips JIT/first-plan noise so
       // the ratio reflects the plan, not compilation luck. Past 100x a
@@ -783,6 +813,7 @@ object ScaleCheck {
       val base = math.min(run1(name, src), run1(name, src))
       val big = if (factor > 100) run1(name, out)
         else math.min(run1(name, out), run1(name, out))
+      if (factor > 100) reclaimShuffles()
       val ratio = big / math.max(base, 1e-9)
       println(f"| $name | $base%.2f | $big%.2f | $ratio%.1fx |")
       (name, base, big, ratio)
@@ -793,6 +824,7 @@ object ScaleCheck {
     // after every timing so they never pollute the measured runs
     val basePairs = pairCounts(spark, src, toRun.contains)
     val bigPairs = pairCounts(spark, out, toRun.contains)
+    if (factor > 100) reclaimShuffles()
     // fixture decomposition for the streaming family: time the source
     // fixture write alone (strictly linear in data) at each scale, so the
     // artifact separates the fixture share from the micro-batch machinery
@@ -824,8 +856,16 @@ object ScaleCheck {
       setJoinStages(spark, src)) ++ ifRun("x_knn_join")(knnStages(spark, src)) ++
       ifRun("x_embed_dedup")(embedDedupStages(spark, src)) ++
       ifRun("x_contamination_triage")(triageStages(spark, src))
-    val bigStages = ifRun("x_jaccard_join", "x_cross_dedup")(
-      setJoinStages(spark, out)) ++ ifRun("x_knn_join")(knnStages(spark, out)) ++
+    // same shuffle-accumulation hazard as the timed loop: each >100x stage
+    // family re-runs a tens-of-GB shuffle, so reclaim between families
+    def reclaimed[A](body: => Seq[A]): Seq[A] = {
+      val r = body
+      if (factor > 100) reclaimShuffles()
+      r
+    }
+    val bigStages = reclaimed(ifRun("x_jaccard_join", "x_cross_dedup")(
+      setJoinStages(spark, out))) ++
+      reclaimed(ifRun("x_knn_join")(knnStages(spark, out))) ++
       ifRun("x_embed_dedup")(embedDedupStages(spark, out)) ++
       ifRun("x_contamination_triage")(triageStages(spark, out))
     val baseCounts = ifRun("x_novelty", "x_triangles")(growthCounts(spark, src))
