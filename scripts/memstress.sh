@@ -38,7 +38,10 @@ meta = root.setdefault('_meta', {})
 meta['protocol'] = ('one query per JVM at SPARK_DRIVER_MEM heap, production '
     'knobs (local[32], shuffle.partitions=32), 100x structure-preserving '
     'corpus; outcome=ok requires a clean end-to-end collect(); spill cells '
-    'are summed task memory/diskBytesSpilled; jvm_dead = uncatchable OOM')
+    'are summed task memory/diskBytesSpilled; jvm_dead = uncatchable OOM. '
+    'Sessions apply graft.plans.MemoryDiscipline: under 512 MiB heap/core '
+    'the spill-reader read-ahead is disabled (its unaccounted 2x1MiB '
+    'buffers were the observed OOM site at 3g/32 cores)')
 meta['corpus_dir'] = d
 for p in sorted(glob.glob(f'{tmp}/*.line')):
     with open(p) as f:

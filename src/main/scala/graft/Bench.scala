@@ -249,7 +249,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // spill-safety knobs when heap-per-core is small (see MemoryDiscipline)
+    val spark = graft.plans.MemoryDiscipline.spillSafe(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
@@ -261,7 +262,7 @@ object Bench {
       // benched plans run under the same scale-killer linter as Verify
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.queryExecutionListeners",
-        "graft.plans.JoinBlowupListener")
+        "graft.plans.JoinBlowupListener"), cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: absorb JVM/codegen/scheduler startup AND first-touch

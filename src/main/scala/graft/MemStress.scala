@@ -32,18 +32,19 @@ object MemStress {
     require(args.length >= 2, "usage: MemStress <sfDir> <queryName>")
     val (sfDir, name) = (args(0), args(1))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // production knobs, NOT stress-special ones: the point is that the
+    // shipped partitioning spills gracefully, not that a tuned-down
+    // configuration can be made to fit. MemoryDiscipline IS a production
+    // knob — it keys on heap-per-core, the same rule an executor ships.
+    val spark = graft.plans.MemoryDiscipline.spillSafe(SparkSession.builder()
       .master(s"local[$cpus]")
-      // production knobs, NOT stress-special ones: the point is that the
-      // shipped partitioning spills gracefully, not that a tuned-down
-      // configuration can be made to fit
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.queryExecutionListeners",
-        "graft.plans.JoinBlowupListener")
+        "graft.plans.JoinBlowupListener"), cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val spillMem = new java.util.concurrent.atomic.AtomicLong()

@@ -718,7 +718,8 @@ object ScaleCheck {
     val out = args.lift(1).getOrElse("/tmp/graft_sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // spill-safety knobs when heap-per-core is small (see MemoryDiscipline)
+    val spark = graft.plans.MemoryDiscipline.spillSafe(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // >100x only: a single gram-keyed exchange at 1000x writes 460M
@@ -737,7 +738,7 @@ object ScaleCheck {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.queryExecutionListeners",
-        "graft.plans.JoinBlowupListener")
+        "graft.plans.JoinBlowupListener"), cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Factors past 100 overflow the 1e6 fixture-offset headroom most

@@ -11,7 +11,8 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // spill-safety knobs when heap-per-core is small (see MemoryDiscipline)
+    val spark = graft.plans.MemoryDiscipline.spillSafe(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -20,7 +21,7 @@ object Verify {
       // the full query suite runs under the scale-killer plan linter
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.queryExecutionListeners",
-        "graft.plans.JoinBlowupListener")
+        "graft.plans.JoinBlowupListener"), cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
