@@ -546,6 +546,39 @@ object PipelineQueries {
       }
     },
 
+    // Leakage-safe train/val/test split — near-dup clusters are the unit
+    // of assignment (a pair straddling splits leaks paraphrases into the
+    // held-out set). Runs the REAL distributed path (chain-decade edges ->
+    // large-star/small-star CC -> per-CLUSTER md5-hex bucketing at
+    // 80/10/10) while the closed-form clusters make every output row
+    // SQL-derivable: both engines compute the identical md5 of the
+    // identical salt||cluster bytes and compare the same 4 lowercase hex
+    // chars against the same thresholds (0.8*16^4 = 0xcccc, 0.9*16^4 =
+    // 0xe666) — a full row-level oracle over the assignment itself,
+    // including group atomicity (the oracle's split is a function of
+    // cluster alone, so a straddling cluster is a hash mismatch).
+    Q("x_leakage_split",
+      """SELECT doc_id AS id, doc_id - doc_id % 10 AS cluster,
+        |CASE WHEN substring(md5('graft' ||
+        |    CAST(doc_id - doc_id % 10 AS VARCHAR)), 1, 4) < 'cccc'
+        |  THEN 'train'
+        |WHEN substring(md5('graft' ||
+        |    CAST(doc_id - doc_id % 10 AS VARCHAR)), 1, 4) < 'e666'
+        |  THEN 'val'
+        |ELSE 'test' END AS split
+        |FROM documents ORDER BY id""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir, "documents").select("doc_id")
+      val maxId = d.agg(max("doc_id")).first().getLong(0)
+      withShufflePartitions(s, 8) {
+        val edges = d.where(pmod(col("doc_id"), lit(10)) =!= 9 &&
+            col("doc_id") < maxId)
+          .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+        graft.operators.LeakageSplit.assign(d, "doc_id", edges, "a", "b",
+            salt = "graft")
+          .orderBy("id")
+      }
+    },
+
     // Pairs -> clusters -> representatives: the full dedup pipeline. Chains
     // of near-copies (src ~ copy1 ~ copy2, one more token per hop) are
     // injected; transitive clustering must put all three in ONE cluster even
