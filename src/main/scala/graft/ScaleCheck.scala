@@ -82,7 +82,12 @@ object ScaleCheck {
     // r12: d=3 grid skyline over documents — quantile grid + driver
     // cell-dominance DP + per-cell local fronts; the curve should track
     // the corpus scan (the front union is output-bound)
-    "x_pareto_curation")
+    "x_pareto_curation",
+    // r12: cross-doc boilerplate paragraph removal — one para-keyed df
+    // exchange + AQE-broadcast anti-join + doc-keyed reassembly; the
+    // curve should track the exploded paragraph stream (the boilerplate
+    // set is cardinality-bounded at <= occurrences/maxDf)
+    "x_boilerplate_removal")
 
   /** Streaming-path members (r6 judge #5): real foreachBatch sinks over the
     * replicated corpus. Caveat on reading their ratios: each query's timed
@@ -99,7 +104,7 @@ object ScaleCheck {
   private val Streaming = Seq("x_stream_index_probe", "x_stream_upsert",
     "x_stream_window", "x_stream_join_outer", "x_stream_join_full",
     "x_stream_restart_agg", "x_stream_sessionize_restart", "x_stream_kmv",
-    "x_stream_join_restart")
+    "x_stream_join_restart", "x_stream_dedup_rocksdb")
 
   /** Candidate-pair counts per scale for the two LSH-pair queries (r7 judge
     * #6): the scale axis for this family is the pair count, not the join

@@ -85,6 +85,42 @@ object PipelineQueries {
     math.max(1, math.max(gen1, gen2))
   }
 
+  /** Time-ordered stream-source fixture as RANGE-partitioned sorted shards:
+    * shard k+1's minimum ts >= shard k's maximum ts (repartitionByRange),
+    * each shard internally sorted, and mtimes stamped in range order so the
+    * file source ingests them oldest-first — the watermark then only ever
+    * advances at shard boundaries and no row arrives behind it. Shard count
+    * scales with the corpus (a single sorted file serializes the sort onto
+    * one core at replicated corpora; 16 shards bound the micro-batch count
+    * the consuming stream pays). Part-file NAME order is range-partition
+    * order (the 5-digit task index), so stamping sorted-by-name is
+    * stamping sorted-by-time. Registers the files in `seen` so later
+    * appends can stamp only their own.
+    */
+  /** Shard-count rule shared by the fixture writer and its consumers (the
+    * consuming stream sizes maxFilesPerTrigger and shuffle partitions off
+    * the same number).
+    */
+  private[graft] def timeShardCount(rows: Long): Int =
+    math.max(2L, math.min(16L, rows / 250000L)).toInt
+
+  private[graft] def writeTimeSortedShards(df: org.apache.spark.sql.DataFrame,
+      src: String, rows: Long, epochBase: Long,
+      seen: scala.collection.mutable.Set[String] =
+        scala.collection.mutable.Set.empty[String]): Unit = {
+    val shards = timeShardCount(rows)
+    df.repartitionByRange(shards, col("ts")).sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(src)
+    new java.io.File(src).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+      .sortBy(_.getName).zipWithIndex
+      .foreach { case (f, i) =>
+        seen.add(f.getName)
+        java.nio.file.Files.setLastModifiedTime(f.toPath,
+          java.nio.file.attribute.FileTime.fromMillis(epochBase + i * 1000L))
+      }
+  }
+
   /** x_stream_upsert's source projection (shared with the ScaleCheck
     * fixture decomposition so both write identical bytes).
     */
@@ -114,6 +150,12 @@ object PipelineQueries {
       twoFileStreamFixture(
         Tables(s, dir, "embeddings"), pmod(col("vec_id"), lit(2)) === 0, src)
       ()
+    }),
+    "x_stream_dedup_rocksdb" -> (src => {
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+          col("event_type"))
+      writeTimeSortedShards(ev, src, ev.count(), System.currentTimeMillis())
     }),
     "x_media_dedup" -> (_ => {
       import s.implicits._
@@ -310,6 +352,54 @@ object PipelineQueries {
         |(SELECT min(doc_id) FROM documents GROUP BY md5(lower(text))) t""".stripMargin) { (s, dir) =>
       val deduped = Dedup.exact(Tables(s, dir, "documents"), "doc_id", "text")
       deduped.agg(count(lit(1)).as("n_survivors"))
+    },
+
+    // Cross-document BOILERPLATE paragraph removal — the CCNet/RefinedWeb
+    // corpus-cleaning pass between exact dedup (whole document) and
+    // near-dup: paragraphs recurring across more than 10% of documents
+    // (headers/footers/banners) are template noise; strip the PARAGRAPH,
+    // keep the document, reassemble in original order. The fixture
+    // injects two boilerplate paragraphs (a footer on every 3rd doc, a
+    // header on every 5th) into the REAL documents — plain SQL, so the
+    // oracle recomputes the whole rewritten corpus text-for-text: the
+    // df threshold, the removal, the order-preserving reassembly, and
+    // the docs-that-lost-nothing all pin exactly. The 10% threshold is
+    // corpus-relative (count/10), so the contract is scale-invariant
+    // under ScaleCheck replication.
+    Q("x_boilerplate_removal",
+      """WITH injected AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'copyright example corp all rights reserved'
+        |    || chr(10) || chr(10) ELSE '' END || text ||
+        |  CASE WHEN doc_id % 3 = 0 THEN chr(10) || chr(10) ||
+        |    'subscribe to our newsletter for weekly updates' ELSE '' END AS text
+        |  FROM documents),
+        |paras AS (SELECT doc_id,
+        |  unnest(string_split(text, chr(10)||chr(10))) AS para,
+        |  unnest(generate_series(1, len(string_split(text, chr(10)||chr(10))))) AS idx
+        |  FROM injected),
+        |bp AS (SELECT para FROM paras GROUP BY para
+        |  HAVING count(DISTINCT doc_id) > (SELECT count(*)//10 FROM documents)),
+        |kept AS (SELECT p.doc_id, p.para, p.idx FROM paras p
+        |  LEFT JOIN bp ON p.para = bp.para WHERE bp.para IS NULL),
+        |rebuilt AS (SELECT doc_id, string_agg(para, chr(10)||chr(10) ORDER BY idx) AS text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.text, '') AS text
+        |FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val maxDf = docs.count() / 10
+      val injected = docs.select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 5 === 0,
+            lit("copyright example corp all rights reserved\n\n"))
+            .otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit("\n\nsubscribe to our newsletter for weekly updates"))
+            .otherwise(lit(""))).as("text"))
+      graft.operators.Boilerplate
+        .removeParagraphs(par(injected), "doc_id", "text", maxDf)
+        .orderBy("doc_id")
     },
 
     // MinHash+LSH near-dup. NEAR-copies (one token appended => jaccard
@@ -3252,6 +3342,106 @@ object PipelineQueries {
         // the memory sink holds the rows — the files can go as soon as the
         // result aggregate is computed over the in-memory table
         s.table(qname).groupBy("event_type").agg(count(lit(1)).as("n_unique"))
+          .orderBy("event_type").localCheckpoint(true)
+      } finally deleteRecursively(tmp)
+    },
+
+    // Streaming keyed dedup on the RocksDB state-store backend, across a
+    // RESTART — the state-capacity path a 100 TB deployment actually runs.
+    // The default heap-backed provider bounds total streaming state by
+    // executor heap; RocksDB bounds it by local DISK (native memory + SST
+    // files, changelog checkpointing ships per-batch deltas). Same
+    // dropDuplicatesWithinWatermark operator as x_stream_dedup, but (a)
+    // state lives in RocksDB, (b) the stream is KILLED after ingesting the
+    // whole corpus and a second instance resumes from the checkpoint —
+    // phase B replays duplicates of the most-recent corpus slice, which sit
+    // ABOVE the reloaded watermark (not late-filterable): only the state
+    // reloaded through RocksDB's snapshot+changelog lifecycle can drop
+    // them, and the phase-B gate pins that exactly the one fresh sentinel
+    // row came through. Engagement is attested from the query's own
+    // rocksdb* state metrics — a silently-ignored provider conf would run
+    // the heap store and fail the gate, not silently pass. STRESSCHECK
+    // carries this query's heap-vs-rocksdb counterfactual at small heap
+    // (GRAFT_STATE_PROVIDER=hdfs flips the backend for that measurement).
+    Q("x_stream_dedup_rocksdb",
+      """SELECT event_type, count(DISTINCT event_id) AS n_unique FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      import graft.streaming.StateBackend
+      val provider = sys.env.getOrElse("GRAFT_STATE_PROVIDER", "rocksdb") match {
+        case "hdfs" => StateBackend.HeapBacked
+        case _ => StateBackend.RocksDb
+      }
+      val tmp = Tmp.dir("graft-sdrocks")
+      try {
+        val src = tmp.resolve("src").toString
+        val out = tmp.resolve("out").toString
+        val ckpt = tmp.resolve("ckpt").toString
+        val ev = Tables(s, dir, "events")
+          .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+            col("event_type"))
+        val stats = ev.agg(max(unix_millis(col("ts"))),
+          countDistinct(col("event_id"))).first()
+        val (maxMs, nUnique) = (stats.getLong(0), stats.getLong(1))
+        val stamped = scala.collection.mutable.Set.empty[String]
+        val t0 = System.currentTimeMillis()
+        // batch/parallelism geometry scales with the corpus (the other
+        // stream queries pin tiny user_id<N populations; this one streams
+        // the WHOLE events table so the state stays stress-sized): ~4
+        // micro-batches regardless of scale, one state-store instance per
+        // core once the corpus is big enough to use them
+        val shards = timeShardCount(nUnique)
+        def runInstance(): Unit = withShufflePartitions(s,
+          math.min(32, shards * 2)) {
+          StateBackend.withProvider(s, provider) {
+            val stream = s.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", math.max(1, shards / 4)).parquet(src)
+            val q = stream.withWatermark("ts", "60 minutes")
+              .dropDuplicatesWithinWatermark("event_id")
+              .writeStream.format("parquet").option("path", out)
+              .option("checkpointLocation", ckpt)
+              .outputMode("append").start()
+            try {
+              q.processAllAvailable()
+              Gate.check(provider != StateBackend.RocksDb ||
+                StateBackend.rocksDbEngaged(q),
+                "RocksDB provider configured but no rocksdb state metrics " +
+                  "reported — the heap provider ran instead")
+            } finally q.stop()
+          }
+        }
+        // phase A: the whole corpus as RANGE-partitioned time-sorted shards
+        // (the dedup operator late-filters rows behind the watermark, so
+        // arrival order must follow event time — but a single sorted file
+        // serializes a 10M-row sort onto one core at the 100x corpus, and
+        // was the dominant term of this row's first 13.3x ScaleCheck
+        // ratio). Range shard k+1's min ts >= shard k's max ts, and the
+        // watermark only advances at batch boundaries, so per-shard
+        // ingestion stays late-row-free at any corpus order. Every
+        // event_id is first-seen here.
+        writeTimeSortedShards(ev, src, nUnique, t0, stamped)
+        runInstance()
+        val aRows = s.read.parquet(out).count()
+        Gate.check(aRows == nUnique,
+          s"phase A emitted $aRows of $nUnique unique events")
+        // phase B, after the kill: duplicates of the last-30-minutes slice
+        // (>= reloaded watermark maxTs-60min, so NOT late — droppable only
+        // via reloaded state) + one genuinely fresh sentinel row
+        import s.implicits._
+        ev.where(unix_millis(col("ts")) >= maxMs - 1800000L)
+          .unionByName(Seq((-1L,
+            new java.sql.Timestamp(maxMs + 7200000L), "sentinel"))
+            .toDF("event_id", "ts", "event_type"))
+          .repartition(1).sortWithinPartitions("ts")
+          .write.mode("append").parquet(src)
+        stampNewFiles(src, stamped, t0 + 60000L)
+        runInstance()
+        val all = s.read.parquet(out)
+        val bRows = all.count() - aRows
+        Gate.check(bRows == 1L,
+          s"phase B emitted $bRows rows, expected exactly the sentinel — " +
+            "in-horizon duplicates were not dropped by reloaded state")
+        all.where(col("event_type") =!= "sentinel")
+          .groupBy("event_type").agg(count(lit(1)).as("n_unique"))
           .orderBy("event_type").localCheckpoint(true)
       } finally deleteRecursively(tmp)
     },
