@@ -85,6 +85,13 @@ object PipelineQueries {
     math.max(1, math.max(gen1, gen2))
   }
 
+  /** Shard-count rule shared by the fixture writer and its consumers (the
+    * consuming stream sizes maxFilesPerTrigger and shuffle partitions off
+    * the same number).
+    */
+  private[graft] def timeShardCount(rows: Long): Int =
+    math.max(2L, math.min(16L, rows / 250000L)).toInt
+
   /** Time-ordered stream-source fixture as RANGE-partitioned sorted shards:
     * shard k+1's minimum ts >= shard k's maximum ts (repartitionByRange),
     * each shard internally sorted, and mtimes stamped in range order so the
@@ -97,13 +104,6 @@ object PipelineQueries {
     * stamping sorted-by-time. Registers the files in `seen` so later
     * appends can stamp only their own.
     */
-  /** Shard-count rule shared by the fixture writer and its consumers (the
-    * consuming stream sizes maxFilesPerTrigger and shuffle partitions off
-    * the same number).
-    */
-  private[graft] def timeShardCount(rows: Long): Int =
-    math.max(2L, math.min(16L, rows / 250000L)).toInt
-
   private[graft] def writeTimeSortedShards(df: org.apache.spark.sql.DataFrame,
       src: String, rows: Long, epochBase: Long,
       seen: scala.collection.mutable.Set[String] =
