@@ -87,7 +87,11 @@ object ScaleCheck {
     // exchange + AQE-broadcast anti-join + doc-keyed reassembly; the
     // curve should track the exploded paragraph stream (the boilerplate
     // set is cardinality-bounded at <= occurrences/maxDf)
-    "x_boilerplate_removal")
+    "x_boilerplate_removal",
+    // r12: video near-dup — per-row 8-frame GIF render is fixture (timed
+    // alone via streamFixtureWriters, the media-family decomposition);
+    // per-frame dHash + the shared Hamming band join are the machinery
+    "x_video_dedup")
 
   /** Streaming-path members (r6 judge #5): real foreachBatch sinks over the
     * replicated corpus. Caveat on reading their ratios: each query's timed
@@ -403,6 +407,50 @@ object ScaleCheck {
     * exists to pin the oracle). The row's curve is the exact arm; the
     * cells make that attribution a measurement.
     */
+  /** x_video_dedup's per-stage decomposition: hash = render + per-frame
+    * decode + dHash (strictly linear in corpus, ends in an eager
+    * checkpoint of the tiny (id, frame, h) frame); groups = the exact
+    * signature collapse (one sig-keyed exchange — the stage that absorbs
+    * the corpus's identical-video classes, whose C(g,2) pairs no banding
+    * can split); pairs = the temporally-aligned Hamming band join over
+    * REPRESENTATIVES only. Rep and rep-pair counts published — the
+    * distinct-content population, not the raw corpus, is this family's
+    * growth axis past the collapse.
+    */
+  private def videoStages(spark: SparkSession,
+      dir: String): (Seq[(String, String, Double)], Seq[(String, String, Long)]) = {
+    import graft.operators.Multimodal
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val docs = Tables(spark, dir, "documents")
+    val (fh, tHash) = timed(
+      Multimodal.videoFrameHashes(Multimodal.asVideoTable(
+        docs.repartition(spark.sparkContext.defaultParallelism)))
+        .localCheckpoint(true))
+    val ((repHashes, nReps), tGroups) = timed {
+      val groups = Multimodal.videoExactGroups(fh).localCheckpoint(true)
+      val rh = fh.join(
+        groups.where(col("doc_id") === col("rep")).select("doc_id"),
+        Seq("doc_id")).localCheckpoint(true)
+      (rh, groups.where(col("doc_id") === col("rep")).count())
+    }
+    val (nPairs, tPairs) = timed(
+      Multimodal.videoPairs(repHashes, maxHamming = 4, minMatchFrames = 6)
+        .count())
+    println(s"SCALECHECK pairs x_video_dedup reps=$nReps pairs=$nPairs")
+    val stages = Seq(("x_video_dedup", "hash", tHash),
+      ("x_video_dedup", "groups", tGroups), ("x_video_dedup", "pairs", tPairs))
+      .map { case (q, c, t) =>
+        println(f"SCALECHECK stage $q $c $dir $t%.2fs")
+        (q, c, t)
+      }
+    (stages, Seq(("x_video_dedup", "reps", nReps),
+      ("x_video_dedup", "near_pairs", nPairs)))
+  }
+
   private def triageStages(spark: SparkSession,
       dir: String): Seq[(String, String, Double)] = {
     graft.functions.GraftFunctions.register(spark)
@@ -858,10 +906,17 @@ object ScaleCheck {
     // dev re-measures of other rows don't pay for them
     def ifRun[A](names: String*)(body: => Seq[A]): Seq[A] =
       if (names.exists(toRun.contains)) body else Nil
+    val (videoStagesBase, videoCountsBase) =
+      if (toRun.contains("x_video_dedup")) videoStages(spark, src)
+      else (Nil, Nil)
+    val (videoStagesBig, videoCountsBig) =
+      if (toRun.contains("x_video_dedup")) videoStages(spark, out)
+      else (Nil, Nil)
     val baseStages = ifRun("x_jaccard_join", "x_cross_dedup")(
       setJoinStages(spark, src)) ++ ifRun("x_knn_join")(knnStages(spark, src)) ++
       ifRun("x_embed_dedup")(embedDedupStages(spark, src)) ++
-      ifRun("x_contamination_triage")(triageStages(spark, src))
+      ifRun("x_contamination_triage")(triageStages(spark, src)) ++
+      videoStagesBase
     // same shuffle-accumulation hazard as the timed loop: each >100x stage
     // family re-runs a tens-of-GB shuffle, so reclaim between families
     def reclaimed[A](body: => Seq[A]): Seq[A] = {
@@ -873,9 +928,12 @@ object ScaleCheck {
       setJoinStages(spark, out))) ++
       reclaimed(ifRun("x_knn_join")(knnStages(spark, out))) ++
       ifRun("x_embed_dedup")(embedDedupStages(spark, out)) ++
-      ifRun("x_contamination_triage")(triageStages(spark, out))
-    val baseCounts = ifRun("x_novelty", "x_triangles")(growthCounts(spark, src))
-    val bigCounts = ifRun("x_novelty", "x_triangles")(growthCounts(spark, out))
+      ifRun("x_contamination_triage")(triageStages(spark, out)) ++
+      videoStagesBig
+    val baseCounts = ifRun("x_novelty", "x_triangles")(
+      growthCounts(spark, src)) ++ videoCountsBase
+    val bigCounts = ifRun("x_novelty", "x_triangles")(
+      growthCounts(spark, out)) ++ videoCountsBig
     // optional 5th arg `merge`: min-merge this run's cells into the
     // artifact instead of overwriting (repeat runs at the same HEAD)
     writeArtifact(rows, factor, src, basePairs, bigPairs, baseFixture,

@@ -136,39 +136,50 @@ object Dedup {
     * occupancies.
     */
   def hammingPairs(hashed0: DataFrame, maxHamming: Int,
-      maxOccupancy: Int = 64): DataFrame = {
+      maxOccupancy: Int = 64, alignCols: Seq[String] = Nil): DataFrame = {
     // The signature frame is 16 bytes/row, but its LINEAGE carries the
     // expensive part (PNG render+decode for image dHash, tokenize+simhash
     // for text), and the band join consumes it up to three times
     // (occupancy aggregate + both join sides). Pin the tiny frame ONCE —
     // measured at the 100x corpus: x_media_dedup re-rendered the whole
     // 500k-image table per consumption without this.
+    //
+    // alignCols: position columns that must MATCH for two rows to pair
+    // (video frame index; a shard or channel key would compose the same
+    // way). They join the band key rather than post-filtering: each
+    // position gets its own bucket space, so the candidate stream never
+    // carries cross-position pairs at all — at 8 frames/video that is
+    // ~9x less popcount work than filtering after a shared-bucket join.
+    // Output carries the align columns; pairs dedupe per position.
     val hashed = hashed0.localCheckpoint(true)
-    val banded0 = hashed.select(col("id"), col("h"),
-      explode(simhashBands("h")).as("bk"))
-      .select(col("id"), col("h"), col("bk.band"), col("bk.bkey"))
+    val ac = alignCols.map(col)
+    val keyCols = alignCols ++ Seq("band", "bkey")
+    val banded0 = hashed.select(ac ++ Seq(col("id"), col("h"),
+      explode(simhashBands("h")).as("bk")): _*)
+      .select(ac ++ Seq(col("id"), col("h"), col("bk.band"), col("bk.bkey")): _*)
     val banded =
       if (maxOccupancy <= 0) banded0.withColumn("sub", lit(0L))
       else {
-        val over = banded0.groupBy("band", "bkey")
+        val over = banded0.groupBy(keyCols.map(col): _*)
           .agg(count(lit(1)).as("occ"))
           .where(col("occ") > maxOccupancy)
-        banded0.join(broadcast(over), Seq("band", "bkey"), "left")
+        banded0.join(broadcast(over), keyCols, "left")
           .withColumn("sub", when(col("occ").isNull, lit(0L)).otherwise(
             pmod(xxhash64(col("h"), col("band")),
               ceil(col("occ") / maxOccupancy).cast("long"))))
           .drop("occ")
       }
-    val a = banded.select(col("band"), col("bkey"), col("sub"),
-      col("id").as("id1"), col("h").as("h1"))
-    val b = banded.select(col("band"), col("bkey"), col("sub"),
-      col("id").as("id2"), col("h").as("h2"))
-    a.join(b, Seq("band", "bkey", "sub"))
+    val joinCols = keyCols :+ "sub"
+    val a = banded.select((joinCols.map(col) ++
+      Seq(col("id").as("id1"), col("h").as("h1"))): _*)
+    val b = banded.select((joinCols.map(col) ++
+      Seq(col("id").as("id2"), col("h").as("h2"))): _*)
+    a.join(b, joinCols)
       .where(col("id1") < col("id2"))
-      .dropDuplicates("id1", "id2")
+      .dropDuplicates(alignCols ++ Seq("id1", "id2"))
       .withColumn("hamming", hammingDist(col("h1"), col("h2")))
       .where(col("hamming") <= maxHamming)
-      .select("id1", "id2", "hamming")
+      .select((alignCols ++ Seq("id1", "id2", "hamming")).map(col): _*)
   }
 
   /** Exact n-gram Jaccard between given document pairs (the verification

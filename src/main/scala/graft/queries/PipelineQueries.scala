@@ -169,6 +169,12 @@ object PipelineQueries {
         .map(_.payload.length.toLong).reduce(_ + _)
       ()
     }),
+    "x_video_dedup" -> (_ => {
+      import s.implicits._
+      Multimodal.asVideoTable(Tables(s, dir, "documents"))
+        .map(_.payload.length.toLong).reduce(_ + _)
+      ()
+    }),
     "x_stream_quantile" -> (src => {
       twoFileStreamFixture(
         Tables(s, dir, "events")
@@ -2292,6 +2298,62 @@ object PipelineQueries {
         col("id2") === col("id1") + 1000000L).count()
       Gate.check(nFound >= 18,
         s"audio spectral hash recovered only $nFound/20 attenuated copies")
+      Seq((20L, if (nFound >= 18) 0L else 1L))
+        .toDF("n_expected", "n_violations")
+    },
+
+    // Video near-dup — completes the modality matrix (image/audio/video):
+    // every doc rendered as a REAL 8-frame GIF (the frame-sequence video
+    // stand-in; the JDK has no video codec), 20 injected near-copies made
+    // by a REAL decode + one-pixel edit in frame 3 + re-encode
+    // (invertOnePixelInFrame), per-frame dHash fingerprints. Two-tier
+    // dedup, the ppjoin identity-collapse discipline applied to video:
+    // (1) videoExactGroups collapses identical full signatures — the
+    // corpus's big duplicate classes whose C(g,2) pairs no banding can
+    // split; (2) videoPairs near-joins REPRESENTATIVES only, temporally
+    // ALIGNED (>= 6 of 8 frames within 4 bits at the SAME position; a
+    // shifted or re-cut sequence misaligns and must NOT match —
+    // VideoDedupSpec pins that negative). A copy is recovered when it
+    // shares its source's exact group OR its rep near-pairs the
+    // source's rep. Hard >= 18/20 contract like the image/audio twins.
+    Q("x_video_dedup",
+      """SELECT CAST(count(*) AS BIGINT) AS n_expected,
+        |CAST(0 AS BIGINT) AS n_violations FROM documents
+        |WHERE doc_id < 20""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val videos = Multimodal.asVideoTable(par(docs))
+      val injected = docs.where(col("doc_id") < 20)
+        .select(col("doc_id"), col("source"), col("text"))
+        .as[(Long, String, String)]
+        .mapPartitions(_.map { case (id, src, text) =>
+          val gif = Multimodal.invertOnePixelInFrame(
+            Multimodal.renderGif(id, text, nFrames = 8), frame = 3)
+          Multimodal.MediaRow(id + 1000000L, src, "image/gif",
+            gif.length.toLong, gif)
+        })
+      // the hash frame feeds groups, the rep filter and the band join —
+      // pin it once or the GIF render+decode re-runs per consumer
+      val fh = Multimodal.videoFrameHashes(videos.unionByName(injected))
+        .localCheckpoint(true)
+      val groups = Multimodal.videoExactGroups(fh).localCheckpoint(true)
+      val repHashes = fh.join(
+        groups.where(col("doc_id") === col("rep")).select("doc_id"), Seq("doc_id"))
+      val near = Multimodal.videoPairs(repHashes, maxHamming = 4, minMatchFrames = 6)
+      // per injected pair (a, a+1e6): same exact group, or rep near-pair
+      val cand = groups.where(col("doc_id") < 20)
+        .select(col("doc_id").as("a"), col("rep").as("ra"))
+        .join(groups.where(col("doc_id") >= 1000000L)
+          .select((col("doc_id") - 1000000L).as("a"), col("rep").as("rb")), "a")
+      val sameGroup = cand.where(col("ra") === col("rb")).count()
+      val viaNear = cand.where(col("ra") =!= col("rb"))
+        .join(near, least(col("ra"), col("rb")) === col("v1")
+          && greatest(col("ra"), col("rb")) === col("v2"))
+        .count()
+      val nFound = sameGroup + viaNear
+      Gate.check(nFound >= 18,
+        s"video dedup recovered only $nFound/20 one-frame-edited copies " +
+          s"($sameGroup exact-group, $viaNear rep-near-pair)")
       Seq((20L, if (nFound >= 18) 0L else 1L))
         .toDF("n_expected", "n_violations")
     },
