@@ -262,7 +262,9 @@ object Bench {
       // benched plans run under the same scale-killer linter as Verify
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.queryExecutionListeners",
-        "graft.plans.JoinBlowupListener"), cpus.toInt)
+        "graft.plans.JoinBlowupListener")
+      .config("spark.sql.streaming.streamingQueryListeners",
+        "graft.plans.StreamStateGuard"), cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: absorb JVM/codegen/scheduler startup AND first-touch

@@ -44,7 +44,9 @@ object MemStress {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.queryExecutionListeners",
-        "graft.plans.JoinBlowupListener"), cpus.toInt)
+        "graft.plans.JoinBlowupListener")
+      .config("spark.sql.streaming.streamingQueryListeners",
+        "graft.plans.StreamStateGuard"), cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val spillMem = new java.util.concurrent.atomic.AtomicLong()

@@ -451,6 +451,44 @@ object ScaleCheck {
       ("x_video_dedup", "near_pairs", nPairs)))
   }
 
+  /** Single-hash media families' per-stage decomposition (image dHash /
+    * audio spectral — x_video_dedup has the multi-frame twin below):
+    * hash = render + decode + fingerprint (linear), groups = exact
+    * signature collapse (the stage that absorbs identical-hash classes —
+    * for audio, renderWav's docId-mod-400 tone classes make this
+    * mandatory at ANY replicated corpus), pairs = the Hamming band join
+    * over representatives. Rep/near-pair counts published.
+    */
+  private def hashDedupStages(spark: SparkSession, dir: String, query: String,
+      mkHashed: DataFrame => DataFrame, maxHamming: Int)
+      : (Seq[(String, String, Double)], Seq[(String, String, Long)]) = {
+    import graft.operators.Dedup
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val docs = Tables(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val (hashed, tHash) = timed(
+      mkHashed(docs).withColumnRenamed("doc_id", "id").localCheckpoint(true))
+    val ((repHashed, nReps), tGroups) = timed {
+      val groups = Dedup.exactHashGroups(hashed).localCheckpoint(true)
+      val reps = groups.where(col("id") === col("rep")).select("id")
+      (hashed.join(reps, Seq("id")).localCheckpoint(true), reps.count())
+    }
+    val (nPairs, tPairs) = timed(
+      Dedup.hammingPairs(repHashed, maxHamming).count())
+    println(s"SCALECHECK pairs $query reps=$nReps pairs=$nPairs")
+    val stages = Seq((query, "hash", tHash), (query, "groups", tGroups),
+      (query, "pairs", tPairs))
+      .map { case (q, c, t) =>
+        println(f"SCALECHECK stage $q $c $dir $t%.2fs")
+        (q, c, t)
+      }
+    (stages, Seq((query, "reps", nReps), (query, "near_pairs", nPairs)))
+  }
+
   private def triageStages(spark: SparkSession,
       dir: String): Seq[(String, String, Double)] = {
     graft.functions.GraftFunctions.register(spark)
@@ -791,7 +829,9 @@ object ScaleCheck {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.queryExecutionListeners",
-        "graft.plans.JoinBlowupListener"), cpus.toInt)
+        "graft.plans.JoinBlowupListener")
+      .config("spark.sql.streaming.streamingQueryListeners",
+        "graft.plans.StreamStateGuard"), cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Factors past 100 overflow the 1e6 fixture-offset headroom most
@@ -906,12 +946,20 @@ object ScaleCheck {
     // dev re-measures of other rows don't pay for them
     def ifRun[A](names: String*)(body: => Seq[A]): Seq[A] =
       if (names.exists(toRun.contains)) body else Nil
-    val (videoStagesBase, videoCountsBase) =
-      if (toRun.contains("x_video_dedup")) videoStages(spark, src)
-      else (Nil, Nil)
-    val (videoStagesBig, videoCountsBig) =
-      if (toRun.contains("x_video_dedup")) videoStages(spark, out)
-      else (Nil, Nil)
+    def mediaFamily(dir: String)
+        : (Seq[(String, String, Double)], Seq[(String, String, Long)]) = {
+      import graft.operators.Multimodal
+      val parts = Seq(
+        ("x_video_dedup", () => videoStages(spark, dir)),
+        ("x_media_dedup", () => hashDedupStages(spark, dir, "x_media_dedup",
+          d => Multimodal.imageHashes(Multimodal.asImageTable(d)), 4)),
+        ("x_audio_dedup", () => hashDedupStages(spark, dir, "x_audio_dedup",
+          d => Multimodal.audioHashes(Multimodal.asAudioTable(d)), 3)))
+        .collect { case (q, f) if toRun.contains(q) => f() }
+      (parts.flatMap(_._1), parts.flatMap(_._2))
+    }
+    val (videoStagesBase, videoCountsBase) = mediaFamily(src)
+    val (videoStagesBig, videoCountsBig) = mediaFamily(out)
     val baseStages = ifRun("x_jaccard_join", "x_cross_dedup")(
       setJoinStages(spark, src)) ++ ifRun("x_knn_join")(knnStages(spark, src)) ++
       ifRun("x_embed_dedup")(embedDedupStages(spark, src)) ++

@@ -21,7 +21,9 @@ object Verify {
       // the full query suite runs under the scale-killer plan linter
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.queryExecutionListeners",
-        "graft.plans.JoinBlowupListener"), cpus.toInt)
+        "graft.plans.JoinBlowupListener")
+      .config("spark.sql.streaming.streamingQueryListeners",
+        "graft.plans.StreamStateGuard"), cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -182,6 +182,24 @@ object Dedup {
       .select((alignCols ++ Seq("id1", "id2", "hamming")).map(col): _*)
   }
 
+  /** Exact-duplicate collapse for single-hash near-dup families: (id, rep)
+    * where `rep` is the lowest id sharing the row's signature — the ppjoin
+    * identity-collapse discipline applied to hash fingerprints (image
+    * dHash, audio spectral hash; videos use the multi-frame variant in
+    * Multimodal.videoExactGroups). A class of g identical signatures
+    * forms C(g,2) pairs NO banding can split — identical signatures land
+    * in identical buckets by design, and hammingPairs' occupancy splitter
+    * is content-seeded precisely so it can never separate them (see
+    * MediaDedupSpec's hot-clique case). Collapse first, near-pair
+    * REPRESENTATIVES only, answer intra-class pairs from group
+    * membership in O(n). One hash-keyed window exchange.
+    */
+  def exactHashGroups(hashed: DataFrame): DataFrame =
+    hashed.select(col("id"),
+      min(col("id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h")))
+        .as("rep"))
+
   /** Exact n-gram Jaccard between given document pairs (the verification
     * primitive; also useful standalone over a candidate list).
     */

@@ -269,6 +269,26 @@ object PipelineQueries {
         }
       }
 
+  /** Recovery count shared by the media near-dup gates (two-tier protocol,
+    * r12): for each injected pair (a, a + 1e6) with a < 20, the copy is
+    * recovered when both sides share an exact-signature group (`groups`:
+    * (id, rep)) OR their representatives appear in the near-pair list
+    * (`near`: (id1, id2, ...) with id1 < id2).
+    */
+  private def recoveredViaGroupOrNear(groups: org.apache.spark.sql.DataFrame,
+      near: org.apache.spark.sql.DataFrame): Long = {
+    val cand = groups.where(col("id") < 20)
+      .select(col("id").as("a"), col("rep").as("ra"))
+      .join(groups.where(col("id") >= 1000000L)
+        .select((col("id") - 1000000L).as("a"), col("rep").as("rb")), "a")
+    val sameGroup = cand.where(col("ra") === col("rb")).count()
+    val viaNear = cand.where(col("ra") =!= col("rb"))
+      .join(near, least(col("ra"), col("rb")) === col("id1")
+        && greatest(col("ra"), col("rb")) === col("id2"))
+      .count()
+    sameGroup + viaNear
+  }
+
   /** Deterministic near-duplicate perturbation for self-attestation:
     * alternating +/-25% per-dim scale => cosine ~0.97 to the source —
     * above the 0.95 dedup threshold but far enough from 1.0 that LSH
@@ -2256,11 +2276,17 @@ object PipelineQueries {
           Multimodal.MediaRow(id + 1000000L, src, "image/png",
             png.length.toLong, png)
         })
+      // two-tier (the video-family discipline, r12): exact-signature
+      // collapse first — identical dHashes form C(g,2) band-join pairs no
+      // occupancy cap can split — then near-pair REPRESENTATIVES only;
+      // an edited copy is recovered via its source's group or a rep pair
       val hashed = Multimodal.imageHashes(images.unionByName(injected))
-        .withColumnRenamed("doc_id", "id")
-      val pairs = Dedup.hammingPairs(hashed, maxHamming = 4)
-      val nFound = pairs.where(col("id1") < 20 &&
-        col("id2") === col("id1") + 1000000L).count()
+        .withColumnRenamed("doc_id", "id").localCheckpoint(true)
+      val groups = Dedup.exactHashGroups(hashed).localCheckpoint(true)
+      val repHashed = hashed.join(
+        groups.where(col("id") === col("rep")).select("id"), Seq("id"))
+      val near = Dedup.hammingPairs(repHashed, maxHamming = 4)
+      val nFound = recoveredViaGroupOrNear(groups, near)
       Gate.check(nFound >= 18,
         s"image dHash recovered only $nFound/20 one-pixel-edited copies")
       Seq((20L, if (nFound >= 18) 0L else 1L))
@@ -2291,11 +2317,19 @@ object PipelineQueries {
           Multimodal.MediaRow(id + 1000000L, src, "audio/wav",
             wav.length.toLong, wav)
         })
+      // two-tier (the video-family discipline, r12). Audio NEEDS the
+      // collapse more than any sibling: renderWav keys frequency on
+      // docId mod 400, so identical spectral hashes form ~n/400-member
+      // classes whose C(g,2) pairs would dominate the raw band join at
+      // any replicated corpus; a pure gain change hashes IDENTICALLY
+      // (spec-pinned), so the attenuated copies recover via groups.
       val hashed = Multimodal.audioHashes(audio.unionByName(injected))
-        .withColumnRenamed("doc_id", "id")
-      val pairs = Dedup.hammingPairs(hashed, maxHamming = 3)
-      val nFound = pairs.where(col("id1") < 20 &&
-        col("id2") === col("id1") + 1000000L).count()
+        .withColumnRenamed("doc_id", "id").localCheckpoint(true)
+      val groups = Dedup.exactHashGroups(hashed).localCheckpoint(true)
+      val repHashed = hashed.join(
+        groups.where(col("id") === col("rep")).select("id"), Seq("id"))
+      val near = Dedup.hammingPairs(repHashed, maxHamming = 3)
+      val nFound = recoveredViaGroupOrNear(groups, near)
       Gate.check(nFound >= 18,
         s"audio spectral hash recovered only $nFound/20 attenuated copies")
       Seq((20L, if (nFound >= 18) 0L else 1L))
@@ -2341,19 +2375,9 @@ object PipelineQueries {
         groups.where(col("doc_id") === col("rep")).select("doc_id"), Seq("doc_id"))
       val near = Multimodal.videoPairs(repHashes, maxHamming = 4, minMatchFrames = 6)
       // per injected pair (a, a+1e6): same exact group, or rep near-pair
-      val cand = groups.where(col("doc_id") < 20)
-        .select(col("doc_id").as("a"), col("rep").as("ra"))
-        .join(groups.where(col("doc_id") >= 1000000L)
-          .select((col("doc_id") - 1000000L).as("a"), col("rep").as("rb")), "a")
-      val sameGroup = cand.where(col("ra") === col("rb")).count()
-      val viaNear = cand.where(col("ra") =!= col("rb"))
-        .join(near, least(col("ra"), col("rb")) === col("v1")
-          && greatest(col("ra"), col("rb")) === col("v2"))
-        .count()
-      val nFound = sameGroup + viaNear
-      Gate.check(nFound >= 18,
-        s"video dedup recovered only $nFound/20 one-frame-edited copies " +
-          s"($sameGroup exact-group, $viaNear rep-near-pair)")
+      val nFound = recoveredViaGroupOrNear(
+        groups.withColumnRenamed("doc_id", "id"),
+        near.select(col("v1").as("id1"), col("v2").as("id2")))
       Seq((20L, if (nFound >= 18) 0L else 1L))
         .toDF("n_expected", "n_violations")
     },

@@ -25,6 +25,8 @@ object SparkSpec {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.queryExecutionListeners",
         "graft.plans.JoinBlowupListener")
+      .config("spark.sql.streaming.streamingQueryListeners",
+        "graft.plans.StreamStateGuard")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

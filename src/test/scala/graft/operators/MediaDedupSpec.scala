@@ -72,6 +72,16 @@ class MediaDedupSpec extends SparkSpec {
       assert(capped.contains((1000L + 2 * g, 1001L + 2 * g)), s"twin $g split")
   }
 
+  test("exactHashGroups collapses identical signatures to min-id reps; distinct hashes stay apart") {
+    import spark.implicits._
+    val df = Seq((5L, 100L), (2L, 100L), (9L, 100L), (7L, 200L), (3L, 300L))
+      .toDF("id", "h")
+    val groups = Dedup.exactHashGroups(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups(5L) == 2L && groups(2L) == 2L && groups(9L) == 2L)
+    assert(groups(7L) == 7L && groups(3L) == 3L)
+  }
+
   test("spectralHash64: amplitude-invariant, tone-sensitive, short payloads None") {
     val a = Multimodal.renderWav(5L, 300L)
     val hA = Multimodal.spectralHash64(a).get
