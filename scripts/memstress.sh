@@ -9,7 +9,7 @@
 set -u
 DIR="${1:?corpus dir}"
 HEAP="${2:-3g}"
-QUERIES="${3:-x_jaccard_join,x_cross_dedup,x_embed_dedup,x_triangles,x_novelty,x_knn_join,x_stream_join_restart,x_stream_dedup_rocksdb}"
+QUERIES="${3:-x_jaccard_join,x_cross_dedup,x_embed_dedup,x_triangles,x_novelty,x_knn_join,x_stream_join_restart,x_stream_dedup_rocksdb,x_video_dedup}"
 OUT=STRESSCHECK.json
 TMP=$(mktemp -d)
 trap 'rm -rf "$TMP"' EXIT
