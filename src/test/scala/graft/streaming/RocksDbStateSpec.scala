@@ -93,6 +93,58 @@ class RocksDbStateSpec extends SparkSpec {
     assert(got == want, s"sessions differ: got=$got")
   }
 
+  test("windowed aggregation and the stream-stream interval join run on RocksDB and match") {
+    // completes the backend's operator-family matrix: keyed dedup and
+    // fMGWS above, streaming hash-agg and the 4-store interval join here
+    val ev = ((0 until 120).map(i => (i.toLong, ts(i * 2),
+      if (i % 3 == 0) "purchase" else "click", 10.0 + (i % 7))) :+
+      ((999L, ts(100000), "sentinel", 0.0)))
+      .toDF("event_id", "ts", "event_type", "value")
+      .withColumn("user_id", col("event_id") % 5)
+    val tmp = java.nio.file.Files.createTempDirectory("rocksops")
+    val src = tmp.resolve("src").toString
+    ev.coalesce(1).write.parquet(src)
+
+    def runStream(name: String, mk: org.apache.spark.sql.DataFrame => DataFrame): DataFrame = {
+      val qname = s"rocks_${name}_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      StateBackend.withProvider(spark, StateBackend.RocksDb) {
+        val stream = spark.readStream.schema(spark.read.parquet(src).schema)
+          .parquet(src)
+        val q = mk(stream).writeStream.format("memory").queryName(qname)
+          .option("checkpointLocation",
+            tmp.resolve(s"ckpt_$name").toString)
+          .outputMode("append").start()
+        try {
+          q.processAllAvailable()
+          assert(StateBackend.rocksDbEngaged(q), s"no rocksdb metrics on $name")
+        } finally q.stop()
+      }
+      spark.table(qname)
+    }
+
+    // windowed agg: every closed window must match the batch twin exactly
+    // (the far-future sentinel flushes all real windows; its own window
+    // never closes, so it can't appear in append-mode output)
+    val aggStream = runStream("agg", df => EventStreams.hourlyCountsCents(df))
+    val aggBatch = EventStreams.hourlyCountsCents(
+      ev.where(col("event_type") =!= "sentinel"))
+    assert(aggStream.exceptAll(aggBatch).isEmpty && aggStream.count() > 0,
+      "RocksDB-backed windowed agg diverged from batch truth")
+
+    // interval join: inner click-purchase pairs must match the batch twin
+    val joined = runStream("join",
+      df => graft.streaming.EventStreams.clickPurchaseJoin(df, windowMinutes = 30)
+        .select("p_user", "purchase_ts", "click_ts"))
+    val joinedBatch = graft.streaming.EventStreams
+      .clickPurchaseJoin(ev, windowMinutes = 30)
+      .select("p_user", "purchase_ts", "click_ts")
+    assert(joined.count() > 0 &&
+      joined.exceptAll(joinedBatch).isEmpty &&
+      joinedBatch.exceptAll(joined).isEmpty,
+      "RocksDB-backed interval join diverged from batch truth")
+  }
+
   test("withProvider restores prior session confs") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val before = spark.conf.getOption(key)
