@@ -91,7 +91,10 @@ object ScaleCheck {
     // r12: video near-dup — per-row 8-frame GIF render is fixture (timed
     // alone via streamFixtureWriters, the media-family decomposition);
     // per-frame dHash + the shared Hamming band join are the machinery
-    "x_video_dedup")
+    "x_video_dedup",
+    // r12: semantic decontamination — broadcast-refs max-cosine corpus
+    // scan, zero shuffle; the curve should be pure corpus-scan linear
+    "x_semantic_decontam")
 
   /** Streaming-path members (r6 judge #5): real foreachBatch sinks over the
     * replicated corpus. Caveat on reading their ratios: each query's timed

@@ -1511,6 +1511,54 @@ object PipelineQueries {
     // benchmark shingles are a distinct broadcast set, the corpus explodes
     // ONLY to (doc_id, shingle) pairs, and the flag is a semi-join — no
     // all-pairs document comparison anywhere.
+    // SEMANTIC decontamination — x_decontaminate's embedding-level twin
+    // (n-gram overlap misses paraphrased benchmark leakage; embedding
+    // similarity is the modern second pass): 20 benchmark reference
+    // vectors (perturbed corpus vectors at cosine ~0.97, the house
+    // fixture) are collected driver-side — benchmark suites are
+    // driver-bounded by definition — and embedded as LITERALS, so the
+    // corpus pays exactly ONE scan with a per-row max-cosine over the
+    // broadcast refs (native kernel inside array_max/transform): no
+    // shuffle, no join, whole-stage codegen. For ref sets too large to
+    // broadcast, the indexed path is x_ann_*'s; this is the
+    // fixed-benchmark shape. FULL oracle: DuckDB recomputes the same
+    // perturbation (bit-exact: x*1.25/x*0.75) and cosine over the same
+    // doubles; thresholds sit at enormous margins (sources ~0.97,
+    // non-sources ~0 at 64 dims), so last-ulp summation-order skew
+    // cannot flip a count. n_false rides the row: flagged non-sources,
+    // identical in both engines by construction.
+    Q("x_semantic_decontam",
+      """WITH refs AS (SELECT vec_id AS rid,
+        |  list_transform(CAST(embedding AS DOUBLE[]), (x, i) ->
+        |    x * (CASE WHEN (i - 1) % 2 = 0 THEN 1.25 ELSE 0.75 END)::DOUBLE) AS r
+        |  FROM embeddings WHERE vec_id < 20),
+        |m AS (SELECT e.vec_id,
+        |  max(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), refs.r)) AS mc
+        |  FROM embeddings e CROSS JOIN refs GROUP BY e.vec_id)
+        |SELECT CAST(count(*) FILTER (WHERE mc > 0.95) AS BIGINT) AS n_flagged,
+        |  CAST(count(*) AS BIGINT) AS n_checked,
+        |  CAST(count(*) FILTER (WHERE mc > 0.95 AND vec_id >= 20) AS BIGINT)
+        |    AS n_false
+        |FROM m""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions.graft_cosine
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val refs = emb.where(col("vec_id") < 20)
+        .select(perturb(col("v")).as("r"))
+        .collect().map(_.getAs[scala.collection.Seq[Double]]("r").toArray)
+      val refsLit = array(refs.map(r => lit(r)): _*)
+      val flagged = emb.select(col("vec_id"),
+        array_max(transform(refsLit, r => graft_cosine(col("v"), r))).as("mc"))
+      Gate(flagged.agg(
+        sum(when(col("mc") > 0.95, 1L).otherwise(0L)).as("n_flagged"),
+        count(lit(1)).as("n_checked"),
+        sum(when(col("mc") > 0.95 && col("vec_id") >= 20, 1L).otherwise(0L))
+          .as("n_false")),
+        col("n_flagged") >= 20 && col("n_checked") > col("n_flagged"),
+        "every perturbed benchmark ref must flag its source vector")
+    },
+
     Q("x_decontaminate",
       """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
         |sh AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 4 THEN
