@@ -27,6 +27,19 @@ import org.apache.spark.sql.SparkSession
   * (executor-memory / executor-cores); 512 MiB/core is the boundary the
   * two observed failures bracket (96 MiB/core died, 2 GiB/core never has;
   * 256 MiB/core died once at 1000x).
+  *
+  * The WRITE-side twin (found by the same stress at 1200m/32 = 37
+  * MiB/core on x_video_dedup's signature aggregate): every
+  * [[org.apache.spark.util.collection.unsafe.sort.UnsafeSorterSpillWriter]]
+  * allocates a `spark.shuffle.spill.diskWriteBufferSize` byte array (1
+  * MiB default) at construction — i.e. AT THE MOMENT the memory manager
+  * decided the heap was full and asked the aggregate to spill. 32 tasks
+  * spilling together ask for 32 unaccounted 1 MiB G1-humongous buffers
+  * on a heap that by definition has none to give, and the task dies at
+  * `UnsafeSorterSpillWriter.<init>` instead of degrading (observed with
+  * GCLocker retry storms). Under the same boundary the buffer shrinks to
+  * 128 KiB — not humongous, 1/8 the footprint, and spill write
+  * throughput is not the bottleneck on a heap this tight.
   */
 object MemoryDiscipline {
   private[graft] val SafeBytesPerCore: Long = 512L * 1024 * 1024
@@ -40,7 +53,8 @@ object MemoryDiscipline {
     */
   private[graft] def knobs(cores: Int): Map[String, String] =
     if (bytesPerCore(cores) < SafeBytesPerCore)
-      Map("spark.unsafe.sorter.spill.read.ahead.enabled" -> "false")
+      Map("spark.unsafe.sorter.spill.read.ahead.enabled" -> "false",
+        "spark.shuffle.spill.diskWriteBufferSize" -> (128 * 1024).toString)
     else Map.empty
 
   /** Apply the spill-safety knobs to `builder` when this JVM's heap-per-

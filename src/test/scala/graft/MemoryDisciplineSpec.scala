@@ -24,7 +24,8 @@ class MemoryDisciplineSpec extends AnyFunSuite {
       (max / MemoryDiscipline.SafeBytesPerCore + 1).toInt.max(2)
     val starved = MemoryDiscipline.knobs(starvedCores)
     assert(starved ===
-      Map("spark.unsafe.sorter.spill.read.ahead.enabled" -> "false"))
+      Map("spark.unsafe.sorter.spill.read.ahead.enabled" -> "false",
+        "spark.shuffle.spill.diskWriteBufferSize" -> "131072"))
     // one slot owning the whole heap is safe on any test JVM big enough
     // to run Spark at all (sbt forks these suites at >= 1 GiB)
     if (max >= MemoryDiscipline.SafeBytesPerCore)
