@@ -41,9 +41,17 @@ class StreamStateGuard extends StreamingQueryListener {
 
   override def onQueryProgress(
       event: StreamingQueryListener.QueryProgressEvent): Unit = {
-    val (enabled, minBatches, minRows) = thresholds()
-    if (!enabled) return
     val p = event.progress
+    val (enabled, minBatches, minRows) = overrideFor match {
+      // name-scoped override: applies ONLY to streams whose query name
+      // carries the registered prefix, so a harness provoking a finding
+      // at tiny thresholds cannot re-threshold unrelated concurrent
+      // streams (the bench parallel phase runs many at once)
+      case Some((prefix, mb, mr))
+          if Option(p.name).exists(_.startsWith(prefix)) => (true, mb, mr)
+      case _ => thresholds()
+    }
+    if (!enabled) return
     val wm = Option(p.eventTime.get("watermark")).getOrElse("")
     p.stateOperators.zipWithIndex.foreach { case (op, i) =>
       val key = (p.runId.toString, i)
@@ -55,7 +63,7 @@ class StreamStateGuard extends StreamingQueryListener {
       track.put(key, Cell(rows, wm, streak))
       if (streak >= minBatches && rows >= minRows) {
         val f = Finding(p.name, Option(op.operatorName).getOrElse(s"op$i"),
-          rows, streak)
+          rows, streak, p.runId.toString)
         record(f)
         System.err.println(s"[graft.streamGuard] $f")
         // one finding per streak: restart the window so a long-running
@@ -75,7 +83,7 @@ class StreamStateGuard extends StreamingQueryListener {
 
 object StreamStateGuard {
   final case class Finding(query: String, operator: String, rows: Long,
-      streak: Int) {
+      streak: Int, runId: String = "") {
     override def toString: String =
       s"unbounded state: query '$query' operator '$operator' grew to " +
         s"$rows state rows over $streak consecutive batches with no " +
@@ -96,12 +104,28 @@ object StreamStateGuard {
     while (findings.size() > 64) findings.poll() // bounded registry
   }
 
+  // One-time warning latch for malformed guard confs: a listener callback
+  // that throws is SWALLOWED by Spark, so a bad `.toInt` here used to
+  // silently disable the guard with no finding and no signal. Parse
+  // defensively, warn once, fall back to defaults — a bad conf degrades
+  // loudly instead of muting the guard.
+  private val warnedBadConf = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   private def thresholds(): (Boolean, Int, Long) = {
     val conf = org.apache.spark.sql.SparkSession.getDefaultSession.map(_.conf)
     def get(key: String): Option[String] = conf.flatMap(_.getOption(key))
-    (get("spark.graft.streamGuard.enabled").forall(_.toBoolean),
-      get("spark.graft.streamGuard.minBatches").map(_.toInt).getOrElse(4),
-      get("spark.graft.streamGuard.minRows").map(_.toLong).getOrElse(1000000L))
+    def parsed[A](key: String, parse: String => A, default: A): A =
+      get(key).flatMap { raw =>
+        scala.util.Try(parse(raw)).toOption.orElse {
+          if (warnedBadConf.compareAndSet(false, true))
+            System.err.println(s"[graft.streamGuard] malformed conf $key=" +
+              s"'$raw' — using default $default (guard stays active)")
+          None
+        }
+      }.getOrElse(default)
+    (parsed("spark.graft.streamGuard.enabled", _.toBoolean, true),
+      parsed("spark.graft.streamGuard.minBatches", _.toInt, 4),
+      parsed("spark.graft.streamGuard.minRows", _.toLong, 1000000L))
   }
 
   def recent(): Seq[Finding] = {
@@ -109,9 +133,48 @@ object StreamStateGuard {
     findings.asScala.toSeq
   }
 
+  // (namePrefix, minBatches, minRows) — see withThresholds
+  @volatile private var overrideFor: Option[(String, Int, Long)] = None
+
+  /** Run `body` with guard thresholds overridden for streams whose query
+    * NAME starts with `namePrefix` — the negative-path harness hook
+    * (x_stream_state_guard provokes a finding on a deliberately
+    * watermark-less dedup at tiny thresholds without re-thresholding the
+    * unrelated streams a parallel bench phase runs concurrently). The
+    * override also forces the guard enabled for matching streams. Not
+    * reentrant (one override slot per JVM, matching the registry's
+    * JVM-global scope).
+    */
+  def withThresholds[A](namePrefix: String, minBatches: Int,
+      minRows: Long)(body: => A): A = {
+    overrideFor = Some((namePrefix, minBatches, minRows))
+    try body finally overrideFor = None
+  }
+
+  /** Findings recorded for ONE streaming run — the scoped view for
+    * harnesses that deliberately provoke a finding (x_stream_state_guard)
+    * and must not trip another suite's [[assertClean]] gate.
+    */
+  def findingsFor(runId: String): Seq[Finding] =
+    recent().filter(_.runId == runId)
+
   def clear(): Unit = { findings.clear(); track.clear() }
 
-  /** Hard gate for harnesses: throw if any stream leaked state. */
+  /** Drop one run's findings only — the scoped twin of [[clear]] for
+    * callers that provoked a finding on purpose and own just that run.
+    */
+  def clearRun(runId: String): Unit =
+    findings.removeIf(_.runId == runId)
+
+  /** Hard gate for harnesses: throw if any stream leaked state.
+    *
+    * SCOPE: the findings registry is a JVM-global singleton shared by
+    * every SparkSession in the process — this gate sees findings from ANY
+    * query in ANY session since the last [[clear]]. A harness that
+    * intentionally provokes a finding must [[clearRun]] its own runId (or
+    * [[clear]] everything) before another harness's gate runs; gates that
+    * only care about their own stream should use [[findingsFor]].
+    */
   def assertClean(): Unit = {
     val fs = recent()
     if (fs.nonEmpty)

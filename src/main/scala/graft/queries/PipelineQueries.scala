@@ -155,7 +155,13 @@ object PipelineQueries {
       val ev = Tables(s, dir, "events")
         .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
           col("event_type"))
-      writeTimeSortedShards(ev, src, ev.count(), System.currentTimeMillis())
+      // countDistinct(event_id), matching the query's own shard sizing —
+      // with duplicate ids a total-rows count would give this fixture a
+      // different shard geometry than the write the query actually pays,
+      // and the ScaleCheck fixture cell would measure a different write
+      writeTimeSortedShards(ev, src,
+        ev.agg(countDistinct(col("event_id"))).first().getLong(0),
+        System.currentTimeMillis())
     }),
     "x_media_dedup" -> (_ => {
       import s.implicits._
@@ -3576,6 +3582,90 @@ object PipelineQueries {
             "in-horizon duplicates were not dropped by reloaded state")
         all.where(col("event_type") =!= "sentinel")
           .groupBy("event_type").agg(count(lit(1)).as("n_unique"))
+          .orderBy("event_type").localCheckpoint(true)
+      } finally deleteRecursively(tmp)
+    },
+
+    // StreamStateGuard negative path at suite scale — the runtime guard's
+    // anchor query, the way x_plan_guard anchors PlanGuard: phase A runs a
+    // DELIBERATELY watermark-less dropDuplicates (the canonical
+    // unbounded-state shape: every key takes a state row forever, no
+    // eviction path) over 8 single-file micro-batches and gates that the
+    // guard records EXACTLY ONE finding for that run (minBatches=4 over 7
+    // growth observations fires once at streak 4, then the post-finding
+    // reset leaves the remaining 3 batches under threshold); phase B runs
+    // the watermarked twin over the same rows as time-sorted shards (the
+    // watermark advances at every shard boundary, state churns instead of
+    // accumulating) and gates that ITS run records nothing. Thresholds are
+    // name-scoped overrides, not session conf — concurrent bench streams
+    // never see them — and the intentional finding is cleared by runId so
+    // suite-wide assertClean stays a real gate. Oracle: the deduped
+    // per-type counts (event_ids are unique, so dedup is count-preserving
+    // — the state the guard watches is per-id either way).
+    Q("x_stream_state_guard",
+      """SELECT event_type, count(*) AS n_unique FROM events
+        |WHERE user_id < 40 GROUP BY event_type ORDER BY event_type"""
+        .stripMargin) { (s, dir) =>
+      import graft.plans.StreamStateGuard
+      val tmp = Tmp.dir("graft-sguardq")
+      try {
+        val subset = Tables(s, dir, "events").where(col("user_id") < 40)
+          .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+            col("event_type"))
+        val total = subset.count()
+        def runOne(src: String, watermarked: Boolean): (String, Long) =
+          withShufflePartitions(s, 4) {
+            val stream = s.readStream.schema(subset.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src)
+            val deduped =
+              if (watermarked)
+                stream.withWatermark("ts", "10 minutes")
+                  .dropDuplicatesWithinWatermark("event_id")
+              else stream.dropDuplicates("event_id")
+            val qname = "graft_sguard_" +
+              java.util.UUID.randomUUID().toString.replace("-", "")
+            val q = deduped.writeStream.format("memory").queryName(qname)
+              .option("checkpointLocation",
+                tmp.resolve(s"ckpt_$watermarked").toString)
+              .outputMode("append").start()
+            try q.processAllAvailable() finally q.stop()
+            (qname, q.runId.toString)
+          } match { case (qname, runId) =>
+            (runId, s.table(qname).count())
+          }
+        StreamStateGuard.withThresholds("graft_sguard_", minBatches = 4,
+          minRows = 20) {
+          // phase A: 8 id-hashed shards — each batch adds fresh state rows,
+          // no watermark ever appears, the streak forms
+          val leakySrc = tmp.resolve("leaky").toString
+          subset.repartition(8, col("event_id"))
+            .write.mode("overwrite").parquet(leakySrc)
+          val (leakRun, nLeak) = runOne(leakySrc, watermarked = false)
+          // listener delivery is async past q.stop(): poll briefly before
+          // judging (the spec's no-poll asserts are green, this is belt)
+          val deadline = System.nanoTime() + 5000000000L
+          while (StreamStateGuard.findingsFor(leakRun).isEmpty &&
+            System.nanoTime() < deadline) Thread.sleep(50)
+          val leakFindings = StreamStateGuard.findingsFor(leakRun)
+          Gate.check(leakFindings.size == 1,
+            s"watermark-less dedup should record exactly one unbounded-state " +
+              s"finding, got ${leakFindings.size}: $leakFindings")
+          StreamStateGuard.clearRun(leakRun) // intentional — ours alone
+          // phase B: same rows as range-sorted time shards, watermarked —
+          // the watermark marches at shard boundaries and no streak forms
+          val cleanSrc = tmp.resolve("clean").toString
+          writeTimeSortedShards(subset, cleanSrc, total,
+            System.currentTimeMillis())
+          val (cleanRun, nClean) = runOne(cleanSrc, watermarked = true)
+          Thread.sleep(500) // drain the listener bus before the clean gate
+          Gate.check(StreamStateGuard.findingsFor(cleanRun).isEmpty,
+            "watermarked twin tripped the state guard: " +
+              StreamStateGuard.findingsFor(cleanRun).mkString("; "))
+          Gate.check(nLeak == total && nClean == total,
+            s"dedup of unique ids must be count-preserving: " +
+              s"leaky $nLeak / clean $nClean vs $total source rows")
+        }
+        subset.groupBy("event_type").agg(count(lit(1)).as("n_unique"))
           .orderBy("event_type").localCheckpoint(true)
       } finally deleteRecursively(tmp)
     },

@@ -70,6 +70,57 @@ class StreamStateGuardSpec extends SparkSpec {
     assert(findings.isEmpty, s"false positive on bounded state: $findings")
   }
 
+  test("withThresholds scopes by query-name prefix") {
+    // No session conf set: the 1M-row default can never fire on 50-row
+    // batches, so any finding here comes from the override alone — and
+    // the override must ignore streams whose name misses the prefix.
+    def leaky(prefix: String): Seq[StreamStateGuard.Finding] = {
+      val tmp = java.nio.file.Files.createTempDirectory("sguard3")
+      val src = tmp.resolve("src").toString
+      def batch(k: Int) = (0 until 50).map(i =>
+        (k * 1000L + i, new java.sql.Timestamp(base.getTime + i * 1000L)))
+        .toDF("event_id", "ts")
+      batch(0).coalesce(1).write.parquet(src)
+      StreamStateGuard.clear()
+      val stream = spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val q = stream.dropDuplicates("event_id")
+        .writeStream.format("memory")
+        .queryName(prefix + java.util.UUID.randomUUID().toString.replace("-", ""))
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        (1 until 6).foreach { k =>
+          batch(k).coalesce(1).write.mode("append").parquet(src)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val out = StreamStateGuard.recent()
+      StreamStateGuard.clear()
+      out
+    }
+    StreamStateGuard.withThresholds("scoped_", minBatches = 3, minRows = 1) {
+      assert(leaky("scoped_").nonEmpty,
+        "override did not apply to a matching stream name")
+      assert(leaky("other_").isEmpty,
+        "override leaked onto a non-matching stream name")
+    }
+  }
+
+  test("malformed guard conf degrades to defaults, not silence") {
+    // '"maybe".toBoolean' used to throw inside the listener callback —
+    // which Spark swallows — so one bad conf value silently disabled the
+    // guard with no finding and no signal. Now a malformed value warns
+    // once and falls back to its default (enabled=true here), and the
+    // guard still fires under the valid thresholds run() sets.
+    spark.conf.set("spark.graft.streamGuard.enabled", "maybe")
+    try {
+      val findings = run(watermarked = false, nBatches = 6)
+      assert(findings.nonEmpty, "guard muted by a malformed enabled conf")
+    } finally spark.conf.unset("spark.graft.streamGuard.enabled")
+  }
+
   test("assertClean throws when a finding is recorded") {
     StreamStateGuard.clear()
     run(watermarked = false, nBatches = 6)
