@@ -13,8 +13,12 @@ import org.apache.spark.sql.functions.{col, hash, sum}
   * `rest` (their summed seconds). The FULL per-query map is printed earlier
   * as `BENCH-FULL` lines and written to target/bench_full.json for humans.
   *
-  * Execution model: queries run CONCURRENTLY over a small worker pool
-  * (FAIR scheduler, one isolated `newSession()` per worker). At bench SF
+  * Execution model: a one-time fixture pre-pass (`fixtures_s`) and one
+  * UNTIMED full warmup pass (`warmup_s`) absorb codegen/JIT/native-init
+  * cold costs, then the two timed passes measure steady-state execution —
+  * their walls ride the line as wall_pass1/wall_pass2 and are the two-run
+  * reproducibility evidence. Queries run CONCURRENTLY over a small worker
+  * pool (FAIR scheduler, one isolated `newSession()` per worker). At bench SF
   * the suite's cost is dominated by the per-query analysis/scheduling
   * floor (~0.5-0.9s x 162 queries), not compute — local[32] sits mostly
   * idle under serial submission. Parallel submission overlaps that floor;
@@ -53,7 +57,9 @@ object Bench {
       wall: Option[Double] = None, workers: Int = 1,
       cal: Option[Double] = None, warmNorm: Seq[(String, Double)] = Nil,
       calPar: Option[Double] = None,
-      wallPasses: Option[(Double, Double)] = None): String = {
+      wallPasses: Option[(Double, Double)] = None,
+      fixtures: Option[Double] = None, warmup: Option[Double] = None,
+      memKnobs: Option[Boolean] = None): String = {
     val serialSum = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val value = wall.getOrElse(serialSum)
     def ent(kv: (String, Double)): String = s""""${kv._1}":${fmt("%.2f", kv._2)}"""
@@ -80,6 +86,16 @@ object Bench {
       wallPasses.map { case (w1, w2) =>
         s""""wall_pass1":${fmt("%.2f", w1)},"wall_pass2":${fmt("%.2f", w2)},"""
       }.getOrElse("") +
+      // fixtures_s = the untimed fixture-machinery pre-pass; warmup_s =
+      // the untimed full warmup pass both timed passes now sit behind
+      // (r12 verdict #1a/#6: the 409s pass-1 anomaly class must be
+      // diagnosable from the artifact alone); mem_knobs records whether
+      // MemoryDiscipline's spill-safety pair governed this run (r12 #2:
+      // the knobs activate silently at 256 MiB/core and the artifact
+      // nowhere said so)
+      fixtures.map(f => s""""fixtures_s":${fmt("%.2f", f)},""").getOrElse("") +
+      warmup.map(w => s""""warmup_s":${fmt("%.2f", w)},""").getOrElse("") +
+      memKnobs.map(k => s""""mem_knobs":$k,""").getOrElse("") +
       s""""n":${results.size},"workers":$workers,"serial_sum":${fmt("%.2f", serialSum)},"""
     val warmJson = warm.sortBy(_._1).map(ent).mkString(""""warm":{""", ",", "},")
     // warm_norm: per-query regression ratio vs the PREVIOUS round's
@@ -286,6 +302,38 @@ object Bench {
           .groupBy("l_returnflag").count().collect()
       } catch { case _: Throwable => () }
     warmTables()
+    // whether MemoryDiscipline's spill-safety pair governs this run —
+    // recorded on the line as mem_knobs (r12 verdict #2: 8g/32 cores =
+    // 256 MiB/core earns the knobs silently; the artifact must say so)
+    val memKnobs = graft.plans.MemoryDiscipline.knobs(cpus.toInt).nonEmpty
+    // One-time fixture-machinery pre-pass (r12 verdict #1a/#6): every
+    // stream/media query builds its own fixture INSIDE its timed path by
+    // design (ScaleCheck decomposes that share per scale), but the FIRST
+    // build in a JVM also pays one-time costs the fixture cells never
+    // meant to include — codegen/JIT of the writer plans, the media
+    // render kernels' C2 compilation, state-store native init. Run every
+    // registered writer once into a scratch dir, timed as `fixtures_s`,
+    // so those costs land here instead of on whichever timed pass ran
+    // first (the r12 artifact's 409s-vs-150s pass gap was exactly this
+    // class of cost, indistinguishable from a regression).
+    val tFx0 = System.nanoTime()
+    locally {
+      val scratch = java.nio.file.Files.createTempDirectory("graft-bench-fx")
+      graft.queries.PipelineQueries.streamFixtureWriters(spark, sfDir)
+        .toSeq.sortBy(_._1).foreach { case (name, write) =>
+          try write(scratch.resolve(name).toString)
+          catch { case e: Throwable =>
+            println(s"BENCH-FX-ERR $name ${e.getClass.getSimpleName}: " +
+              String.valueOf(e.getMessage).take(120))
+          }
+        }
+      try java.nio.file.Files.walk(scratch)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      catch { case _: Throwable => () }
+    }
+    val fixturesS = (System.nanoTime() - tFx0) / 1e9
+    println(s"BENCH-FIXTURES ${fmt("%.2f", fixturesS)}")
     // Fixed-work CPU calibration, timed in the untimed preamble (after the
     // JVM is warm, before any measured query) — rides the line as `cal`.
     val cal = calibrate()
@@ -337,6 +385,21 @@ object Bench {
       val wall = (System.nanoTime() - wall0) / 1e9
       (wall, names.map(n => n -> times.getOrDefault(n, 0.0).doubleValue()).toMap)
     }
+    // Untimed full warmup pass (r12 verdict #1a): pass 1 used to double
+    // as the JVM's first execution of all 233 query plans — whole-stage
+    // codegen compiles, C2, streaming state-store init — and the r12
+    // artifact read wall_pass1 409s vs wall_pass2 150s, leaving the
+    // two-run reproducibility claim unprovable (a 2.7x "gap" that was
+    // warmup cost, not variance). Run the whole suite once UNTIMED so
+    // both timed passes measure steady-state execution; the warmup wall
+    // rides the artifact as `warmup_s` so the one-time cost stays
+    // visible instead of vanishing (standard warmup-iterations protocol:
+    // the claim under test is run-to-run reproducibility of a warm
+    // suite, and cold-start cost is published separately, not mixed in).
+    val (warmupWall, _) = parallelPass()
+    println(s"BENCH-WARMUP ${fmt("%.2f", warmupWall)}")
+    try spark.catalog.clearCache() catch { case _: Throwable => () }
+    warmTables()
     // Self-settling wall (r10 verdict #1): a single parallel pass is a
     // single sample of a high-variance estimator — r10 committed 67.74s
     // while three same-HEAD batteries read 45.8-51.5s, all box state. Run
@@ -428,6 +491,9 @@ object Bench {
     val serialSum = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val fullJson = "{\"total\":" + fmt("%.6f", wall) + ",\"wall_pass1\":" +
       fmt("%.6f", wall1) + ",\"wall_pass2\":" + fmt("%.6f", wall2) +
+      ",\"fixtures_s\":" + fmt("%.6f", fixturesS) +
+      ",\"warmup_s\":" + fmt("%.6f", warmupWall) +
+      ",\"mem_knobs\":" + memKnobs +
       ",\"serial_sum\":" + fmt("%.6f", serialSum) + ",\"workers\":" + nWorkers +
       ",\"cal\":" + fmt("%.6f", cal) + ",\"sf\":\"" + sfDir +
       "\",\"warm\":" + m(warm) + ",\"queries\":" + m(results) + "}"
@@ -438,7 +504,9 @@ object Bench {
     } catch { case _: Throwable => () }
     val line = officialLine(results, sfDir, warm, wall = Some(wall),
       workers = nWorkers, cal = Some(cal), warmNorm = warmNorm,
-      calPar = Some(calPar), wallPasses = Some((wall1, wall2)))
+      calPar = Some(calPar), wallPasses = Some((wall1, wall2)),
+      fixtures = Some(fixturesS), warmup = Some(warmupWall),
+      memKnobs = Some(memKnobs))
     spark.stop()
     println(line)
   }

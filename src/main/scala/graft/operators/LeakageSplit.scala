@@ -77,7 +77,18 @@ object LeakageSplit {
     require(hexChars >= 1 && hexChars <= 15,
       s"hexChars ($hexChars) must be in [1, 15] (15 keeps the threshold " +
         "arithmetic exact in a double)")
-    val labels = ConnectedComponents.clusters(pairs, aCol, bCol)
+    assignWithLabels(items, idCol,
+      ConnectedComponents.clusters(pairs, aCol, bCol), splits, salt, hexChars)
+  }
+
+  /** The assignment stage alone, given precomputed cluster labels —
+    * [[assign]] minus the CC iteration. Factored out so ScaleCheck can
+    * time the md5-bucketing + items-vs-clustered left join separately
+    * from the (already stage-audited) CC core.
+    */
+  private[graft] def assignWithLabels(items: DataFrame, idCol: String,
+      labels: DataFrame, splits: Seq[(String, Double)],
+      salt: String, hexChars: Int): DataFrame = {
     val withCluster = items.select(col(idCol).as("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))

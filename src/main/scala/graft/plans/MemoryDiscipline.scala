@@ -48,14 +48,28 @@ object MemoryDiscipline {
   private[graft] def bytesPerCore(cores: Int): Long =
     Runtime.getRuntime.maxMemory() / math.max(cores, 1)
 
+  private val SpillSafetyPair =
+    Map("spark.unsafe.sorter.spill.read.ahead.enabled" -> "false",
+      "spark.shuffle.spill.diskWriteBufferSize" -> (128 * 1024).toString)
+
   /** The knobs a given core count earns on this JVM: empty at a healthy
     * heap-per-core ratio, the spill-safety pair under [[SafeBytesPerCore]].
+    *
+    * Override: `GRAFT_MEM_KNOBS=on|off` (env, or the `graft.memKnobs`
+    * system property for tests) forces the pair on or off regardless of
+    * the boundary — the A/B lever for attributing warm-time drift to the
+    * knobs (r12 verdict #1b: 8g/32 cores = 256 MiB/core sits under the
+    * boundary, so every standard bench run earns them silently; the
+    * bisection needs a knobs-off run on the same box).
     */
   private[graft] def knobs(cores: Int): Map[String, String] =
-    if (bytesPerCore(cores) < SafeBytesPerCore)
-      Map("spark.unsafe.sorter.spill.read.ahead.enabled" -> "false",
-        "spark.shuffle.spill.diskWriteBufferSize" -> (128 * 1024).toString)
-    else Map.empty
+    sys.env.get("GRAFT_MEM_KNOBS").orElse(sys.props.get("graft.memKnobs")) match {
+      case Some("off") => Map.empty
+      case Some("on") => SpillSafetyPair
+      case _ =>
+        if (bytesPerCore(cores) < SafeBytesPerCore) SpillSafetyPair
+        else Map.empty
+    }
 
   /** Apply the spill-safety knobs to `builder` when this JVM's heap-per-
     * core sits under the safe boundary; identity otherwise. Call with the

@@ -18,12 +18,14 @@ object PipelineQueries {
     * the suite injects at +1e6/+2e6, which caps structure-preserving
     * replication at ~100x of sf0.1 (ids must stay below the offsets or
     * the injected fixtures collide with replica ids); these three carry
-    * the steepest curves, so THEIR fixtures live at +1e8 to leave id
-    * headroom for the 1000x corpus. The offset appears verbatim in each
-    * query's oracle SQL via string interpolation — one constant, both
-    * arms.
+    * the steepest curves, so THEIR fixtures live at +1e10 to leave id
+    * headroom for the 1000x and 10000x corpora (10000x replica ids top
+    * out near 1.05e8 under the two-hop power-of-two stride; 1e8 — the
+    * r12 offset — would collide there). The offset appears verbatim in
+    * each query's oracle SQL via string interpolation — one constant,
+    * both arms.
     */
-  private[graft] val BigOff = 100000000L
+  private[graft] val BigOff = 10000000000L
 
   /** The documents/embeddings fixtures are single parquet files — one scan
     * partition — which serializes the sketch kernels onto one core. At
@@ -274,6 +276,91 @@ object PipelineQueries {
             java.nio.file.attribute.FileTime.fromMillis(epochMs))
         }
       }
+
+  /** x_stream_dedup_rocksdb's full two-phase body, provider-parametric:
+    * the query runs it with the env-selected provider (RocksDB default);
+    * ScaleCheck times the heap/RocksDB PAIR on the same corpus so the
+    * published row prices the backend tax instead of asserting it (r12
+    * verdict #5 — STRESSCHECK had the 3g pair and the 1200m jvm_dead
+    * counterfactual, but the standard-heap crossover was unmeasured).
+    */
+  private[graft] def streamDedupBackendRun(s: org.apache.spark.sql.SparkSession,
+      dir: String, provider: String): org.apache.spark.sql.DataFrame = {
+    import graft.streaming.StateBackend
+    val tmp = Tmp.dir("graft-sdrocks")
+    try {
+      val src = tmp.resolve("src").toString
+      val out = tmp.resolve("out").toString
+      val ckpt = tmp.resolve("ckpt").toString
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+          col("event_type"))
+      val stats = ev.agg(max(unix_millis(col("ts"))),
+        countDistinct(col("event_id"))).first()
+      val (maxMs, nUnique) = (stats.getLong(0), stats.getLong(1))
+      val stamped = scala.collection.mutable.Set.empty[String]
+      val t0 = System.currentTimeMillis()
+      // batch/parallelism geometry scales with the corpus (the other
+      // stream queries pin tiny user_id<N populations; this one streams
+      // the WHOLE events table so the state stays stress-sized): ~4
+      // micro-batches regardless of scale, one state-store instance per
+      // core once the corpus is big enough to use them
+      val shards = timeShardCount(nUnique)
+      def runInstance(): Unit = withShufflePartitions(s,
+        math.min(32, shards * 2)) {
+        StateBackend.withProvider(s, provider) {
+          val stream = s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", math.max(1, shards / 4)).parquet(src)
+          val q = stream.withWatermark("ts", "60 minutes")
+            .dropDuplicatesWithinWatermark("event_id")
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").start()
+          try {
+            q.processAllAvailable()
+            Gate.check(provider != StateBackend.RocksDb ||
+              StateBackend.rocksDbEngaged(q),
+              "RocksDB provider configured but no rocksdb state metrics " +
+                "reported — the heap provider ran instead")
+          } finally q.stop()
+        }
+      }
+      // phase A: the whole corpus as RANGE-partitioned time-sorted shards
+      // (the dedup operator late-filters rows behind the watermark, so
+      // arrival order must follow event time — but a single sorted file
+      // serializes a 10M-row sort onto one core at the 100x corpus, and
+      // was the dominant term of this row's first 13.3x ScaleCheck
+      // ratio). Range shard k+1's min ts >= shard k's max ts, and the
+      // watermark only advances at batch boundaries, so per-shard
+      // ingestion stays late-row-free at any corpus order. Every
+      // event_id is first-seen here.
+      writeTimeSortedShards(ev, src, nUnique, t0, stamped)
+      runInstance()
+      val aRows = s.read.parquet(out).count()
+      Gate.check(aRows == nUnique,
+        s"phase A emitted $aRows of $nUnique unique events")
+      // phase B, after the kill: duplicates of the last-30-minutes slice
+      // (>= reloaded watermark maxTs-60min, so NOT late — droppable only
+      // via reloaded state) + one genuinely fresh sentinel row
+      import s.implicits._
+      ev.where(unix_millis(col("ts")) >= maxMs - 1800000L)
+        .unionByName(Seq((-1L,
+          new java.sql.Timestamp(maxMs + 7200000L), "sentinel"))
+          .toDF("event_id", "ts", "event_type"))
+        .repartition(1).sortWithinPartitions("ts")
+        .write.mode("append").parquet(src)
+      stampNewFiles(src, stamped, t0 + 60000L)
+      runInstance()
+      val all = s.read.parquet(out)
+      val bRows = all.count() - aRows
+      Gate.check(bRows == 1L,
+        s"phase B emitted $bRows rows, expected exactly the sentinel — " +
+          "in-horizon duplicates were not dropped by reloaded state")
+      all.where(col("event_type") =!= "sentinel")
+        .groupBy("event_type").agg(count(lit(1)).as("n_unique"))
+        .orderBy("event_type").localCheckpoint(true)
+    } finally deleteRecursively(tmp)
+  }
 
   /** Recovery count shared by the media near-dup gates (two-tier protocol,
     * r12): for each injected pair (a, a + 1e6) with a < 20, the copy is
@@ -3511,79 +3598,7 @@ object PipelineQueries {
         case "hdfs" => StateBackend.HeapBacked
         case _ => StateBackend.RocksDb
       }
-      val tmp = Tmp.dir("graft-sdrocks")
-      try {
-        val src = tmp.resolve("src").toString
-        val out = tmp.resolve("out").toString
-        val ckpt = tmp.resolve("ckpt").toString
-        val ev = Tables(s, dir, "events")
-          .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
-            col("event_type"))
-        val stats = ev.agg(max(unix_millis(col("ts"))),
-          countDistinct(col("event_id"))).first()
-        val (maxMs, nUnique) = (stats.getLong(0), stats.getLong(1))
-        val stamped = scala.collection.mutable.Set.empty[String]
-        val t0 = System.currentTimeMillis()
-        // batch/parallelism geometry scales with the corpus (the other
-        // stream queries pin tiny user_id<N populations; this one streams
-        // the WHOLE events table so the state stays stress-sized): ~4
-        // micro-batches regardless of scale, one state-store instance per
-        // core once the corpus is big enough to use them
-        val shards = timeShardCount(nUnique)
-        def runInstance(): Unit = withShufflePartitions(s,
-          math.min(32, shards * 2)) {
-          StateBackend.withProvider(s, provider) {
-            val stream = s.readStream.schema(ev.schema)
-              .option("maxFilesPerTrigger", math.max(1, shards / 4)).parquet(src)
-            val q = stream.withWatermark("ts", "60 minutes")
-              .dropDuplicatesWithinWatermark("event_id")
-              .writeStream.format("parquet").option("path", out)
-              .option("checkpointLocation", ckpt)
-              .outputMode("append").start()
-            try {
-              q.processAllAvailable()
-              Gate.check(provider != StateBackend.RocksDb ||
-                StateBackend.rocksDbEngaged(q),
-                "RocksDB provider configured but no rocksdb state metrics " +
-                  "reported — the heap provider ran instead")
-            } finally q.stop()
-          }
-        }
-        // phase A: the whole corpus as RANGE-partitioned time-sorted shards
-        // (the dedup operator late-filters rows behind the watermark, so
-        // arrival order must follow event time — but a single sorted file
-        // serializes a 10M-row sort onto one core at the 100x corpus, and
-        // was the dominant term of this row's first 13.3x ScaleCheck
-        // ratio). Range shard k+1's min ts >= shard k's max ts, and the
-        // watermark only advances at batch boundaries, so per-shard
-        // ingestion stays late-row-free at any corpus order. Every
-        // event_id is first-seen here.
-        writeTimeSortedShards(ev, src, nUnique, t0, stamped)
-        runInstance()
-        val aRows = s.read.parquet(out).count()
-        Gate.check(aRows == nUnique,
-          s"phase A emitted $aRows of $nUnique unique events")
-        // phase B, after the kill: duplicates of the last-30-minutes slice
-        // (>= reloaded watermark maxTs-60min, so NOT late — droppable only
-        // via reloaded state) + one genuinely fresh sentinel row
-        import s.implicits._
-        ev.where(unix_millis(col("ts")) >= maxMs - 1800000L)
-          .unionByName(Seq((-1L,
-            new java.sql.Timestamp(maxMs + 7200000L), "sentinel"))
-            .toDF("event_id", "ts", "event_type"))
-          .repartition(1).sortWithinPartitions("ts")
-          .write.mode("append").parquet(src)
-        stampNewFiles(src, stamped, t0 + 60000L)
-        runInstance()
-        val all = s.read.parquet(out)
-        val bRows = all.count() - aRows
-        Gate.check(bRows == 1L,
-          s"phase B emitted $bRows rows, expected exactly the sentinel — " +
-            "in-horizon duplicates were not dropped by reloaded state")
-        all.where(col("event_type") =!= "sentinel")
-          .groupBy("event_type").agg(count(lit(1)).as("n_unique"))
-          .orderBy("event_type").localCheckpoint(true)
-      } finally deleteRecursively(tmp)
+      streamDedupBackendRun(s, dir, provider)
     },
 
     // StreamStateGuard negative path at suite scale — the runtime guard's

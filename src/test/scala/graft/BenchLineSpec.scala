@@ -137,6 +137,22 @@ class BenchLineSpec extends AnyFunSuite {
     assert(c2 / c1 < 10 && c1 / c2 < 10, s"cal unstable: $c1 vs $c2")
   }
 
+  test("fixtures_s, warmup_s and mem_knobs ride the line when provided") {
+    val results = (1 to 30).map(i => s"q$i" -> 0.5)
+    val node = parse(Bench.officialLine(results, "/x", wall = Some(3.0),
+      workers = 4, wallPasses = Some((12.5, 11.75)),
+      fixtures = Some(8.25), warmup = Some(95.5), memKnobs = Some(true)))
+    assert(node.get("fixtures_s").asDouble() == 8.25)
+    assert(node.get("warmup_s").asDouble() == 95.5)
+    assert(node.get("mem_knobs").asBoolean())
+    assert(node.get("wall_pass1").asDouble() == 12.5)
+    assert(node.get("wall_pass2").asDouble() == 11.75)
+    // absent by default — older-round consumers see no new fields
+    val bare = parse(Bench.officialLine(results, "/x"))
+    assert(bare.get("fixtures_s") == null && bare.get("warmup_s") == null &&
+      bare.get("mem_knobs") == null)
+  }
+
   test("queue order scatters or LPT-sorts; never drops or duplicates names") {
     val names = (1 to 100).map(i => s"q$i")
     val scattered = Bench.queueOrder(names, Map.empty)
