@@ -59,7 +59,8 @@ object Bench {
       calPar: Option[Double] = None,
       wallPasses: Option[(Double, Double)] = None,
       fixtures: Option[Double] = None, warmup: Option[Double] = None,
-      memKnobs: Option[Boolean] = None): String = {
+      memKnobs: Option[Boolean] = None,
+      calParEnd: Option[Double] = None): String = {
     val serialSum = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val value = wall.getOrElse(serialSum)
     def ent(kv: (String, Double)): String = s""""${kv._1}":${fmt("%.2f", kv._2)}"""
@@ -96,6 +97,13 @@ object Bench {
       fixtures.map(f => s""""fixtures_s":${fmt("%.2f", f)},""").getOrElse("") +
       warmup.map(w => s""""warmup_s":${fmt("%.2f", w)},""").getOrElse("") +
       memKnobs.map(k => s""""mem_knobs":$k,""").getOrElse("") +
+      // cal_par re-measured AFTER the timed passes: the run-start sample
+      // alone cannot show a box whose parallel throughput drifted DURING
+      // the run (observed same-HEAD: 0.238 -> 0.422 between back-to-back
+      // runs — a 77% swing that fully explains a 30%+ pass-wall gap).
+      // cal_par_end/cal_par >> 1 means the pass walls rode a degrading
+      // box; ~1 means a wall gap is the suite's own variance.
+      calParEnd.map(c => s""""cal_par_end":${fmt("%.3f", c)},""").getOrElse("") +
       s""""n":${results.size},"workers":$workers,"serial_sum":${fmt("%.2f", serialSum)},"""
     val warmJson = warm.sortBy(_._1).map(ent).mkString(""""warm":{""", ",", "},")
     // warm_norm: per-query regression ratio vs the PREVIOUS round's
@@ -398,8 +406,20 @@ object Bench {
     // suite, and cold-start cost is published separately, not mixed in).
     val (warmupWall, _) = parallelPass()
     println(s"BENCH-WARMUP ${fmt("%.2f", warmupWall)}")
-    try spark.catalog.clearCache() catch { case _: Throwable => () }
-    warmTables()
+    // Between-pass reset: drop leaked table caches, then give the
+    // ContextCleaner a GC + a beat to unlink the finished pass's shuffle
+    // files and state stores (the ScaleCheck reclaim discipline — a full
+    // suite pass leaves thousands of dropped ShuffleDependency refs whose
+    // cleanup only runs after a collection; letting them pile into later
+    // passes is a slow monotonic drag on exactly the pass-to-pass
+    // comparison this protocol exists to publish).
+    def resetPassState(): Unit = {
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      System.gc()
+      Thread.sleep(2000)
+      warmTables()
+    }
+    resetPassState()
     // Self-settling wall (r10 verdict #1): a single parallel pass is a
     // single sample of a high-variance estimator — r10 committed 67.74s
     // while three same-HEAD batteries read 45.8-51.5s, all box state. Run
@@ -414,10 +434,16 @@ object Bench {
     // so an un-reset second pass measures cached relations and the
     // min-merge then prefers contaminated samples — the exact warm-phase
     // contamination documented below, applied between the two passes
-    try spark.catalog.clearCache() catch { case _: Throwable => () }
-    warmTables()
+    resetPassState()
     val (wall2, pass2) = parallelPass()
     println(s"BENCH-WALL-PASS2 ${fmt("%.2f", wall2)}")
+    // post-pass box re-calibration (after a GC beat so end-of-pass
+    // cleanup threads don't contaminate the 32-thread sample, the r9
+    // ScaleCheck caveat) — rides the line as cal_par_end
+    System.gc()
+    Thread.sleep(2000)
+    val calParEnd = calibratePar()
+    println(s"BENCH-CALPAR-END ${fmt("%.3f", calParEnd)}")
     val wall = math.min(wall1, wall2)
     val results = names.map { n =>
       val v = math.min(pass1.getOrElse(n, 0.0), pass2.getOrElse(n, 0.0))
@@ -432,8 +458,7 @@ object Bench {
     // relation the parallel workers leaked (the cache manager is shared
     // across newSession()s), then re-run the untimed table warmup so
     // first-touch page-cache luck doesn't ride the warm numbers either.
-    try spark.catalog.clearCache() catch { case _: Throwable => () }
-    warmTables()
+    resetPassState()
     // Repeated-run protocol: rerun the 10 slowest queries once, warm and
     // SERIAL (uncontended — these are the trustworthy per-query numbers).
     // A query that is slow cold AND warm has a plan problem; one that is
@@ -506,7 +531,7 @@ object Bench {
       workers = nWorkers, cal = Some(cal), warmNorm = warmNorm,
       calPar = Some(calPar), wallPasses = Some((wall1, wall2)),
       fixtures = Some(fixturesS), warmup = Some(warmupWall),
-      memKnobs = Some(memKnobs))
+      memKnobs = Some(memKnobs), calParEnd = Some(calParEnd))
     spark.stop()
     println(line)
   }

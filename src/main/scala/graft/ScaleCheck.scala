@@ -903,7 +903,17 @@ object ScaleCheck {
     // spill-safety knobs when heap-per-core is small (see MemoryDiscipline)
     val spark = graft.plans.MemoryDiscipline.spillSafe(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // >1000x: shuffle partitions scale with the corpus instead of
+      // pinning to the core count — the ppjoin df-attach join hash-builds
+      // the distinct-shingle side per partition ("bounded at any corpus
+      // by scaling the shuffle", Dedup.ppjoinAgg scaladoc), and at 5000x
+      // a 32-partition layout puts ~72M entries (~3.6 GB) in each build
+      // task, which died with "not enough memory to build hash map"
+      // (hash builds don't spill). 32*factor/500 keeps the per-partition
+      // build share at the ≤1000x level; a 100 TB deployment sizes
+      // shuffle.partitions off data volume for exactly this reason.
+      .config("spark.sql.shuffle.partitions",
+        if (factor > 1000) (cpus.toInt * factor / 500).toString else cpus)
       // >100x only: a single gram-keyed exchange at 1000x writes 460M
       // hash-shuffled strings — under lz4 that overran this box's ~79 GB
       // free (observed ENOSPC); zstd-3 at a 256 KB window is the knob a
@@ -913,7 +923,22 @@ object ScaleCheck {
       // consistent; ≤100x keeps lz4 so those cells remain comparable to
       // earlier rounds' tables.
       .config("spark.io.compression.codec", if (factor > 100) "zstd" else "lz4")
-      .config("spark.io.compression.zstd.level", "3")
+      // 10000x: the gram exchange alone wrote >43 GB of shuffle at level
+      // 3 and hit ENOSPC on this box's ~65 GB headroom; level 6 buys
+      // ~20% on text shuffle for CPU this IO-bound stage has to spare
+      .config("spark.io.compression.zstd.level", if (factor > 1000) "6" else "3")
+      // >1000x: auto-broadcast OFF (both planner and AQE) — join-side
+      // size estimates ride COMPRESSED bytes, and zstd-6 text at ~6x
+      // makes a multi-GB decompressed build side look under the 10 MB
+      // threshold; the resulting executor-side HashedRelation build died
+      // with "not enough memory to build hash map" at 5000x (hash builds
+      // don't spill; sort-merge does — the same conservative setting a
+      // real deployment runs at stats-unreliable scale). explicit
+      // broadcast() hints (the small-dim discipline) are unaffected.
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        if (factor > 1000) "-1" else "10485760")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
+        if (factor > 1000) "-1" else "10485760")
       .config("spark.io.compression.zstd.bufferSize", "256k")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")

@@ -145,6 +145,10 @@ class BenchLineSpec extends AnyFunSuite {
     assert(node.get("fixtures_s").asDouble() == 8.25)
     assert(node.get("warmup_s").asDouble() == 95.5)
     assert(node.get("mem_knobs").asBoolean())
+    assert(node.get("cal_par_end") == null, "absent unless provided")
+    val withEnd = parse(Bench.officialLine(results, "/x",
+      calPar = Some(0.238), calParEnd = Some(0.422)))
+    assert(math.abs(withEnd.get("cal_par_end").asDouble() - 0.422) < 0.0005)
     assert(node.get("wall_pass1").asDouble() == 12.5)
     assert(node.get("wall_pass2").asDouble() == 11.75)
     // absent by default — older-round consumers see no new fields
