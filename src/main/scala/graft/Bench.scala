@@ -60,7 +60,10 @@ object Bench {
       wallPasses: Option[(Double, Double)] = None,
       fixtures: Option[Double] = None, warmup: Option[Double] = None,
       memKnobs: Option[Boolean] = None,
-      calParEnd: Option[Double] = None): String = {
+      calParEnd: Option[Double] = None,
+      calParWarm: Option[Double] = None,
+      heapGb: Option[Double] = None,
+      fixtureErrs: Option[Int] = None): String = {
     val serialSum = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val value = wall.getOrElse(serialSum)
     def ent(kv: (String, Double)): String = s""""${kv._1}":${fmt("%.2f", kv._2)}"""
@@ -95,8 +98,18 @@ object Bench {
       // the knobs activate silently at 256 MiB/core and the artifact
       // nowhere said so)
       fixtures.map(f => s""""fixtures_s":${fmt("%.2f", f)},""").getOrElse("") +
+      // fixture_errs counts BENCH-FX-ERR occurrences (r13 advice): a
+      // writer that failed the pre-pass lands its cold codegen/JIT cost
+      // back on the timed passes, so an incomplete pre-pass must be
+      // diagnosable from the artifact alone
+      fixtureErrs.map(e => s""""fixture_errs":$e,""").getOrElse("") +
       warmup.map(w => s""""warmup_s":${fmt("%.2f", w)},""").getOrElse("") +
       memKnobs.map(k => s""""mem_knobs":$k,""").getOrElse("") +
+      // heap_gb: the -Xmx this run actually ran under (r13 verdict #4 —
+      // mem_knobs records the knob OUTCOME but not its cause; cross-round
+      // warm comparisons need the governing heap attributable from the
+      // line alone, e.g. a committed 8g run vs a 32g demonstration run)
+      heapGb.map(h => s""""heap_gb":${fmt("%.1f", h)},""").getOrElse("") +
       // cal_par re-measured AFTER the timed passes: the run-start sample
       // alone cannot show a box whose parallel throughput drifted DURING
       // the run (observed same-HEAD: 0.238 -> 0.422 between back-to-back
@@ -104,6 +117,14 @@ object Bench {
       // cal_par_end/cal_par >> 1 means the pass walls rode a degrading
       // box; ~1 means a wall gap is the suite's own variance.
       calParEnd.map(c => s""""cal_par_end":${fmt("%.3f", c)},""").getOrElse("") +
+      // cal_par_warm: the 32-thread calibration re-measured immediately
+      // BEFORE the warm serial phase (r13 verdict #1: warm cells measured
+      // at end-of-run were normalized by the START cal_par; on the r13
+      // box that degraded 1.8x mid-run the committed warm_norm ~1.17
+      // overstated drift — cells normalized warm-phase-adjacent read
+      // ~0.65). warm_norm on THIS line uses cal_par_warm; next round's
+      // normalizeWarm prefers it as the prev-round divisor too.
+      calParWarm.map(c => s""""cal_par_warm":${fmt("%.3f", c)},""").getOrElse("") +
       s""""n":${results.size},"workers":$workers,"serial_sum":${fmt("%.2f", serialSum)},"""
     val warmJson = warm.sortBy(_._1).map(ent).mkString(""""warm":{""", ",", "},")
     // warm_norm: per-query regression ratio vs the PREVIOUS round's
@@ -177,7 +198,14 @@ object Bench {
         if (parsed == null || parsed.get("cal") == null) None
         else {
           val cal = parsed.get("cal").asDouble()
-          val calPar = Option(parsed.get("cal_par")).map(_.asDouble()).filter(_ > 0)
+          // prefer the warm-phase-adjacent calibration when the previous
+          // round published one (r13 verdict #1): the prev round's warm
+          // cells were measured next to ITS cal_par_warm, so that is the
+          // divisor that rescales them — cal_par (run start) misreads any
+          // box that drifted between start and warm phase
+          val calPar = Option(parsed.get("cal_par_warm"))
+            .orElse(Option(parsed.get("cal_par")))
+            .map(_.asDouble()).filter(_ > 0)
           val w = parsed.get("warm")
           val warm = if (w == null) Map.empty[String, Double]
             else {
@@ -314,6 +342,7 @@ object Bench {
     // recorded on the line as mem_knobs (r12 verdict #2: 8g/32 cores =
     // 256 MiB/core earns the knobs silently; the artifact must say so)
     val memKnobs = graft.plans.MemoryDiscipline.knobs(cpus.toInt).nonEmpty
+    val heapGb = Runtime.getRuntime.maxMemory / 1e9
     // One-time fixture-machinery pre-pass (r12 verdict #1a/#6): every
     // stream/media query builds its own fixture INSIDE its timed path by
     // design (ScaleCheck decomposes that share per scale), but the FIRST
@@ -325,23 +354,26 @@ object Bench {
     // first (the r12 artifact's 409s-vs-150s pass gap was exactly this
     // class of cost, indistinguishable from a regression).
     val tFx0 = System.nanoTime()
-    locally {
-      val scratch = java.nio.file.Files.createTempDirectory("graft-bench-fx")
-      graft.queries.PipelineQueries.streamFixtureWriters(spark, sfDir)
-        .toSeq.sortBy(_._1).foreach { case (name, write) =>
-          try write(scratch.resolve(name).toString)
-          catch { case e: Throwable =>
-            println(s"BENCH-FX-ERR $name ${e.getClass.getSimpleName}: " +
-              String.valueOf(e.getMessage).take(120))
-          }
+    var fixtureErrs = 0
+    val fxScratch = java.nio.file.Files.createTempDirectory("graft-bench-fx")
+    graft.queries.PipelineQueries.streamFixtureWriters(spark, sfDir)
+      .toSeq.sortBy(_._1).foreach { case (name, write) =>
+        try write(fxScratch.resolve(name).toString)
+        catch { case e: Throwable =>
+          fixtureErrs += 1
+          println(s"BENCH-FX-ERR $name ${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).take(120))
         }
-      try java.nio.file.Files.walk(scratch)
-        .sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-      catch { case _: Throwable => () }
-    }
+      }
+    // clock stops BEFORE the scratch cleanup (r13 advice): the recursive
+    // delete is harness housekeeping, not fixture-machinery cost, and it
+    // was inflating the published fixtures_s
     val fixturesS = (System.nanoTime() - tFx0) / 1e9
-    println(s"BENCH-FIXTURES ${fmt("%.2f", fixturesS)}")
+    try java.nio.file.Files.walk(fxScratch)
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    catch { case _: Throwable => () }
+    println(s"BENCH-FIXTURES ${fmt("%.2f", fixturesS)} errs=$fixtureErrs")
     // Fixed-work CPU calibration, timed in the untimed preamble (after the
     // JVM is warm, before any measured query) — rides the line as `cal`.
     val cal = calibrate()
@@ -459,6 +491,14 @@ object Bench {
     // across newSession()s), then re-run the untimed table warmup so
     // first-touch page-cache luck doesn't ride the warm numbers either.
     resetPassState()
+    // Warm-phase-adjacent calibration (r13 verdict #1): the warm serials
+    // below are THE cross-round comparables, and they run minutes after
+    // run-start `cal_par` on a box that can drift meanwhile (r13: 0.345 ->
+    // 0.619 within one run, biasing every committed warm_norm upward).
+    // Re-measure the 32-thread calibration HERE, immediately before the
+    // warm loop, and normalize warm cells by THIS sample.
+    val calParWarm = calibratePar()
+    println(s"BENCH-CALPAR-WARM ${fmt("%.3f", calParWarm)}")
     // Repeated-run protocol: rerun the 10 slowest queries once, warm and
     // SERIAL (uncontended — these are the trustworthy per-query numbers).
     // A query that is slow cold AND warm has a plan problem; one that is
@@ -489,12 +529,13 @@ object Bench {
     // time and survives to the committed line, which is exactly when a
     // >1.3 cell should be believed.
     val prev = readPrevBench()
-    def norm(w: Seq[(String, Double)]): Seq[(String, Double)] = prev match {
-      case Some((prevCal, prevCalPar, prevWarm)) =>
-        normalizeWarm(w, cal, prevWarm, prevCal, Some(calPar), prevCalPar)
-      case None => Nil
-    }
-    var warmNorm = norm(warm)
+    def norm(w: Seq[(String, Double)], calParNow: Double): Seq[(String, Double)] =
+      prev match {
+        case Some((prevCal, prevCalPar, prevWarm)) =>
+          normalizeWarm(w, cal, prevWarm, prevCal, Some(calParNow), prevCalPar)
+        case None => Nil
+      }
+    var warmNorm = norm(warm, calParWarm)
     var settle = 0
     while (settle < 3 && warmNorm.exists(_._2 > 1.3)) {
       val hot = warmNorm.filter(_._2 > 1.3).map(_._1).toSet
@@ -502,8 +543,15 @@ object Bench {
       warm = warm.map { case (q, t) =>
         q -> (if (hot(q)) math.min(t, run1(spark, q, byName(q))) else t)
       }
-      warmNorm = norm(warm)
+      warmNorm = norm(warm, calParWarm)
       settle += 1
+    }
+    // paired old-vs-new normalization on the same run (r13 verdict #1
+    // done-criterion): the same warm cells normalized by the run-start
+    // cal_par, printed for comparison against the committed cal_par_warm
+    // normalization — on a drifting box the two diverge by the drift.
+    norm(warm, calPar).foreach { case (k, v) =>
+      println(s"BENCH-NORM-STARTCAL $k ${fmt("%.4f", v)}")
     }
     // Full-precision detail: one line per query (scrolls out of the tail
     // buffer by design) plus a JSON file for offline inspection. Printed
@@ -517,8 +565,11 @@ object Bench {
     val fullJson = "{\"total\":" + fmt("%.6f", wall) + ",\"wall_pass1\":" +
       fmt("%.6f", wall1) + ",\"wall_pass2\":" + fmt("%.6f", wall2) +
       ",\"fixtures_s\":" + fmt("%.6f", fixturesS) +
+      ",\"fixture_errs\":" + fixtureErrs +
       ",\"warmup_s\":" + fmt("%.6f", warmupWall) +
       ",\"mem_knobs\":" + memKnobs +
+      ",\"heap_gb\":" + fmt("%.1f", heapGb) +
+      ",\"cal_par_warm\":" + fmt("%.6f", calParWarm) +
       ",\"serial_sum\":" + fmt("%.6f", serialSum) + ",\"workers\":" + nWorkers +
       ",\"cal\":" + fmt("%.6f", cal) + ",\"sf\":\"" + sfDir +
       "\",\"warm\":" + m(warm) + ",\"queries\":" + m(results) + "}"
@@ -531,7 +582,9 @@ object Bench {
       workers = nWorkers, cal = Some(cal), warmNorm = warmNorm,
       calPar = Some(calPar), wallPasses = Some((wall1, wall2)),
       fixtures = Some(fixturesS), warmup = Some(warmupWall),
-      memKnobs = Some(memKnobs), calParEnd = Some(calParEnd))
+      memKnobs = Some(memKnobs), calParEnd = Some(calParEnd),
+      calParWarm = Some(calParWarm), heapGb = Some(heapGb),
+      fixtureErrs = Some(fixtureErrs))
     spark.stop()
     println(line)
   }

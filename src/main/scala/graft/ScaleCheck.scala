@@ -455,8 +455,22 @@ object ScaleCheck {
     // per-frame decode cost is flat and the stage is linear-per-frame.
     val nFrames = fh.count()
     val fps = (nFrames / math.max(tHash, 1e-9)).round
+    // Band-join candidate volume, on the row (r13 verdict #5 — the
+    // suite's only JoinBlowupListener finding lives on THIS join at
+    // 1000x: 989.8M candidates from 26.3M banded inputs, ~37.6x). The
+    // redundancy is output density, not overdraw: OR-banding carries
+    // every true match once per matching band (4) x frame position (<=8)
+    // before the (v1,v2) dedup — at 1000x the 16.16M near-pairs alone
+    // account for a ~650M-row floor of that stream — and the
+    // content-seeded occupancy splitter bounds per-bucket work.
+    // cand_rows / banded_rows / cand_redundancy make the
+    // finding-and-acquittal readable from the row itself.
+    val nCand = graft.operators.Dedup.hammingCandidates(
+      repHashes.select(col("frame"), col("doc_id").as("id"), col("h")),
+      alignCols = Seq("frame")).count()
+    val nBanded = repHashes.count() * 4 // 4 simhash bands per input row
     println(s"SCALECHECK pairs x_video_dedup reps=$nReps pairs=$nPairs " +
-      s"frames=$nFrames hash_fps=$fps")
+      s"frames=$nFrames hash_fps=$fps cand=$nCand banded=$nBanded")
     val stages = Seq(("x_video_dedup", "hash", tHash),
       ("x_video_dedup", "groups", tGroups), ("x_video_dedup", "pairs", tPairs))
       .map { case (q, c, t) =>
@@ -466,7 +480,9 @@ object ScaleCheck {
     (stages, Seq(("x_video_dedup", "reps", nReps),
       ("x_video_dedup", "near_pairs", nPairs),
       ("x_video_dedup", "frames", nFrames),
-      ("x_video_dedup", "hash_fps", fps)))
+      ("x_video_dedup", "hash_fps", fps),
+      ("x_video_dedup", "cand_rows", nCand),
+      ("x_video_dedup", "banded_rows", nBanded)))
   }
 
   /** Single-hash media families' per-stage decomposition (image dHash /
@@ -758,7 +774,8 @@ object ScaleCheck {
       bigStages: Seq[(String, String, Double)] = Nil,
       baseCounts: Seq[(String, String, Long)] = Nil,
       bigCounts: Seq[(String, String, Long)] = Nil,
-      cal: Option[(Double, Double)] = None): Unit = {
+      cal: Option[(Double, Double)] = None,
+      bigShufflePartitions: Option[Int] = None): Unit = {
     import com.fasterxml.jackson.databind.node.ObjectNode
     val path = java.nio.file.Paths.get("SCALECHECK.json")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -779,6 +796,17 @@ object ScaleCheck {
       meta.put("codec_gt100x", "zstd-3/256k shuffle codec for >100x runs " +
         "(both scales in-run, ratio internally consistent) — lz4 shuffle " +
         "of the 1000x gram exchange overran this box's ~79 GB free disk")
+    // >1000x runtime geometry, recorded so cells stay comparable across
+    // factors (r13 advice): big-corpus runs execute under corpus-scaled
+    // shuffle partitions + auto-broadcast off, base cells under the
+    // canonical cpus=32 layout (withBigConf scoping in main)
+    bigShufflePartitions.filter(_ > 32).foreach { p =>
+      meta.put(s"big_shuffle_partitions_${factor}x", p)
+      meta.put(s"big_conf_${factor}x",
+        "big-corpus runs only: spark.sql.shuffle.partitions=" + p +
+          ", autoBroadcastJoinThreshold=-1 (planner+AQE), zstd-6; base " +
+          "cells ran canonical cpus-partition geometry with broadcasts on")
+    }
     // Box-calibration constants at generation time (r9 verdict #4):
     // ratios are box-invariant within a run, but cross-round comparisons
     // of ABSOLUTE cells need the same divisor warm_norm uses — divide a
@@ -889,6 +917,27 @@ object ScaleCheck {
       }
     putCounts(baseCounts, "base")
     putCounts(bigCounts, s"${factor}x")
+    // derived wherever both counts landed: candidates per banded input
+    // row on the Hamming band join — the JoinBlowupListener acquittal
+    // statistic (r13 verdict #5: tens-of-x here with a matching
+    // near_pairs floor is OR-banding's per-band×per-position carry of
+    // true matches, i.e. output density, not candidate overdraw)
+    def putRedundancy(suffix: String): Unit = {
+      val names = root.fieldNames()
+      while (names.hasNext) {
+        root.get(names.next()) match {
+          case q: ObjectNode if q.has(s"cand_rows_$suffix") &&
+              q.has(s"banded_rows_$suffix") =>
+            q.put(s"cand_redundancy_$suffix", math.round(
+              q.get(s"cand_rows_$suffix").asDouble() /
+                math.max(q.get(s"banded_rows_$suffix").asDouble(), 1.0)
+                * 10.0) / 10.0)
+          case _ =>
+        }
+      }
+    }
+    putRedundancy("base")
+    putRedundancy(s"${factor}x")
     // trailing newline: text artifacts end with one (r7 advice)
     java.nio.file.Files.write(path,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root) ++ "\n".getBytes)
@@ -900,20 +949,33 @@ object ScaleCheck {
     val out = args.lift(1).getOrElse("/tmp/graft_sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // >100x heap floor, enforced BEFORE the corpus build (r13 verdict #3:
+    // two multi-hour corpus builds burned into exit-52 forked-JVM OOMs
+    // this floor already predicts). local[32] puts driver + all 32
+    // executor slots in ONE heap: the 8g default is 256 MiB/core — fine
+    // for the spilling set-join family, fatal for the media family's
+    // 40M-frame checkpoint + window + band-join stack and for >1000x
+    // cross-dedup shuffles. On a cluster this is just executor memory;
+    // locally the documented floor is SPARK_DRIVER_MEM=32g (NOTES r13).
+    if (factor > 100) {
+      val maxGb = Runtime.getRuntime.maxMemory / 1e9
+      require(maxGb >= 24.0,
+        f">100x ScaleCheck needs a >=24 GB heap (have $maxGb%.1f GB): " +
+          "local[32] shares one heap across driver + 32 executor slots, " +
+          "and the >100x media/cross stages die at exit 52 under the 8g " +
+          "default after minutes of corpus build. Re-run with " +
+          "SPARK_DRIVER_MEM=32g sbt \"runMain graft.ScaleCheck ...\"")
+    }
     // spill-safety knobs when heap-per-core is small (see MemoryDiscipline)
     val spark = graft.plans.MemoryDiscipline.spillSafe(SparkSession.builder()
       .master(s"local[$cpus]")
-      // >1000x: shuffle partitions scale with the corpus instead of
-      // pinning to the core count — the ppjoin df-attach join hash-builds
-      // the distinct-shingle side per partition ("bounded at any corpus
-      // by scaling the shuffle", Dedup.ppjoinAgg scaladoc), and at 5000x
-      // a 32-partition layout puts ~72M entries (~3.6 GB) in each build
-      // task, which died with "not enough memory to build hash map"
-      // (hash builds don't spill). 32*factor/500 keeps the per-partition
-      // build share at the ≤1000x level; a 100 TB deployment sizes
-      // shuffle.partitions off data volume for exactly this reason.
-      .config("spark.sql.shuffle.partitions",
-        if (factor > 1000) (cpus.toInt * factor / 500).toString else cpus)
+      // canonical geometry at session start; the >1000x survivability
+      // overrides (corpus-scaled shuffle partitions, auto-broadcast off)
+      // are runtime SQLConf and now apply ONLY around big-corpus work via
+      // withBigConf below (r13 advice: session-wide they made the BASE
+      // sf0.1 cells in the same run pay a per-task scheduler floor across
+      // hundreds of partitions, inflating base_s and understating ratios)
+      .config("spark.sql.shuffle.partitions", cpus)
       // >100x only: a single gram-keyed exchange at 1000x writes 460M
       // hash-shuffled strings — under lz4 that overran this box's ~79 GB
       // free (observed ENOSPC); zstd-3 at a 256 KB window is the knob a
@@ -927,18 +989,6 @@ object ScaleCheck {
       // 3 and hit ENOSPC on this box's ~65 GB headroom; level 6 buys
       // ~20% on text shuffle for CPU this IO-bound stage has to spare
       .config("spark.io.compression.zstd.level", if (factor > 1000) "6" else "3")
-      // >1000x: auto-broadcast OFF (both planner and AQE) — join-side
-      // size estimates ride COMPRESSED bytes, and zstd-6 text at ~6x
-      // makes a multi-GB decompressed build side look under the 10 MB
-      // threshold; the resulting executor-side HashedRelation build died
-      // with "not enough memory to build hash map" at 5000x (hash builds
-      // don't spill; sort-merge does — the same conservative setting a
-      // real deployment runs at stats-unreliable scale). explicit
-      // broadcast() hints (the small-dim discipline) are unaffected.
-      .config("spark.sql.autoBroadcastJoinThreshold",
-        if (factor > 1000) "-1" else "10485760")
-      .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
-        if (factor > 1000) "-1" else "10485760")
       .config("spark.io.compression.zstd.bufferSize", "256k")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
@@ -950,6 +1000,42 @@ object ScaleCheck {
         "graft.plans.StreamStateGuard"), cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // >1000x survivability overrides, scoped to BIG-corpus work only
+    // (r13 advice — base cells must run canonical cpus=32 geometry):
+    // (a) shuffle partitions scale with the corpus instead of pinning to
+    //     the core count — the ppjoin df-attach join hash-builds the
+    //     distinct-shingle side per partition, and at 5000x a
+    //     32-partition layout puts ~72M entries (~3.6 GB) in each build
+    //     task, which died with "not enough memory to build hash map"
+    //     (hash builds don't spill). 32*factor/500 keeps the
+    //     per-partition build share at the ≤1000x level; a 100 TB
+    //     deployment sizes shuffle.partitions off data volume.
+    // (b) auto-broadcast OFF (planner + AQE) — join-side size estimates
+    //     ride COMPRESSED bytes, and zstd-6 text at ~6x makes a multi-GB
+    //     decompressed build side look under the 10 MB threshold; the
+    //     resulting HashedRelation build died at 5000x. Explicit
+    //     broadcast() hints (the small-dim discipline) are unaffected.
+    // The shuffle CODEC (zstd >100x) is core SparkConf — fixed at context
+    // start, necessarily shared by both scales; noted in _meta.
+    val bigShufflePartitions =
+      if (factor > 1000) cpus.toInt * factor / 500 else cpus.toInt
+    def withBigConf[A](body: => A): A =
+      if (factor <= 1000) body
+      else {
+        val c = spark.conf
+        val keys = Seq("spark.sql.shuffle.partitions",
+          "spark.sql.autoBroadcastJoinThreshold",
+          "spark.sql.adaptive.autoBroadcastJoinThreshold")
+        val saved = keys.map(k => k -> c.getOption(k))
+        c.set(keys(0), bigShufflePartitions.toString)
+        c.set(keys(1), "-1")
+        c.set(keys(2), "-1")
+        try body
+        finally saved.foreach {
+          case (k, Some(v)) => c.set(k, v)
+          case (k, None) => c.unset(k)
+        }
+      }
     // Factors past 100 overflow the 1e6 fixture-offset headroom most
     // queries inject at; only the three BigOff-fixture queries (offsets at
     // 1e10 — the steepest curves, the ones 1000x/10000x points are FOR)
@@ -964,10 +1050,13 @@ object ScaleCheck {
       val mid = s"${out}_mid100"
       // corpusOnly on BOTH hops: the >100x run measures only the three
       // corpus queries — replicating 2 GB of events/customer into the mid
-      // dir that the second hop never reads is pure waste (r11 advice)
-      materialize(spark, src, mid, 100, corpusOnly = true)
-      materialize(spark, mid, out, factor / 100,
-        idCap = graft.queries.PipelineQueries.BigOff, corpusOnly = true)
+      // dir that the second hop never reads is pure waste (r11 advice).
+      // withBigConf: the big-corpus writes shuffle at corpus scale too.
+      withBigConf {
+        materialize(spark, src, mid, 100, corpusOnly = true)
+        materialize(spark, mid, out, factor / 100,
+          idCap = graft.queries.PipelineQueries.BigOff, corpusOnly = true)
+      }
     } else materialize(spark, src, out, factor)
     // warm both corpora into the page cache so ratios measure compute
     // (32-bit hash: summing xxhash64 overflows long under ANSI mode)
@@ -1030,7 +1119,7 @@ object ScaleCheck {
       // single pass stands (minutes per run; the point of the cell is
       // order-of-growth, not a settled min)
       val base = math.min(run1(name, src), run1(name, src))
-      val big = if (factor > 100) run1(name, out)
+      val big = if (factor > 100) withBigConf(run1(name, out))
         else math.min(run1(name, out), run1(name, out))
       if (factor > 100) reclaimShuffles()
       val ratio = big / math.max(base, 1e-9)
@@ -1079,7 +1168,7 @@ object ScaleCheck {
           (name, t)
         }
     val baseFixture = fixtureTimes(src)
-    val bigFixture = fixtureTimes(out)
+    val bigFixture = withBigConf(fixtureTimes(out))
     // per-stage decomposition + growth-term counts, gated on the filter so
     // dev re-measures of other rows don't pay for them
     def ifRun[A](names: String*)(body: => Seq[A]): Seq[A] =
@@ -1122,18 +1211,19 @@ object ScaleCheck {
       r
     }
     val bigStages0 = reclaimed(ifRun("x_jaccard_join", "x_cross_dedup")(
-      setJoinStages(spark, out, doJac, doCross))) ++
-      reclaimed(ifRun("x_knn_join")(knnStages(spark, out))) ++
+      withBigConf(setJoinStages(spark, out, doJac, doCross)))) ++
+      reclaimed(ifRun("x_knn_join")(withBigConf(knnStages(spark, out)))) ++
       ifRun("x_embed_dedup")(embedDedupStages(spark, out)) ++
       ifRun("x_contamination_triage")(triageStages(spark, out)) ++
       ifRun("x_stream_dedup_rocksdb")(backendStages(spark, out))
     val (mediaStagesBig, mediaCountsBig) = {
-      val r = mediaFamily(out)
+      val r = withBigConf(mediaFamily(out))
       if (factor > 100) reclaimShuffles()
       r
     }
     val (leakStagesBig, leakCountsBig) =
-      if (toRun.contains("x_leakage_split")) leakageStages(spark, out)
+      if (toRun.contains("x_leakage_split"))
+        withBigConf(leakageStages(spark, out))
       else (Nil, Nil)
     val bigStages = bigStages0 ++ mediaStagesBig ++ leakStagesBig
     val baseCounts = ifRun("x_novelty", "x_triangles")(
@@ -1146,7 +1236,8 @@ object ScaleCheck {
       bigFixture, minMerge = args.lift(4).contains("merge"),
       baseStages = baseStages, bigStages = bigStages,
       baseCounts = baseCounts, bigCounts = bigCounts,
-      cal = Some((cal, calPar)))
+      cal = Some((cal, calPar)),
+      bigShufflePartitions = Some(bigShufflePartitions))
     spark.stop()
   }
 }

@@ -136,6 +136,23 @@ object Dedup {
     * occupancies.
     */
   def hammingPairs(hashed0: DataFrame, maxHamming: Int,
+      maxOccupancy: Int = 64, alignCols: Seq[String] = Nil): DataFrame =
+    hammingCandidates(hashed0, maxOccupancy, alignCols)
+      .dropDuplicates(alignCols ++ Seq("id1", "id2"))
+      .withColumn("hamming", hammingDist(col("h1"), col("h2")))
+      .where(col("hamming") <= maxHamming)
+      .select((alignCols ++ Seq("id1", "id2", "hamming")).map(col): _*)
+
+  /** The RAW banded candidate stream behind [[hammingPairs]] — band-join
+    * output with id1 < id2, BEFORE the (id1,id2) dedup and the popcount
+    * verify. This is the row volume the JoinBlowupListener observes on
+    * the band join, exposed so evidence harnesses can publish the
+    * candidate count and its redundancy (candidates per banded input
+    * row) on the row where the curve lives: OR-banding carries every
+    * true match once per matching band × position, so a duplicate-dense
+    * corpus legitimately reads tens-of-× here while staying output-bound.
+    */
+  def hammingCandidates(hashed0: DataFrame,
       maxOccupancy: Int = 64, alignCols: Seq[String] = Nil): DataFrame = {
     // The signature frame is 16 bytes/row, but its LINEAGE carries the
     // expensive part (PNG render+decode for image dHash, tokenize+simhash
@@ -176,10 +193,6 @@ object Dedup {
       Seq(col("id").as("id2"), col("h").as("h2"))): _*)
     a.join(b, joinCols)
       .where(col("id1") < col("id2"))
-      .dropDuplicates(alignCols ++ Seq("id1", "id2"))
-      .withColumn("hamming", hammingDist(col("h1"), col("h2")))
-      .where(col("hamming") <= maxHamming)
-      .select((alignCols ++ Seq("id1", "id2", "hamming")).map(col): _*)
   }
 
   /** Exact-duplicate collapse for single-hash near-dup families: (id, rep)

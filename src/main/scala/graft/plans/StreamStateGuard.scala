@@ -78,6 +78,11 @@ class StreamStateGuard extends StreamingQueryListener {
     val run = event.runId.toString
     val it = track.keySet().iterator()
     while (it.hasNext) if (it.next()._1 == run) it.remove()
+    // listener-bus delivery is FIFO per listener, so once the terminated
+    // event lands here every progress event for the run has been
+    // processed and findingsFor(run) is FINAL — recorded so gates can
+    // wait for exactness instead of a fixed drain sleep
+    markTerminated(run)
   }
 }
 
@@ -134,21 +139,50 @@ object StreamStateGuard {
   }
 
   // (namePrefix, minBatches, minRows) — see withThresholds
-  @volatile private var overrideFor: Option[(String, Int, Long)] = None
+  private val overrideSlot = new java.util.concurrent.atomic.AtomicReference[
+    Option[(String, Int, Long)]](None)
+  private def overrideFor: Option[(String, Int, Long)] = overrideSlot.get()
+
+  // bounded set of runIds whose QueryTerminatedEvent the listener has
+  // processed — the "findings for this run are final" signal gates wait
+  // on (FIFO bus: terminated-processed implies all progress processed)
+  private val terminated =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val terminatedOrder =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private def markTerminated(run: String): Unit = {
+    if (terminated.add(run)) terminatedOrder.add(run)
+    while (terminated.size() > 256) { // bounded, like the findings registry
+      val old = terminatedOrder.poll()
+      if (old != null) terminated.remove(old) else return
+    }
+  }
+
+  /** Has the listener processed the run's terminated event? Once true,
+    * [[findingsFor]] of that run can no longer change.
+    */
+  def terminatedSeen(runId: String): Boolean = terminated.contains(runId)
 
   /** Run `body` with guard thresholds overridden for streams whose query
     * NAME starts with `namePrefix` — the negative-path harness hook
     * (x_stream_state_guard provokes a finding on a deliberately
     * watermark-less dedup at tiny thresholds without re-thresholding the
     * unrelated streams a parallel bench phase runs concurrently). The
-    * override also forces the guard enabled for matching streams. Not
+    * override also forces the guard enabled for matching streams. NOT
     * reentrant (one override slot per JVM, matching the registry's
-    * JVM-global scope).
+    * JVM-global scope) — and that is now ENFORCED: a nested or concurrent
+    * call used to silently clobber the active override and then de-scope
+    * it mid-flight from its finally block (r13 advice); it now throws
+    * before touching the slot.
     */
   def withThresholds[A](namePrefix: String, minBatches: Int,
       minRows: Long)(body: => A): A = {
-    overrideFor = Some((namePrefix, minBatches, minRows))
-    try body finally overrideFor = None
+    val mine = Some((namePrefix, minBatches, minRows))
+    if (!overrideSlot.compareAndSet(None, mine))
+      throw new IllegalStateException(
+        s"StreamStateGuard.withThresholds is not reentrant: override " +
+          s"${overrideSlot.get()} is already active (one slot per JVM)")
+    try body finally overrideSlot.compareAndSet(mine, None)
   }
 
   /** Findings recorded for ONE streaming run — the scoped view for

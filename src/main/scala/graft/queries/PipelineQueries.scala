@@ -3656,11 +3656,20 @@ object PipelineQueries {
           subset.repartition(8, col("event_id"))
             .write.mode("overwrite").parquet(leakySrc)
           val (leakRun, nLeak) = runOne(leakySrc, watermarked = false)
-          // listener delivery is async past q.stop(): poll briefly before
-          // judging (the spec's no-poll asserts are green, this is belt)
-          val deadline = System.nanoTime() + 5000000000L
-          while (StreamStateGuard.findingsFor(leakRun).isEmpty &&
-            System.nanoTime() < deadline) Thread.sleep(50)
+          // listener delivery is async past q.stop(): wait until the
+          // guard has processed the run's TERMINATED event (FIFO bus —
+          // findings for the run are then final), so both the positive
+          // and the negative gate below judge a settled registry instead
+          // of racing a fixed drain sleep (r13 advice: a fixed 500ms
+          // could false-pass the emptiness gate on a slow bus)
+          def awaitFinal(runId: String): Unit = {
+            val deadline = System.nanoTime() + 5000000000L
+            while (!StreamStateGuard.terminatedSeen(runId) &&
+              System.nanoTime() < deadline) Thread.sleep(50)
+            Gate.check(StreamStateGuard.terminatedSeen(runId),
+              s"stream guard listener did not drain run $runId within 5s")
+          }
+          awaitFinal(leakRun)
           val leakFindings = StreamStateGuard.findingsFor(leakRun)
           Gate.check(leakFindings.size == 1,
             s"watermark-less dedup should record exactly one unbounded-state " +
@@ -3672,7 +3681,7 @@ object PipelineQueries {
           writeTimeSortedShards(subset, cleanSrc, total,
             System.currentTimeMillis())
           val (cleanRun, nClean) = runOne(cleanSrc, watermarked = true)
-          Thread.sleep(500) // drain the listener bus before the clean gate
+          awaitFinal(cleanRun) // emptiness judged on a FINAL registry
           Gate.check(StreamStateGuard.findingsFor(cleanRun).isEmpty,
             "watermarked twin tripped the state guard: " +
               StreamStateGuard.findingsFor(cleanRun).mkString("; "))

@@ -157,6 +157,34 @@ class BenchLineSpec extends AnyFunSuite {
       bare.get("mem_knobs") == null)
   }
 
+  test("heap_gb, cal_par_warm and fixture_errs ride the line when provided") {
+    val results = (1 to 30).map(i => s"q$i" -> 0.5)
+    val node = parse(Bench.officialLine(results, "/x", wall = Some(3.0),
+      workers = 4, heapGb = Some(31.1), calParWarm = Some(0.512),
+      fixtureErrs = Some(2), fixtures = Some(8.0)))
+    assert(math.abs(node.get("heap_gb").asDouble() - 31.1) < 0.05)
+    assert(math.abs(node.get("cal_par_warm").asDouble() - 0.512) < 0.0005)
+    assert(node.get("fixture_errs").asInt() == 2)
+    // absent by default — older-round consumers see no new fields
+    val bare = parse(Bench.officialLine(results, "/x"))
+    assert(bare.get("heap_gb") == null && bare.get("cal_par_warm") == null &&
+      bare.get("fixture_errs") == null)
+  }
+
+  test("readPrevBench prefers cal_par_warm over cal_par when present") {
+    val dir = java.nio.file.Files.createTempDirectory("benchprevwarm")
+    try {
+      java.nio.file.Files.write(dir.resolve("BENCH_r14.json"),
+        ("""{"parsed":{"cal":0.7,"cal_par":0.345,"cal_par_warm":0.619,""" +
+          """"warm":{"q1":1.0}}}""").getBytes("UTF-8"))
+      val Some((_, calPar, _)) = Bench.readPrevBench(dir)
+      assert(calPar.contains(0.619),
+        "warm-phase-adjacent calibration must win as the prev divisor")
+    } finally {
+      dir.toFile.listFiles().foreach(_.delete()); dir.toFile.delete()
+    }
+  }
+
   test("queue order scatters or LPT-sorts; never drops or duplicates names") {
     val names = (1 to 100).map(i => s"q$i")
     val scattered = Bench.queueOrder(names, Map.empty)

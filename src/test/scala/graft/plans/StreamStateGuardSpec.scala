@@ -108,6 +108,46 @@ class StreamStateGuardSpec extends SparkSpec {
     }
   }
 
+  test("withThresholds refuses nested/concurrent use instead of clobbering") {
+    // the single JVM-global override slot used to be silently clobbered
+    // by a nested call, whose finally block then de-scoped the OUTER
+    // override mid-flight (r13 advice) — now the inner call throws
+    // before touching the slot, and the outer override survives it
+    StreamStateGuard.withThresholds("outer_", minBatches = 3, minRows = 1) {
+      assertThrows[IllegalStateException](
+        StreamStateGuard.withThresholds("inner_", 1, 1)(()))
+    }
+    // slot released after the outer body: a fresh override is accepted
+    StreamStateGuard.withThresholds("after_", minBatches = 3, minRows = 1)(())
+  }
+
+  test("terminatedSeen: false for unknown runs, true once the run ends") {
+    assert(!StreamStateGuard.terminatedSeen("no-such-run"))
+    val tmp = java.nio.file.Files.createTempDirectory("sguard4")
+    val src = tmp.resolve("src").toString
+    (0 until 30).map(i => (i.toLong,
+      new java.sql.Timestamp(base.getTime + i * 1000L)))
+      .toDF("event_id", "ts").coalesce(1).write.parquet(src)
+    val stream = spark.readStream.schema(spark.read.parquet(src).schema)
+      .parquet(src)
+    val q = stream.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory")
+      .queryName("sguard_term_" +
+        java.util.UUID.randomUUID().toString.replace("-", ""))
+      .option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .outputMode("append").start()
+    val runId = q.runId.toString
+    try q.processAllAvailable() finally q.stop()
+    // FIFO listener bus: the terminated event lands after all progress —
+    // poll to the same 5s deadline the production gate uses
+    val deadline = System.nanoTime() + 5000000000L
+    while (!StreamStateGuard.terminatedSeen(runId) &&
+      System.nanoTime() < deadline) Thread.sleep(50)
+    assert(StreamStateGuard.terminatedSeen(runId),
+      "terminated event not observed within 5s of q.stop()")
+  }
+
   test("malformed guard conf degrades to defaults, not silence") {
     // '"maybe".toBoolean' used to throw inside the listener callback —
     // which Spark swallows — so one bad conf value silently disabled the
