@@ -513,14 +513,21 @@ object ScaleCheck {
     }
     val (nPairs, tPairs) = timed(
       Dedup.hammingPairs(repHashed, maxHamming).count())
-    println(s"SCALECHECK pairs $query reps=$nReps pairs=$nPairs")
+    // untimed candidate-volume evidence (the video row's discipline):
+    // band-join candidates per banded input row, published so a guard
+    // finding on this join is decomposable from the row itself
+    val nCand = Dedup.hammingCandidates(repHashed).count()
+    val nBanded = repHashed.count() * 4 // 4 simhash bands per input row
+    println(s"SCALECHECK pairs $query reps=$nReps pairs=$nPairs " +
+      s"cand=$nCand banded=$nBanded")
     val stages = Seq((query, "hash", tHash), (query, "groups", tGroups),
       (query, "pairs", tPairs))
       .map { case (q, c, t) =>
         println(f"SCALECHECK stage $q $c $dir $t%.2fs")
         (q, c, t)
       }
-    (stages, Seq((query, "reps", nReps), (query, "near_pairs", nPairs)))
+    (stages, Seq((query, "reps", nReps), (query, "near_pairs", nPairs),
+      (query, "cand_rows", nCand), (query, "banded_rows", nBanded)))
   }
 
   private def triageStages(spark: SparkSession,
@@ -949,6 +956,15 @@ object ScaleCheck {
     val out = args.lift(1).getOrElse("/tmp/graft_sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Diagnostic A/B knob (r14): SPARK_GRAFT_FORCE_BIGCONF=1 runs the
+    // >1000x conservative mode (zstd-6, corpus-scaled shuffle partitions,
+    // auto-broadcast off) at ANY factor, so the mode's tax can be
+    // measured at a factor where the canonical-mode cells already exist
+    // — the 1000x->2000x curve step crosses the mode threshold, and
+    // without this run the step conflates data growth with the mode
+    // switch. Diagnostic runs never write the artifact.
+    val forceBig = sys.env.get("SPARK_GRAFT_FORCE_BIGCONF").contains("1")
+    val bigMode = factor > 1000 || forceBig
     // >100x heap floor, enforced BEFORE the corpus build (r13 verdict #3:
     // two multi-hour corpus builds burned into exit-52 forked-JVM OOMs
     // this floor already predicts). local[32] puts driver + all 32
@@ -988,7 +1004,7 @@ object ScaleCheck {
       // 10000x: the gram exchange alone wrote >43 GB of shuffle at level
       // 3 and hit ENOSPC on this box's ~65 GB headroom; level 6 buys
       // ~20% on text shuffle for CPU this IO-bound stage has to spare
-      .config("spark.io.compression.zstd.level", if (factor > 1000) "6" else "3")
+      .config("spark.io.compression.zstd.level", if (bigMode) "6" else "3")
       .config("spark.io.compression.zstd.bufferSize", "256k")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
@@ -1018,9 +1034,10 @@ object ScaleCheck {
     // The shuffle CODEC (zstd >100x) is core SparkConf — fixed at context
     // start, necessarily shared by both scales; noted in _meta.
     val bigShufflePartitions =
-      if (factor > 1000) cpus.toInt * factor / 500 else cpus.toInt
+      if (bigMode) math.max(cpus.toInt, cpus.toInt * factor / 500)
+      else cpus.toInt
     def withBigConf[A](body: => A): A =
-      if (factor <= 1000) body
+      if (!bigMode) body
       else {
         val c = spark.conf
         val keys = Seq("spark.sql.shuffle.partitions",
@@ -1113,6 +1130,15 @@ object ScaleCheck {
         sys.props.getOrElse("java.io.tmpdir", "/tmp")).getUsableSpace / 1e9
       println(f"SCALECHECK disk headroom $freeGb%.0f GB")
     }
+    // Reclaim BEFORE the first timed big run, not only between them
+    // (r14 measurement): a >100x corpus build + warm pass leaves the
+    // 64g heap full of un-collected shuffle/builder refs, and the first
+    // big query then runs against a GC-deferred cleaner backlog — the
+    // same 1000x pipeline read 1149s as the first timed row but 341s
+    // decomposed post-reclaim in the SAME JVM. Every timed cell starts
+    // from reclaimed state or the cell measures the backlog, not the
+    // plan.
+    if (factor > 100) reclaimShuffles()
     val rows = timedRows.map { name =>
       // two runs per scale, keep the min: strips JIT/first-plan noise so
       // the ratio reflects the plan, not compilation luck. Past 100x a
@@ -1232,7 +1258,11 @@ object ScaleCheck {
       growthCounts(spark, out)) ++ mediaCountsBig ++ leakCountsBig
     // optional 5th arg `merge`: min-merge this run's cells into the
     // artifact instead of overwriting (repeat runs at the same HEAD)
-    writeArtifact(rows, factor, src, basePairs, bigPairs, baseFixture,
+    if (forceBig)
+      // diagnostic mode-tax run: cells are printed above for NOTES, but
+      // the artifact keeps only canonical-geometry measurements
+      println("SCALECHECK diag (FORCE_BIGCONF): artifact not written")
+    else writeArtifact(rows, factor, src, basePairs, bigPairs, baseFixture,
       bigFixture, minMerge = args.lift(4).contains("merge"),
       baseStages = baseStages, bigStages = bigStages,
       baseCounts = baseCounts, bigCounts = bigCounts,
