@@ -824,6 +824,12 @@ object ScaleCheck {
       meta.put("cal", math.round(c * 1000.0) / 1000.0)
       meta.put("cal_par", math.round(cp * 1000.0) / 1000.0)
     }
+    // the heap the LAST generating run executed under (the bench line's
+    // heap_gb discipline): >100x cells depend on it — the r14 heap-floor
+    // curve is 8g dies at 100x, 32g dies at 2000x, 64g completes —
+    // so cross-round cell comparisons need it readable from the artifact
+    meta.put("heap_gb_last_run",
+      math.round(Runtime.getRuntime.maxMemory / 1e8) / 10.0)
     // minMerge (repeat runs at the SAME HEAD): keep the smaller time per
     // cell and recompute the ratio from the merged mins — both cells are
     // min-estimators of unimpeded time, so their ratio is the stable
