@@ -342,7 +342,10 @@ object Bench {
     // recorded on the line as mem_knobs (r12 verdict #2: 8g/32 cores =
     // 256 MiB/core earns the knobs silently; the artifact must say so)
     val memKnobs = graft.plans.MemoryDiscipline.knobs(cpus.toInt).nonEmpty
-    val heapGb = Runtime.getRuntime.maxMemory / 1e9
+    // binary GiB so the line's heap_gb matches the -Xmx nominal the
+    // cross-round notes reason about (r14 advice: /1e9 published 8.6 for
+    // an -Xmx8g heap, 34.4 for 32g)
+    val heapGb = Runtime.getRuntime.maxMemory / (1L << 30).toDouble
     // One-time fixture-machinery pre-pass (r12 verdict #1a/#6): every
     // stream/media query builds its own fixture INSIDE its timed path by
     // design (ScaleCheck decomposes that share per scale), but the FIRST

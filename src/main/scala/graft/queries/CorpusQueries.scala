@@ -49,6 +49,32 @@ object CorpusQueries {
       dir: String): org.apache.spark.sql.DataFrame =
     gramPositions(s, dir).select("doc_id", "g").dropDuplicates("doc_id", "g")
 
+  /** Edges (src = id, dst = k-th next id in SORTED order) for each k in
+    * `skips`, built WITHOUT `lead()` over an unpartitioned window (r14
+    * verdict hygiene: that window funnels the whole ids frame through one
+    * task at a 1000x corpus). Instead the x_global_ids discipline: global
+    * dense rank via range-partition + local sort + zipWithIndex (parallel,
+    * driver state is P longs), then a hash-parallel rank+k equi-join.
+    * Semantics stay identical to lead(k): strided ScaleCheck copy ids keep
+    * their true sorted-order successor, which id+k ARITHMETIC would not
+    * (it shatters the chain at every copy boundary).
+    */
+  private[graft] def sortedSuccessorEdges(s: org.apache.spark.sql.SparkSession,
+      ids: org.apache.spark.sql.DataFrame,
+      skips: Seq[Int]): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val ranked = ids.repartitionByRange(col("id"))
+      .sortWithinPartitions("id")
+      .select("id").as[Long].rdd.zipWithIndex().toDF("id", "rid")
+    skips.map { k =>
+      // inner join == lead's isNotNull filter: the last k ranks drop out
+      ranked.join(
+        ranked.select(col("id").as("dst"), (col("rid") - k).as("rid")),
+        "rid")
+        .select(col("id").as("src"), col("dst"))
+    }.reduce(_ unionByName _)
+  }
+
   /** x_triangles' chain+skip edge fixture — factored out so ScaleCheck can
     * feed the same edges to Triangles.wedgeCount (the row's growth-term
     * cell: the wedge stream is the operator's cost axis).
@@ -56,14 +82,7 @@ object CorpusQueries {
   private[graft] def triangleEdges(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val ids = Tables(s, dir, "documents").select(col("doc_id").as("id"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy("id")
-    val nbrs = ids
-      .withColumn("n1", lead(col("id"), 1).over(w))
-      .withColumn("n2", lead(col("id"), 2).over(w))
-    nbrs.where(col("n1").isNotNull)
-      .select(col("id").as("src"), col("n1").as("dst"))
-      .unionByName(nbrs.where(col("n2").isNotNull)
-        .select(col("id").as("src"), col("n2").as("dst")))
+    sortedSuccessorEdges(s, ids, Seq(1, 2))
   }
 
   def all: Seq[Q] = Seq(
@@ -590,13 +609,9 @@ object CorpusQueries {
       // x_pagerank ring discipline: ScaleCheck corpora stride their copy
       // ids, and `id+1` would shatter the chain into fragments there; at
       // the contiguous gate SFs this IS the (id, id+1) chain the closed
-      // form assumes). Fixture construction over an ids-only frame — far
-      // under PlanGuard's unpartitioned-window bound.
-      val fwd = ids
-        .withColumn("nxt", lead(col("id"), 1).over(
-          org.apache.spark.sql.expressions.Window.orderBy("id")))
-        .where(col("nxt").isNotNull)
-        .select(col("id").as("src"), col("nxt").as("dst"))
+      // form assumes). Built via the parallel rank-join helper, not a
+      // global window (r14 verdict hygiene).
+      val fwd = sortedSuccessorEdges(s, ids, Seq(1))
       val edges = fwd.unionByName(
         fwd.select(col("dst").as("src"), col("src").as("dst")))
       val seeds = ids.where(col("id") % 10 === 0)
