@@ -472,6 +472,38 @@ object Bench {
     resetPassState()
     val (wall2, pass2) = parallelPass()
     println(s"BENCH-WALL-PASS2 ${fmt("%.2f", wall2)}")
+    // Pass-spread attribution (r14 verdict #4): the committed r14 line
+    // carried a 33% pass-1→pass-2 inflation of which calibration drift
+    // explained only 12%, and nothing on the log could say WHICH queries
+    // paid it. Print per-family serial-sum deltas (x_* grouped by their
+    // second token — x_stream, x_ann, ... — everything else as "core")
+    // plus the 15 worst per-query deltas, so any future spread is
+    // decomposable from the run log alone: a stream-family-dominated
+    // delta points at checkpoint/state accumulation, a uniform spread at
+    // box-level drift (page cache, thermal), one fat query at plan luck.
+    locally {
+      def family(n: String): String =
+        if (n.startsWith("x_")) n.split("_").take(2).mkString("_") else "core"
+      def fin(m: Map[String, Double], q: String): Double = {
+        val v = m.getOrElse(q, 0.0)
+        if (java.lang.Double.isFinite(v)) v else 0.0
+      }
+      names.groupBy(family).toSeq
+        .map { case (f, qs) =>
+          (f, qs.map(fin(pass1, _)).sum, qs.map(fin(pass2, _)).sum)
+        }
+        .sortBy { case (_, s1, s2) => s1 - s2 }
+        .foreach { case (f, s1, s2) =>
+          println(s"BENCH-PASS-FAMILY $f p1=${fmt("%.2f", s1)} " +
+            s"p2=${fmt("%.2f", s2)} d=${fmt("%.2f", s2 - s1)}")
+        }
+      names.map(n => (n, fin(pass1, n), fin(pass2, n)))
+        .sortBy { case (_, a, b) => a - b }.take(15)
+        .foreach { case (n, a, b) =>
+          println(s"BENCH-PASS-DELTA $n p1=${fmt("%.2f", a)} " +
+            s"p2=${fmt("%.2f", b)}")
+        }
+    }
     // post-pass box re-calibration (after a GC beat so end-of-pass
     // cleanup threads don't contaminate the 32-thread sample, the r9
     // ScaleCheck caveat) — rides the line as cal_par_end

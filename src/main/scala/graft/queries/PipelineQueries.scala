@@ -3502,14 +3502,16 @@ object PipelineQueries {
       val nTotal = ids.count()
       // Ring = each id points at the NEXT id in sorted order, wrapping at
       // the top — id-layout-agnostic (the ScaleCheck corpora stride their
-      // copy ids, so `(id+1) mod n` would dangle off the id gaps). The
-      // unpartitioned lead() window is fixture construction over an
-      // ids-only frame, n x 8 bytes — far under PlanGuard's bound.
-      val minId = ids.agg(min("src")).first().getLong(0)
-      val edges = ids.withColumn("dst",
-        coalesce(lead(col("src"), 1).over(
-          org.apache.spark.sql.expressions.Window.orderBy("src")),
-          lit(minId)))
+      // copy ids, so `(id+1) mod n` would dangle off the id gaps). Built
+      // via CorpusQueries' parallel rank-join helper plus the explicit
+      // wrap edge (r14 verdict hygiene: the old unpartitioned lead()
+      // funneled the corpus-sized ids frame through one task).
+      val mm = ids.agg(min("src"), max("src")).first()
+      val (minId, maxId) = (mm.getLong(0), mm.getLong(1))
+      val edges = CorpusQueries.sortedSuccessorEdges(
+        s, ids.select(col("src").as("id")), Seq(1))
+        .unionByName(s.range(1)
+          .select(lit(maxId).as("src"), lit(minId).as("dst")))
       val ranks = graft.operators.PageRank.run(edges, iterations = 10)
       Gate(ranks.agg(count(lit(1)).as("n_nodes"),
         coalesce(sum(when(

@@ -182,6 +182,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "BFS sweep went cartesian")
   }
 
+  test("sortedSuccessorEdges: lead() semantics on strided ids, no Window") {
+    // the r14 hygiene item: the chain/ring fixture builders used to run
+    // lead() over an unpartitioned window (one-task funnel at a 1000x
+    // corpus). The rank-join replacement must (a) keep exact next-in-
+    // SORTED-order semantics across the strided copy-id layouts ScaleCheck
+    // materializes — id+k arithmetic would shatter at every copy boundary
+    // — and (b) carry no Window exec anywhere in its plan.
+    import spark.implicits._
+    val ids = Seq(1L, 2L, 3L, 1048576L, 1048577L, 1048578L).toDF("id")
+    val edges = CorpusQueries.sortedSuccessorEdges(spark, ids, Seq(1, 2))
+    val got = edges.as[(Long, Long)].collect().toSet
+    val expected = Set( // lead(1) then lead(2) over sorted order
+      (1L, 2L), (2L, 3L), (3L, 1048576L), (1048576L, 1048577L),
+      (1048577L, 1048578L),
+      (1L, 3L), (2L, 1048576L), (3L, 1048577L), (1048576L, 1048578L))
+    assert(got == expected, s"edges diverged from lead() semantics: $got")
+    val p = edges.queryExecution.executedPlan.toString
+    assert(!p.contains("Window ["), s"rank-join fixture re-grew a window:\n$p")
+  }
+
   test("x_stream_enrich: the dimension join broadcasts (batch twin)") {
     // the streaming plan joins each micro-batch against the same broadcast;
     // asserting on the batch twin keeps the spec synchronous
