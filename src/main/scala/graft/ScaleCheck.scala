@@ -900,6 +900,22 @@ object ScaleCheck {
         "live-shuffle peaks at 2000x were ~25 GB (x_cross_dedup) / " +
         "~29 GB (x_jaccard_join), linear in corpus => ~125-145 GB live " +
         "at 10000x vs ~58-79 GB free disk (NOTES r14 #10)")
+    // x_knn_join's own disk ceiling, measured by the r15 2000x attempt:
+    // the verify join-back ships TWO 64-double vectors per candidate
+    // pair, so its live-shuffle term is pair-volume x vector-payload —
+    // the family worst-case. The 2000x timed row died ENOSPC 47 min in
+    // with the block manager at 61+ GB against ~75 GB free (9 'No space
+    // left' hits), where jaccard's gram exchange peaked ~29 GB at the
+    // same factor. On a fleet this is aggregate shuffle capacity;
+    // locally the committed >1000x knn point is the largest factor whose
+    // pair volume fits the disk.
+    meta.put("enospc_2000x_knn_join",
+      "x_knn_join 2000x is ENOSPC-by-construction on this box: the r15 " +
+        "attempt died 47 min into the timed row with live shuffle at " +
+        "61+ GB vs ~75 GB free (verify join-back = candidate pairs x " +
+        "two 64-double vectors; jaccard's long-gram exchange peaked " +
+        "~29 GB at 2000x) — the committed knn big cell is the largest " +
+        "factor that fits (NOTES r15)")
     // Timed-row vs stage-sum reading rule (r14 verdict #3): at >1000x the
     // timed row runs agg+cand+verify as ONE job graph whose exchanges
     // coexist at the single-box memory ceiling (measured: 2000x rows
