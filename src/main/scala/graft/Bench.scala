@@ -302,7 +302,8 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // spill-safety knobs when heap-per-core is small (see MemoryDiscipline)
-    val spark = graft.plans.MemoryDiscipline.spillSafe(SparkSession.builder()
+    val spark = graft.plans.ShuffleDiscipline.gateLocal(
+      graft.plans.MemoryDiscipline.spillSafe(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
@@ -316,7 +317,7 @@ object Bench {
       .config("spark.sql.queryExecutionListeners",
         "graft.plans.JoinBlowupListener")
       .config("spark.sql.streaming.streamingQueryListeners",
-        "graft.plans.StreamStateGuard"), cpus.toInt)
+        "graft.plans.StreamStateGuard"), cpus.toInt))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: absorb JVM/codegen/scheduler startup AND first-touch

@@ -12,7 +12,8 @@ object Verify {
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // spill-safety knobs when heap-per-core is small (see MemoryDiscipline)
-    val spark = graft.plans.MemoryDiscipline.spillSafe(SparkSession.builder()
+    val spark = graft.plans.ShuffleDiscipline.gateLocal(
+      graft.plans.MemoryDiscipline.spillSafe(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -23,7 +24,7 @@ object Verify {
       .config("spark.sql.queryExecutionListeners",
         "graft.plans.JoinBlowupListener")
       .config("spark.sql.streaming.streamingQueryListeners",
-        "graft.plans.StreamStateGuard"), cpus.toInt)
+        "graft.plans.StreamStateGuard"), cpus.toInt))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
