@@ -65,6 +65,24 @@ object QProfile {
       }
     }
     spark.sparkContext.addSparkListener(listener)
+    // per-micro-batch duration breakdown (triggerExecution and its parts)
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = if (recording) {
+        val p = e.progress
+        val dm = p.durationMs
+        println(s"QPROF-BATCH b${p.batchId} rows=${p.numInputRows} " +
+          s"trigger=${dm.getOrDefault("triggerExecution", -1L)} " +
+          s"plan=${dm.getOrDefault("queryPlanning", -1L)} " +
+          s"addBatch=${dm.getOrDefault("addBatch", -1L)} " +
+          s"getBatch=${dm.getOrDefault("getBatch", -1L)} " +
+          s"latestOffset=${dm.getOrDefault("latestOffset", -1L)} " +
+          s"walCommit=${dm.getOrDefault("walCommit", -1L)} " +
+          s"commitOffsets=${dm.getOrDefault("commitOffsets", -1L)}")
+      }
+    })
     qnames.foreach { name =>
     val fn = SparkEntry.queries(name)
     // untimed warm run: JIT/codegen/page-cache, matching Bench's protocol

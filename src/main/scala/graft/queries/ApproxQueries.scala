@@ -124,16 +124,28 @@ object ApproxQueries {
         |CAST(0 AS BIGINT) AS n_violations FROM lineitem""".stripMargin) { (s, dir) =>
       import s.implicits._
       val li = Tables(s, dir, "lineitem").select("l_orderkey", "l_linenumber")
-      val total = li.count()
-      val splits = li.randomSplit(Array(0.7, 0.3), seed = 42)
-      val counts = splits.map(_.count())
       val keys = Seq("l_orderkey", "l_linenumber")
+      // ONE pass per frame: count and multiset fingerprint ride the same
+      // aggregate (r15 optimization, guide §1.2 "don't compute things
+      // twice" — the previous shape ran count() and the fingerprint as
+      // separate actions, six full scans for three frames).
+      def countFp(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)),
+          coalesce(sum(hash(keys.map(col): _*).cast("long")), lit(0L))).first()
+        (r.getLong(0), r.getLong(1))
+      }
+      val (total, liFp) = countFp(li)
+      val splits = li.randomSplit(Array(0.7, 0.3), seed = 42)
       // Exact per-row multiset identity costs three full groupBys — run it
       // at gate scale (<=100k rows: the driver's sf0.01 correctness SF).
       // At bench scale the check is an additive multiset FINGERPRINT
       // (sum of per-row hashes, aggregate-only, no extra shuffle):
       // strictly weaker against adversarial cancellation, decisive against
       // any real splitter bug (drop/dup/overlap moves the sum).
+      val (countFps, counts) = {
+        val cf = splits.map(countFp)
+        (cf, cf.map(_._1))
+      }
       val notPartitioned: Long = if (total <= 100000L) {
         def byRow(df: org.apache.spark.sql.DataFrame, as: String) =
           df.groupBy(keys.map(col): _*).agg(count(lit(1)).as(as))
@@ -144,9 +156,7 @@ object ApproxQueries {
             =!= col("n_all"))
           .count()
       } else {
-        def fp(df: org.apache.spark.sql.DataFrame): Long =
-          df.agg(sum(hash(keys.map(col): _*).cast("long"))).first().getLong(0)
-        if (fp(splits(0)) + fp(splits(1)) == fp(li)) 0L else 1L
+        if (countFps(0)._2 + countFps(1)._2 == liFp) 0L else 1L
       }
       val violations = notPartitioned +
         (if (counts.sum == total) 0L else 1L) +

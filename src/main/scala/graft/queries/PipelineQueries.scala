@@ -250,13 +250,32 @@ object PipelineQueries {
   /** Run `body` with spark.sql.shuffle.partitions temporarily lowered —
     * for small-subset streaming sections, where every shuffle partition
     * costs a state-store instance per micro-batch.
+    *
+    * noDataBatches=false additionally turns off watermark-advance-only
+    * micro-batches for the section (r15 optimization, guide §1.2: remove
+    * passes that compute nothing). ONLY for queries whose choreography
+    * already provides a flushing DATA trigger after every watermark
+    * advance (the two-sentinel stream-stream joins): their scaladocs
+    * were written assuming no-data batches never fire ("with a file
+    * source and no new file, that batch would never run"), so the engine
+    * default was running one extra full trigger per data batch — rows=0,
+    * measured 2.0-2.5 s each under contention — purely to advance a
+    * watermark the next sentinel advances anyway. Queries with a SINGLE
+    * sentinel (window/restart_agg/sessionize) DO rely on the trailing
+    * no-data batch to emit their last cohort and keep the default.
     */
   private def withShufflePartitions[T](s: org.apache.spark.sql.SparkSession,
-      n: Int)(body: => T): T = {
+      n: Int, noDataBatches: Boolean = true)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prev = s.conf.get(key)
+    val prevNd = s.conf.get(ndKey)
     s.conf.set(key, n.toString)
-    try body finally s.conf.set(key, prev)
+    s.conf.set(ndKey, noDataBatches.toString)
+    try body finally {
+      s.conf.set(key, prev)
+      s.conf.set(ndKey, prevNd)
+    }
   }
 
   /** Stamp files `seen` hasn't recorded yet with an explicit mtime. The
@@ -4919,7 +4938,10 @@ object PipelineQueries {
         val maxMs = ev.agg(max(unix_millis(col("ts")))).first().getLong(0)
         val stamped = scala.collection.mutable.Set.empty[String]
         val t0 = System.currentTimeMillis()
-        def runInstance(): Unit = withShufflePartitions(s, 4) {
+        // noDataBatches=false: the two flushing sentinels below are the
+        // watermark choreography — see withShufflePartitions
+        def runInstance(): Unit = withShufflePartitions(s, 4,
+            noDataBatches = false) {
           val stream = s.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1).parquet(src)
           val joined = graft.streaming.EventStreams
@@ -5022,7 +5044,8 @@ object PipelineQueries {
         sentinel(21600000L, t0 + 180000L)
         val qname = "graft_stream_sjo_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
-        withShufflePartitions(s, 4) {
+        // noDataBatches=false: two flushing sentinels are the choreography
+        withShufflePartitions(s, 4, noDataBatches = false) {
           val stream = s.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1).parquet(src)
           val joined = graft.streaming.EventStreams
@@ -5096,7 +5119,8 @@ object PipelineQueries {
         sentinel(21600000L, t0 + 180000L)
         val qname = "graft_stream_sjf_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
-        withShufflePartitions(s, 4) {
+        // noDataBatches=false: two flushing sentinels are the choreography
+        withShufflePartitions(s, 4, noDataBatches = false) {
           val stream = s.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1).parquet(src)
           val joined = graft.streaming.EventStreams
