@@ -123,17 +123,25 @@ object Skyline {
     import spark.implicits._
     val g = 1 << gridBits
     val d = dims.size
+    // Materialize the projected points ONCE (r15 optimization, guide
+    // §1.2): the frame feeds the quantile pass, the occupied-cell
+    // aggregate and the local-front exchange, and the caller's dim
+    // expressions are routinely the expensive part (regex / tokenize per
+    // row) — without the cut each downstream pass re-evaluated them.
+    // The checkpoint holds (id + d doubles) per row, tiny at any corpus.
     val pts0 = df.select(
       (col(idCol).cast("long").as("sk_id") +:
         dims.zipWithIndex.map { case (c, i) => col(c).cast("double").as(s"sk_d$i") }): _*)
       .where((0 until d).map(i =>
         col(s"sk_d$i").isNotNull && !isnan(col(s"sk_d$i"))).reduce(_ && _))
+      .localCheckpoint(true)
     // per-dim quantile boundaries (approx is fine: boundaries steer
-    // PARTITIONING, never correctness — every point keeps its exact value)
+    // PARTITIONING, never correctness — every point keeps its exact value).
+    // ONE multi-column pass, not one pass per dim (r15: d separate
+    // approxQuantile calls were d full evaluations of the input).
     val probs = (1 until g).map(_.toDouble / g).toArray
-    val bounds: Array[Array[Double]] = (0 until d).map { i =>
-      pts0.stat.approxQuantile(s"sk_d$i", probs, 0.01)
-    }.toArray
+    val bounds: Array[Array[Double]] = pts0.stat.approxQuantile(
+      (0 until d).map(i => s"sk_d$i").toArray, probs, 0.01)
     // cell coordinate per dim: #boundaries <= value (a codegen'd when-sum,
     // no UDF), packed into one long cell id
     def coordExpr(i: Int) = bounds(i).foldLeft(lit(0)) { (acc, b) =>

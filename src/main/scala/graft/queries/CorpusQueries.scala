@@ -21,7 +21,12 @@ object CorpusQueries {
   private[graft] def gramPositions(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+    // single-file local fixture = one scan partition; the per-token md5 +
+    // rolling-gram transforms below are the heavy term, so restore
+    // parallelism first (same rationale as PipelineQueries.par: at 100 TB
+    // the input arrives pre-split and this exchange is scan-shaped)
     Tables(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), toks.as("ts"))
       .where(size(col("ts")) >= 8)
       .select(col("doc_id"), expr(
@@ -361,7 +366,12 @@ object CorpusQueries {
         |      OR b.recency > a.recency))
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val toks = split(trim(col("text")), "\\s+")
+      // single-file local fixture = one scan partition; the quality/novelty
+      // expressions (regex strip + tokenize + distinct per doc) are the
+      // heavy term, so restore parallelism before them — at 100 TB the
+      // input arrives pre-split and this repartition is scan-shaped anyway
       val pts = Tables(s, dir, "documents").where(col("n_chars") > 0)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
           round(length(regexp_replace(col("text"), "[^A-Za-z]", ""))
             .cast("double") / col("n_chars"), 4).as("quality"),
