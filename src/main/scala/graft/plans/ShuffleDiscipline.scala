@@ -36,15 +36,23 @@ import org.apache.spark.sql.SparkSession
   */
 object ShuffleDiscipline {
 
+  /** Gate-SF live shuffle tops out at a few hundred MB; demand an order
+    * of magnitude more before trusting a tmpfs with it — a box with a
+    * container-default small /dev/shm (64 MB is common) must fall back
+    * to Spark's default local dir rather than ENOSPC mid-bench.
+    */
+  private val MinTmpfsFreeBytes: Long = 8L << 30
+
   /** Gate-SF shuffle scratch on tmpfs. Env override GRAFT_LOCAL_DIR wins;
-    * otherwise /dev/shm when writable; otherwise leave Spark's default.
-    * The dir is per-process and swept on exit.
+    * otherwise /dev/shm when writable with >=8 GiB usable; otherwise
+    * leave Spark's default. The dir is per-process and swept on exit.
     */
   def gateLocal(builder: SparkSession.Builder): SparkSession.Builder =
     sys.env.get("GRAFT_LOCAL_DIR").orElse {
       val shm = java.nio.file.Paths.get("/dev/shm")
       if (java.nio.file.Files.isDirectory(shm) &&
-          java.nio.file.Files.isWritable(shm)) {
+          java.nio.file.Files.isWritable(shm) &&
+          shm.toFile.getUsableSpace >= MinTmpfsFreeBytes) {
         val d = java.nio.file.Files.createTempDirectory(shm, "graft-blockmgr")
         // blockmgr subdirs are cleaned by Spark's shutdown hook; this sweeps
         // the parent so repeated runs don't accumulate empty dirs on tmpfs

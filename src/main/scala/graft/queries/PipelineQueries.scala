@@ -264,7 +264,7 @@ object PipelineQueries {
     * sentinel (window/restart_agg/sessionize) DO rely on the trailing
     * no-data batch to emit their last cohort and keep the default.
     */
-  private def withShufflePartitions[T](s: org.apache.spark.sql.SparkSession,
+  private[queries] def withShufflePartitions[T](s: org.apache.spark.sql.SparkSession,
       n: Int, noDataBatches: Boolean = true)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"

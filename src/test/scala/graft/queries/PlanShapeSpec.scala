@@ -216,4 +216,29 @@ class PlanShapeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), s"enrichment join not broadcast:\n$p")
   }
+
+  test("withShufflePartitions restores partitions AND noDataMicroBatches") {
+    // r15 optimization: the two-sentinel stream joins run their sections
+    // with noDataBatches=false; a leaked override would silently change
+    // every later watermark query's trigger schedule in the same session
+    val pKey = "spark.sql.shuffle.partitions"
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val p0 = spark.conf.get(pKey)
+    val nd0 = spark.conf.get(ndKey)
+    val seen = PipelineQueries.withShufflePartitions(spark, 3,
+      noDataBatches = false) {
+      (spark.conf.get(pKey), spark.conf.get(ndKey))
+    }
+    assert(seen == (("3", "false")), s"section confs not applied: $seen")
+    assert(spark.conf.get(pKey) == p0, "shuffle partitions leaked")
+    assert(spark.conf.get(ndKey) == nd0, "noDataMicroBatches leaked")
+    // exception path restores too
+    intercept[RuntimeException] {
+      PipelineQueries.withShufflePartitions(spark, 5, noDataBatches = false) {
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(spark.conf.get(pKey) == p0 && spark.conf.get(ndKey) == nd0,
+      "confs leaked after exception")
+  }
 }
