@@ -5170,10 +5170,15 @@ object PipelineQueries {
           .write.mode("overwrite").parquet(src)
         ev.where(col("user_id") % 2 =!= 0).coalesce(1)
           .write.mode("append").parquet(src)
+        // materialize the dimension ONCE (r15: a static side of a stream
+        // join re-executes per micro-batch — each trigger was re-running
+        // the customer⋈nation join before rebuilding the broadcast; the
+        // standard practice at any scale is to pin the dimension)
         val dim = broadcast(Tables(s, dir, "customer")
           .join(Tables(s, dir, "nation"),
             col("c_nationkey") === col("n_nationkey"))
-          .select(col("c_custkey"), col("n_name").as("nation")))
+          .select(col("c_custkey"), col("n_name").as("nation"))
+          .localCheckpoint(true))
         val qname = "graft_stream_enrich_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
         withShufflePartitions(s, 4) {
