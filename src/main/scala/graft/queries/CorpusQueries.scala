@@ -13,6 +13,21 @@ import org.apache.spark.sql.functions._
   */
 object CorpusQueries {
 
+  /** Restore scan parallelism ONLY when the input is narrower than the
+    * session's core count (r15 optimization): the gate-SF tables are
+    * single-row-group files — one scan task — which serializes any
+    * per-row kernel that follows; ScaleCheck's materialized corpora and
+    * a 100 TB deployment arrive in >= cores splits, where the extra
+    * exchange would be pure overhead, so there the helper is a no-op
+    * (unlike the unconditional PipelineQueries.par, whose cost is
+    * already priced into committed SCALECHECK cells).
+    */
+  private def parIfNarrow(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= math.min(8, target)) df
+    else df.repartition(target)
+  }
+
   /** The positional 8-gram fingerprint stream (doc_id, pos, g) — the
     * two-lane 62-bit fingerprint of x_span_dedup, with the gram's start
     * position kept (pos is 0-based and engine-local; consumers only ever
@@ -23,10 +38,8 @@ object CorpusQueries {
     val toks = filter(split(lower(col("text")), " "), t => t =!= "")
     // single-file local fixture = one scan partition; the per-token md5 +
     // rolling-gram transforms below are the heavy term, so restore
-    // parallelism first (same rationale as PipelineQueries.par: at 100 TB
-    // the input arrives pre-split and this exchange is scan-shaped)
-    Tables(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
+    // parallelism first when the scan is narrow
+    parIfNarrow(Tables(s, dir, "documents"))
       .select(col("doc_id"), toks.as("ts"))
       .where(size(col("ts")) >= 8)
       .select(col("doc_id"), expr(
@@ -368,10 +381,9 @@ object CorpusQueries {
       val toks = split(trim(col("text")), "\\s+")
       // single-file local fixture = one scan partition; the quality/novelty
       // expressions (regex strip + tokenize + distinct per doc) are the
-      // heavy term, so restore parallelism before them — at 100 TB the
-      // input arrives pre-split and this repartition is scan-shaped anyway
-      val pts = Tables(s, dir, "documents").where(col("n_chars") > 0)
-        .repartition(s.sparkContext.defaultParallelism)
+      // heavy term, so restore parallelism before them when the scan is
+      // narrow (no-op on pre-split corpora — see parIfNarrow)
+      val pts = parIfNarrow(Tables(s, dir, "documents").where(col("n_chars") > 0))
         .select(col("doc_id"),
           round(length(regexp_replace(col("text"), "[^A-Za-z]", ""))
             .cast("double") / col("n_chars"), 4).as("quality"),
