@@ -7,11 +7,15 @@ import org.apache.spark.sql.functions.{col, hash, sum}
   * Output contract: ONE machine-readable JSON line
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`
   * printed LAST. The harness that invokes this keeps only the final ~2000
-  * characters of stdout, so the official line is kept under 1700 chars: the
-  * `queries` map carries the slowest queries (2-decimal seconds) up to that
-  * budget, plus `n` (total query count), `omitted` (queries not listed) and
-  * `rest` (their summed seconds). The FULL per-query map is printed earlier
-  * as `BENCH-FULL` lines and written to target/bench_full.json for humans.
+  * characters of stdout; the line after it ("[success] Total time: ...")
+  * is ~75 chars, so the official line is budget-packed to 1860 chars
+  * (r16 — was 1600; the r15 verdict asked for wider warm coverage, the
+  * resolved local_dir and the queue-order hash on the committed artifact,
+  * and the measured headroom allows it): the `queries` map carries the
+  * slowest queries (2-decimal seconds) up to that budget, plus `n` (total
+  * query count), `omitted` (queries not listed) and `rest` (their summed
+  * seconds). The FULL per-query map is printed earlier as `BENCH-FULL`
+  * lines and written to target/bench_full.json for humans.
   *
   * Execution model: a one-time fixture pre-pass (`fixtures_s`) and one
   * UNTIMED full warmup pass (`warmup_s`) absorb codegen/JIT/native-init
@@ -53,7 +57,7 @@ object Bench {
     * value = serial sum). Exposed for BenchLineSpec.
     */
   private[graft] def officialLine(results: Seq[(String, Double)], sfDir: String,
-      warm: Seq[(String, Double)] = Nil, budget: Int = 1600,
+      warm: Seq[(String, Double)] = Nil, budget: Int = 1860,
       wall: Option[Double] = None, workers: Int = 1,
       cal: Option[Double] = None, warmNorm: Seq[(String, Double)] = Nil,
       calPar: Option[Double] = None,
@@ -63,7 +67,9 @@ object Bench {
       calParEnd: Option[Double] = None,
       calParWarm: Option[Double] = None,
       heapGb: Option[Double] = None,
-      fixtureErrs: Option[Int] = None): String = {
+      fixtureErrs: Option[Int] = None,
+      localDir: Option[String] = None,
+      qhash: Option[String] = None): String = {
     val serialSum = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val value = wall.getOrElse(serialSum)
     def ent(kv: (String, Double)): String = s""""${kv._1}":${fmt("%.2f", kv._2)}"""
@@ -125,6 +131,15 @@ object Bench {
       // ~0.65). warm_norm on THIS line uses cal_par_warm; next round's
       // normalizeWarm prefers it as the prev-round divisor too.
       calParWarm.map(c => s""""cal_par_warm":${fmt("%.3f", c)},""").getOrElse("") +
+      // local_dir: where shuffle scratch actually lived this run (r15
+      // verdict #4/#7: ShuffleDiscipline's tmpfs gate is box-conditional,
+      // so cross-round wall comparability depends on which dir won — the
+      // artifact must say). Compact token, full path in bench_full.json.
+      localDir.map(d => s""""local_dir":"${d.take(28)}",""").getOrElse("") +
+      // qorder: hash of the LPT queue order the parallel passes used (r15
+      // verdict #1a: contended per-query times depend on co-scheduling;
+      // two runs with equal hashes ran the same packing)
+      qhash.map(h => s""""qorder":"$h",""").getOrElse("") +
       s""""n":${results.size},"workers":$workers,"serial_sum":${fmt("%.2f", serialSum)},"""
     val warmJson = warm.sortBy(_._1).map(ent).mkString(""""warm":{""", ",", "},")
     // warm_norm: per-query regression ratio vs the PREVIOUS round's
@@ -405,13 +420,22 @@ object Bench {
     val byName = SparkEntry.queries
     val names = byName.keys.toSeq.sorted
     val nWorkers = math.max(2, math.min(8, cpus.toInt / 4))
+    // One queue order for the whole run (hoisted r16 — same behavior:
+    // pastTimes() reads the PREVIOUS run's bench_full.json, which does not
+    // change until this run exits, so all three passes always used the
+    // same order; hoisting just makes that a fact of the code) and its
+    // hash for the line: contended per-query times depend on which
+    // neighbors a query co-scheduled with, so two runs are per-query
+    // comparable only when their qorder hashes match.
+    val runOrder = queueOrder(names, pastTimes())
+    val qhash = f"${scala.util.hashing.MurmurHash3.orderedHash(runOrder)}%08x"
     // Sessions are created on the main thread (session construction runs
     // the extensions injector; no need to trust its thread-safety), then
     // each worker drains the shared queue on its own session + FAIR pool.
     val sessions = Vector.fill(nWorkers)(spark.newSession())
     def parallelPass(): (Double, Map[String, Double]) = {
       val queue = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-      queueOrder(names, pastTimes()).foreach(queue.add)
+      runOrder.foreach(queue.add)
       val times = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
       val wall0 = System.nanoTime()
       val threads = sessions.zipWithIndex.map { case (sess, i) =>
@@ -544,8 +568,18 @@ object Bench {
     // exactly the two queries r6's verdict tracks), so the cross-round
     // regression sentinels are always re-measured regardless of where
     // contention noise ranked them this time.
+    // Watchlist extended r16 (verdict #1a/#5): the r15 driver run read
+    // 2-4x contended regressions on queries whose warm serials were normal
+    // — but warm covered only ~15 names, so most regressions had no
+    // uncontended counter-evidence ON the artifact, and the 8-core arm's
+    // warm set barely overlapped the 32-core arm's (scaling ratios were
+    // computed from contended cells). Pin the heavy ANN/dedup cluster and
+    // the contended-inflation stream quartet so every future line — both
+    // arms — carries their uncontended serials.
     val watchlist = Seq("l4_cache", "x_ann_ivfpq", "x_knn_join", "x_cluster_cc",
-      "x_dedup_minhash").filter(byName.contains)
+      "x_dedup_minhash", "x_ann_bipartite", "x_dedup_embedding",
+      "x_embed_dedup", "x_jaccard_join", "x_stream_window",
+      "x_stream_sessionize", "x_stream_enrich").filter(byName.contains)
     val warmNames = (results.sortBy(-_._2).take(10).map(_._1) ++ watchlist).distinct
     // min of 2 warm runs (r8): the warm numbers are THE cross-round
     // comparables, and a single sample carries the same bursty box noise
@@ -598,6 +632,9 @@ object Bench {
     def m(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + fmt("%.6f", v) }.mkString("{", ",", "}")
     val serialSum = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // where shuffle scratch actually lived (ShuffleDiscipline's tmpfs gate
+    // is box-conditional; the artifact must record which dir won)
+    val localDir = spark.sparkContext.getConf.get("spark.local.dir", "spark-default")
     val fullJson = "{\"total\":" + fmt("%.6f", wall) + ",\"wall_pass1\":" +
       fmt("%.6f", wall1) + ",\"wall_pass2\":" + fmt("%.6f", wall2) +
       ",\"fixtures_s\":" + fmt("%.6f", fixturesS) +
@@ -606,21 +643,34 @@ object Bench {
       ",\"mem_knobs\":" + memKnobs +
       ",\"heap_gb\":" + fmt("%.1f", heapGb) +
       ",\"cal_par_warm\":" + fmt("%.6f", calParWarm) +
+      ",\"cal_par\":" + fmt("%.6f", calPar) +
+      ",\"cal_par_end\":" + fmt("%.6f", calParEnd) +
+      ",\"local_dir\":\"" + localDir + "\"" +
+      ",\"qorder\":\"" + qhash + "\"" +
       ",\"serial_sum\":" + fmt("%.6f", serialSum) + ",\"workers\":" + nWorkers +
       ",\"cal\":" + fmt("%.6f", cal) + ",\"sf\":\"" + sfDir +
-      "\",\"warm\":" + m(warm) + ",\"queries\":" + m(results) + "}"
+      "\",\"warm\":" + m(warm) + ",\"warm_norm\":" + m(warmNorm) +
+      ",\"queries\":" + m(results) + "}"
     try {
       val p = java.nio.file.Paths.get("target", "bench_full.json")
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, fullJson.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
+    // line-print cap (r16): warm_norm on the LINE keeps the 12 cells
+    // furthest from 1.0 — the full map (with every near-1.0 cell) is in
+    // bench_full.json; the settle loop above always saw the full seq. The
+    // cap bounds line growth as warm coverage widens, so the queries map
+    // keeps its slowest-N width.
+    val normOnLine = warmNorm.sortBy(kv => -math.abs(kv._2 - 1.0)).take(12)
     val line = officialLine(results, sfDir, warm, wall = Some(wall),
-      workers = nWorkers, cal = Some(cal), warmNorm = warmNorm,
+      workers = nWorkers, cal = Some(cal), warmNorm = normOnLine,
       calPar = Some(calPar), wallPasses = Some((wall1, wall2)),
       fixtures = Some(fixturesS), warmup = Some(warmupWall),
       memKnobs = Some(memKnobs), calParEnd = Some(calParEnd),
       calParWarm = Some(calParWarm), heapGb = Some(heapGb),
-      fixtureErrs = Some(fixtureErrs))
+      fixtureErrs = Some(fixtureErrs),
+      localDir = Some(if (localDir.startsWith("/dev/shm")) "shm" else localDir),
+      qhash = Some(qhash))
     spark.stop()
     println(line)
   }

@@ -16,7 +16,11 @@ object QProfile {
     val qnames = args(0).split(",").toSeq
     val repeats = if (args.length > 1) args(1).toInt else 1
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // default matches Bench/Verify/PlanDump (r15 advice: a 32-core default
+    // here profiled under a different session geometry — shuffle
+    // partitions, parIfNarrow threshold — than the bench being decomposed);
+    // wide-core profiling requires an explicit SPARK_GRAFT_CPUS
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.plans.ShuffleDiscipline.gateLocal(
       graft.plans.MemoryDiscipline.spillSafe(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -56,11 +60,19 @@ object QProfile {
         if (j != null) {
           j.taskTimeMs += e.stageInfo.taskMetrics.executorRunTime
           j.stages += 1
-          val rt = e.stageInfo.taskMetrics.executorRunTime
-          if (rt > 500)
+          val tm = e.stageInfo.taskMetrics
+          val rt = tm.executorRunTime
+          // shuffle byte decomposition (r16, guide §2.3: to cut shuffle
+          // bytes you must first see WHICH stage moves them): bytes written
+          // by this stage's map side, bytes+ms fetched by its reduce side
+          val sw = tm.shuffleWriteMetrics.bytesWritten
+          val sr = tm.shuffleReadMetrics.totalBytesRead
+          if (rt > 500 || sw > 10_000_000 || sr > 10_000_000)
             println(f"QPROF-STAGE j${jid}%d s${e.stageInfo.stageId}%d " +
               f"task=${rt / 1000.0}%7.2f n=${e.stageInfo.numTasks}%4d " +
-              e.stageInfo.name.take(90))
+              f"swMB=${sw / 1e6}%8.1f srMB=${sr / 1e6}%8.1f " +
+              f"fetchWait=${tm.shuffleReadMetrics.fetchWaitTime / 1000.0}%5.2f " +
+              e.stageInfo.name.take(70))
         }
       }
     }

@@ -43,16 +43,57 @@ object ShuffleDiscipline {
     */
   private val MinTmpfsFreeBytes: Long = 8L << 30
 
+  /** tmpfs bytes are RAM bytes: /dev/shm's usable space measures the
+    * mount's CAPACITY, not whether the box can actually afford to back it
+    * (r15 advice, medium) — a box with a big /dev/shm but little available
+    * memory would turn shuffle+spill into RAM pressure and an OOM kill
+    * mid-run. Require MemAvailable (the kernel's own "allocatable without
+    * swapping" estimate, which already accounts for reclaimable page
+    * cache) to also clear the same 8 GiB bar. Unreadable /proc/meminfo
+    * (non-Linux) fails CLOSED — no tmpfs without evidence of headroom.
+    */
+  private[plans] def memAvailableBytes(
+      meminfo: java.nio.file.Path =
+        java.nio.file.Paths.get("/proc/meminfo")): Option[Long] =
+    try {
+      val re = """MemAvailable:\s+(\d+)\s*kB""".r
+      scala.io.Source.fromFile(meminfo.toFile).getLines()
+        .collectFirst { case re(kb) => kb.toLong * 1024L }
+    } catch { case _: Throwable => None }
+
+  /** Sweep tmpfs residue from CRASHED prior runs (r15 advice): a SIGKILL
+    * skips the shutdown hook, leaving RAM-backed graft-blockmgr* dirs
+    * behind. Age-gated at 2 h — gate-SF mains finish in minutes, so
+    * anything older is residue, while a concurrently RUNNING main's dir
+    * is always younger. Own-process dirs are created after this sweep.
+    */
+  private def sweepStale(shm: java.nio.file.Path): Unit =
+    try {
+      val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+      val ds = java.nio.file.Files.newDirectoryStream(shm, "graft-blockmgr*")
+      try ds.forEach { d =>
+        try if (java.nio.file.Files.getLastModifiedTime(d).toMillis < cutoff) {
+          java.nio.file.Files.walk(d)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        } catch { case _: Throwable => () }
+      } finally ds.close()
+    } catch { case _: Throwable => () }
+
   /** Gate-SF shuffle scratch on tmpfs. Env override GRAFT_LOCAL_DIR wins;
-    * otherwise /dev/shm when writable with >=8 GiB usable; otherwise
-    * leave Spark's default. The dir is per-process and swept on exit.
+    * otherwise /dev/shm when writable with >=8 GiB usable AND >=8 GiB of
+    * actually-available RAM; otherwise leave Spark's default. The dir is
+    * per-process and swept on exit; stale dirs from crashed runs are
+    * swept at startup.
     */
   def gateLocal(builder: SparkSession.Builder): SparkSession.Builder =
     sys.env.get("GRAFT_LOCAL_DIR").orElse {
       val shm = java.nio.file.Paths.get("/dev/shm")
       if (java.nio.file.Files.isDirectory(shm) &&
           java.nio.file.Files.isWritable(shm) &&
-          shm.toFile.getUsableSpace >= MinTmpfsFreeBytes) {
+          shm.toFile.getUsableSpace >= MinTmpfsFreeBytes &&
+          memAvailableBytes().exists(_ >= MinTmpfsFreeBytes)) {
+        sweepStale(shm)
         val d = java.nio.file.Files.createTempDirectory(shm, "graft-blockmgr")
         // blockmgr subdirs are cleaned by Spark's shutdown hook; this sweeps
         // the parent so repeated runs don't accumulate empty dirs on tmpfs

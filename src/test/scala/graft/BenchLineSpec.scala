@@ -35,7 +35,7 @@ class BenchLineSpec extends AnyFunSuite {
       name -> (if (i % 3 == 0) 5.0 + i * 0.01 else 0.1)
     }
     val line = Bench.officialLine(results, "/root/testdata/sf0.1")
-    assert(line.length <= 1700, s"line ${line.length} chars")
+    assert(line.length <= 1960, s"line ${line.length} chars")
     val node = parse(line)
     val qs = qmap(node, "queries")
     assert(node.get("n").asInt() == 150)
@@ -76,7 +76,7 @@ class BenchLineSpec extends AnyFunSuite {
     val results = (1 to 150).map(i => s"q$i" -> (if (i <= 10) 9.0 else 0.2))
     val warm = (1 to 10).map(i => s"q$i" -> 1.1)
     val line = Bench.officialLine(results, "/x", warm)
-    assert(line.length <= 1700, s"line ${line.length} chars")
+    assert(line.length <= 1960, s"line ${line.length} chars")
     val node = parse(line)
     val w = qmap(node, "warm")
     assert(w.size == 10 && w("q1") == 1.1)
@@ -157,6 +157,20 @@ class BenchLineSpec extends AnyFunSuite {
       bare.get("mem_knobs") == null)
   }
 
+  test("local_dir and qorder ride the line when provided; absent otherwise") {
+    val results = (1 to 30).map(i => s"q$i" -> 0.5)
+    val node = parse(Bench.officialLine(results, "/x", wall = Some(3.0),
+      workers = 4, localDir = Some("shm"), qhash = Some("a1b2c3d4")))
+    assert(node.get("local_dir").asText() == "shm")
+    assert(node.get("qorder").asText() == "a1b2c3d4")
+    // long dir strings are truncated so the budget can't be blown
+    val long = parse(Bench.officialLine(results, "/x",
+      localDir = Some("/very/long/path/that/goes/on/forever/and/ever")))
+    assert(long.get("local_dir").asText().length <= 28)
+    val bare = parse(Bench.officialLine(results, "/x"))
+    assert(bare.get("local_dir") == null && bare.get("qorder") == null)
+  }
+
   test("heap_gb, cal_par_warm and fixture_errs ride the line when provided") {
     val results = (1 to 30).map(i => s"q$i" -> 0.5)
     val node = parse(Bench.officialLine(results, "/x", wall = Some(3.0),
@@ -231,7 +245,7 @@ class BenchLineSpec extends AnyFunSuite {
     val node = parse(line)
     assert(math.abs(qmap(node, "warm_norm")("q1") - 1.23) < 0.005)
     assert(math.abs(qmap(node, "warm_norm")("q2") - 0.77) < 0.005)
-    assert(line.length <= 1700)
+    assert(line.length <= 1960)
     // round-trip a BENCH_r{N}.json shaped file through readPrevBench
     val dir = java.nio.file.Files.createTempDirectory("benchprev")
     try {
