@@ -340,13 +340,16 @@ object ScaleCheck {
   }
 
   /** x_knn_join's per-stage decomposition (the vector family's steepest
-    * row gets the set-join family's stage-cell discipline): cand =
-    * banding + bucket self-join + pair dedup, verify = vector join-back
-    * + cosine + symmetric explode + bounded heaps. Reading note: the
-    * cand cell ends in a materialization barrier the production query
-    * does NOT pay (knnJoin streams candidates into the verify), so the
-    * cells BOUND the stages rather than partitioning the end-to-end
-    * time exactly.
+    * row gets the set-join family's stage-cell discipline). r16 shape
+    * change: production knnJoin scores inside the bucket join
+    * (lshVectorCollisions), so the cells are now: cand = the ids-only
+    * candidate derivation (UNCHANGED across rounds — it is the pair-count
+    * evidence and the population the production join scores, but no
+    * longer a production stage), verify = the PRODUCTION tail (banded
+    * self-join with vectors + inline cosine + pair dedup + symmetric
+    * heaps — the whole operator minus the corpus projection). The two
+    * cells therefore OVERLAP in the banding work rather than partitioning
+    * the end-to-end time; pairs_* counts stay curve-comparable.
     */
   private def knnStages(spark: SparkSession, dir: String)
       : (Seq[(String, String, Double)], Seq[(String, String, Long)]) = {
@@ -376,8 +379,15 @@ object ScaleCheck {
         release()
         pinned
       }
-      val (nTopk, tVer) = timed(
-        Similarity.knnVerifyTopK(cand, vecs, 10).count())
+      val (nTopk, tVer) = timed {
+        import graft.functions.GraftFunctions.graft_cosine
+        val scored = Similarity.lshVectorCollisionsForDiag(vecs, planes,
+          tables, 64)
+          .select(col("id1"), col("id2"),
+            round(graft_cosine(col("v1"), col("v2")), 4).as("sim"))
+          .groupBy("id1", "id2").agg(max("sim").as("sim"))
+        Similarity.symmetricTopK(scored, 10).count()
+      }
       // post-checkpoint candidate count + the verify count() value,
       // captured after the timed stages (same rationale as
       // setJoinStages: free >1000x pair-count evidence, r14 verdict #5).
@@ -403,10 +413,11 @@ object ScaleCheck {
   }
 
   /** x_embed_dedup's per-stage decomposition: embed (full-corpus
-    * feature-hash + the eager checkpoint production pays), cand (banding
-    * + bucket self-join + dedup under the content-seeded cap), verify
-    * (vector join-back + exact cosine + threshold). Same materialization-
-    * barrier reading note as knnStages.
+    * feature-hash + the eager checkpoint production pays), cand (the
+    * ids-only candidate derivation — pair-count evidence, no longer a
+    * production stage since r16), verify (the PRODUCTION tail: banded
+    * self-join with vectors + inline cosine + threshold + dedup). Same
+    * overlapping-cells reading note as knnStages.
     */
   private def embedDedupStages(spark: SparkSession,
       dir: String): Seq[(String, String, Double)] = {
@@ -436,8 +447,16 @@ object ScaleCheck {
         release()
         pinned
       }
-      val (_, tVer) = timed(
-        Dedup.embeddingVerify(cand, vecs, 1.0 - 1e-9).count())
+      val (_, tVer) = timed {
+        import graft.functions.GraftFunctions.graft_cosine
+        Similarity.lshVectorCollisionsForDiag(vecs, planes, tables, 8,
+          contentSeededSplit = true)
+          .withColumn("cosine", graft_cosine(col("v1"), col("v2")))
+          .where(col("cosine") >= 1.0 - 1e-9)
+          .select("id1", "id2", "cosine")
+          .dropDuplicates("id1", "id2")
+          .count()
+      }
       Seq(("x_embed_dedup", "embed", tEmbed), ("x_embed_dedup", "cand", tCand),
         ("x_embed_dedup", "verify", tVer))
         .map { case (q, c, t) =>

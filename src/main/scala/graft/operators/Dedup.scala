@@ -613,30 +613,46 @@ object Dedup {
       maxOccupancy: Int = 32, contentSeededSplit: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     import graft.functions.GraftFunctions.graft_cosine
-    // Vectors feed the signature pass AND both sides of the verify join —
-    // persist so the source isn't scanned three times, release at the end.
+    // Vectors feed the banded sides and the occupancy aggregate — persist
+    // so the source isn't scanned per pass, release at the end.
     val vecs = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Band keys only ride through the explode + bucket join: duplicating the
-    // vector column numTables-fold is what would kill this at scale.
-    // maxOccupancy splits skew-tail buckets by a per-table secondary hash —
-    // for a VERIFIER the cohabitant crowd is pure waste (recall comes from
-    // the signature), so the worst-case bound costs essentially no recall.
-    val (candidates, releaseBanded) = Similarity.lshCandidatePairsManaged(
-      vecs, numPlanes, numTables, maxOccupancy, contentSeededSplit)
-    val out = embeddingVerify(candidates, vecs, threshold)
-    releaseBanded()
-    vecs.unpersist()
-    out
+    try {
+      // r16 verify-shape change (see Similarity.lshVectorCollisions): the
+      // exact cosine is evaluated INSIDE the bucket join, the threshold
+      // filter runs on the collision stream (a verifier's filter passes
+      // ~nothing, so the dedup exchange after it is survivor-sized), and
+      // the pairs x vector join-back of the old ids-only shape never
+      // exists. maxOccupancy splits skew-tail buckets by a per-table
+      // secondary hash — for a VERIFIER the cohabitant crowd is pure
+      // waste (recall comes from the signature), so the worst-case bound
+      // costs essentially no recall.
+      Similarity.lshVectorCollisions(vecs, numPlanes, numTables,
+        maxOccupancy, contentSeededSplit)
+        .withColumn("cosine", graft_cosine(col("v1"), col("v2")))
+        .where(col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+        .dropDuplicates("id1", "id2")
+        .localCheckpoint(true)
+    } finally vecs.unpersist()
   }
 
-  /** embeddingNearDup's verify stage over a (id1, id2) candidate frame
-    * and a projected (id, v) vector frame — factored so ScaleCheck can
-    * time the pair-driven term alone (the knnVerifyTopK discipline).
+  /** The PRE-r16 verify stage over a (id1, id2) candidate frame and a
+    * projected (id, v) vector frame — vectors attached by two hinted
+    * join-backs. DIAGNOSTIC-ONLY since the r16 shape change (production
+    * embeddingNearDup scores inside the bucket join); kept as the
+    * old-shape A/B reference for ScaleCheck's historical cells.
     */
   private[graft] def embeddingVerify(candidates: DataFrame, vecs: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    embeddingVerifyPlanForDiag(candidates, vecs, threshold)
+      .localCheckpoint(true)
+
+  /** embeddingVerify WITHOUT the eager checkpoint — plan-inspection only
+    * (the checkpoint truncates explain output to an RDD scan). */
+  private[graft] def embeddingVerifyPlanForDiag(candidates: DataFrame,
+      vecs: DataFrame, threshold: Double): DataFrame = {
     import graft.functions.GraftFunctions.graft_cosine
     candidates
       .join(vecs.select(col("id").as("id1"), col("v").as("v1"))
@@ -646,7 +662,6 @@ object Dedup {
       .withColumn("cosine", graft_cosine(col("v1"), col("v2")))
       .where(col("cosine") >= threshold)
       .select("id1", "id2", "cosine")
-      .localCheckpoint(true)
   }
 
   /** SemDeDup-style semantic near-dup pairs (Abbas et al., arXiv:2303.09540):

@@ -272,10 +272,13 @@ object Similarity {
   /** Hyperplane-LSH candidate pairs over a projected (id, v:array<double>)
     * frame, OR-amplified across numTables tables: a candidate is any two
     * ids sharing ANY table's bucket. Only (id, t, bucket) keys ride the
-    * explode + self-join exchange — duplicating the vector column
-    * numTables-fold is what would kill this at scale; verification joins
-    * vectors back by id. Shared by Dedup.embeddingNearDup (thresholded
-    * pairs) and knnJoin (per-row top-k).
+    * explode + self-join exchange here. r16 note: production callers
+    * (Dedup.embeddingNearDup, knnJoin) moved to lshVectorCollisions —
+    * measured at 100x+, the pairs x vector join-back this ids-only shape
+    * forces costs MORE than letting the vector ride the banded exchange
+    * once occupancy x tables outgrows tables (pairs/n = 69 vs tables =
+    * 12 at the knn schedule). This derivation remains for pair-count
+    * diagnostics, where ids-only is exactly right.
     */
   /** Plane count so the EXPECTED bucket occupancy n/2^planes lands in
     * (target/2, target]. Occupancy is the false-candidate budget: within-
@@ -330,6 +333,14 @@ object Similarity {
     math.max(minTables, math.min(32, t))
   }
 
+  /** Diagnostics-only alias for ScaleCheck's stage cells (keeps
+    * lshVectorCollisions package-private to operators for real callers). */
+  private[graft] def lshVectorCollisionsForDiag(vecs: DataFrame,
+      numPlanes: Int, numTables: Int, maxOccupancy: Int = 0,
+      contentSeededSplit: Boolean = false): DataFrame =
+    lshVectorCollisions(vecs, numPlanes, numTables, maxOccupancy,
+      contentSeededSplit)
+
   /** Diagnostics-only alias for KnnDiag (keeps lshCandidatePairs package-
     * private to operators for real callers). */
   private[graft] def lshCandidatePairsForDiag(vecs: DataFrame, numPlanes: Int,
@@ -358,10 +369,11 @@ object Similarity {
     * banded subtree feeds the occupancy aggregate AND both self-join
     * sides, which exchange reuse does not unify (alias-renamed copies) —
     * without the persist the signature pass runs up to three times.
-    * Callers that materialize their result eagerly (knnJoin /
-    * embeddingNearDup end in localCheckpoint(true)) invoke the handle
-    * right after; the plain wrapper above leaves the cache to LRU
-    * eviction, which is correct but unclean for long sessions.
+    * r16: DIAGNOSTIC-ONLY — production (knnJoin / embeddingNearDup) moved
+    * to lshVectorCollisions (score inside the bucket join); this ids-only
+    * derivation remains the ScaleCheck pair-count cell (the distinct-pair
+    * population is identical by construction) and the old-shape A/B
+    * reference.
     */
   private[operators] def lshCandidatePairsManaged(vecs: DataFrame,
       numPlanes: Int, numTables: Int, maxOccupancy: Int = 0,
@@ -415,6 +427,123 @@ object Similarity {
     (pairs, () => { banded0.unpersist(blocking = false); () })
   }
 
+  /** Per-collision LSH self-join rows (id1, id2, v1, v2): every distinct
+    * (table, bucket, sub) cohabitation of two ids, id1 < id2, NOT
+    * deduplicated across tables — a pair sharing several buckets appears
+    * once per collision, carrying both vectors.
+    *
+    * r16 verify-shape change (guide §2.3/§8: make every shuffle but the
+    * last move a lightweight proxy — or, when the payload must meet the
+    * pair, move it ONCE, on the smallest stream). The old production
+    * shape banded ids-only, deduplicated pairs, then attached vectors by
+    * two join-backs — whose id2-side exchange streamed pairs x (ids +
+    * vector). Candidate volume is occupancy x tables x corpus: at the
+    * 100x ScaleCheck corpus that exchange moved ~7.3 GB (13.8M pairs x
+    * ~530 B) vs ~2.6 GB for BOTH banded-with-vector sides here (n x
+    * tables x 548 B each); at 1000x the old verify stage was 331 s of
+    * the 423 s row — the pair-side payload exchange was the scale wall.
+    * Scoring inside the bucket join makes the vector ride the (t,
+    * bucket, sub) exchange at n*tables rows and the pair stream carry
+    * only (id1, id2, score). Measured interleaved A/B at 100x (knnJoin
+    * end-to-end, same box phases): 14-21 s -> 7.3-8.0 s, outputs
+    * set-identical (except() both ways = 0).
+    *
+    * Cost shift, priced: each collision is scored (vs once per distinct
+    * pair after the old dedup) — at the adaptive schedules the collision
+    * stream is ~1.01x the distinct pairs (measured 13.819M vs 13.806M at
+    * 100x), because OR'd tables rarely re-collide a pair; and callers
+    * dedup AFTER scoring (same deterministic score on every copy).
+    *
+    * No cache: both join sides recompute signatures from the
+    * caller-cached vecs frame — two extra narrow passes (~0.9 s at 100x)
+    * instead of caching n x tables vector-bearing rows (~16 GB at
+    * 1000x). The bucket join is left UNHINTED: the planner's sort-merge
+    * spills gracefully, measured equal to a shuffle_hash hint at 100x,
+    * and hash-building wide n*tables rows per partition is the one shape
+    * that could OOM at >1000x. Occupancy split identical to
+    * lshCandidatePairsManaged (same __ck seed, same t-seeded sub hash,
+    * same cap), so the collision set equals the old candidate set before
+    * its dedup — bit-identical downstream results.
+    */
+  private[operators] def lshVectorCollisions(vecs: DataFrame, numPlanes: Int,
+      numTables: Int, maxOccupancy: Int = 0,
+      contentSeededSplit: Boolean = false): DataFrame = {
+    import graft.functions.GraftFunctions.graft_hyperplanes
+    def banded(): DataFrame = vecs.select(col("id"),
+      (if (contentSeededSplit) xxhash64(col("v")) else col("id")).as("__ck"),
+      col("v"),
+      posexplode(graft_hyperplanes(col("v"), numPlanes, numTables))
+        .as(Seq("t", "bucket")))
+    def side(idN: String, vN: String): DataFrame = {
+      val withSub =
+        if (maxOccupancy <= 0) banded().withColumn("sub", lit(0L))
+        else {
+          // third narrow pass: the oversized-bucket list (ids only —
+          // column-pruned from the vecs cache)
+          val over = vecs.select(
+            posexplode(graft_hyperplanes(col("v"), numPlanes, numTables))
+              .as(Seq("t", "bucket")))
+            .groupBy("t", "bucket").agg(count(lit(1)).as("occ"))
+            .where(col("occ") > maxOccupancy)
+          banded().join(broadcast(over), Seq("t", "bucket"), "left")
+            .withColumn("sub", when(col("occ").isNull, lit(0L)).otherwise(
+              pmod(xxhash64(col("__ck"), col("t")),
+                ceil(col("occ") / maxOccupancy).cast("long"))))
+            .drop("occ")
+        }
+      withSub.select(col("t"), col("bucket"), col("sub"),
+        col("id").as(idN), col("v").as(vN))
+    }
+    side("id1", "v1").join(side("id2", "v2"), Seq("t", "bucket", "sub"))
+      .where(col("id1") < col("id2"))
+      .select("id1", "id2", "v1", "v2")
+  }
+
+  /** Bipartite analog of [[lshVectorCollisions]]: per-collision (lid, rid,
+    * lv, rv) rows across the two sides, not deduplicated. Combined
+    * occupancy and the t-seeded sub hash match bipartiteCandidatesManaged
+    * exactly, so the collision set equals the old candidate set before
+    * its dedup.
+    */
+  private[operators] def bipartiteVectorCollisions(l: DataFrame, r: DataFrame,
+      numPlanes: Int, numTables: Int, maxOccupancy: Int,
+      contentSeededSplit: Boolean = false): DataFrame = {
+    import graft.functions.GraftFunctions.graft_hyperplanes
+    def banded(df: DataFrame, idName: String, vecName: String): DataFrame =
+      df.select(col(idName).as("id"),
+        (if (contentSeededSplit) xxhash64(col(vecName)) else col(idName))
+          .as("ck"),
+        col(vecName).as("vv"),
+        posexplode(graft_hyperplanes(col(vecName), numPlanes, numTables))
+          .as(Seq("t", "bucket")))
+    def bandedIds(df: DataFrame, vecName: String): DataFrame =
+      df.select(posexplode(graft_hyperplanes(col(vecName), numPlanes, numTables))
+        .as(Seq("t", "bucket")))
+    val over =
+      if (maxOccupancy <= 0) None
+      else Some(bandedIds(l, "lv").unionByName(bandedIds(r, "rv"))
+        .groupBy("t", "bucket").agg(count(lit(1)).as("occ"))
+        .where(col("occ") > maxOccupancy))
+    def side(df: DataFrame, idName: String, vecName: String,
+        idOut: String, vOut: String): DataFrame = {
+      val b = banded(df, idName, vecName)
+      val withSub = over match {
+        case None => b.withColumn("sub", lit(0L))
+        case Some(o) =>
+          b.join(broadcast(o), Seq("t", "bucket"), "left")
+            .withColumn("sub", when(col("occ").isNull, lit(0L)).otherwise(
+              pmod(xxhash64(col("ck"), col("t")),
+                ceil(col("occ") / maxOccupancy).cast("long"))))
+            .drop("occ")
+      }
+      withSub.select(col("t"), col("bucket"), col("sub"),
+        col("id").as(idOut), col("vv").as(vOut))
+    }
+    side(l, "lid", "lv", "lid", "lv")
+      .join(side(r, "rid", "rv", "rid", "rv"), Seq("t", "bucket", "sub"))
+      .select("lid", "rid", "lv", "rv")
+  }
+
   /** k-NN self-join: the top-k cosine neighbors for EVERY corpus row — the
     * large-query-set regime where the broadcast-query contract of
     * bruteForceTopK / ivfTopK / adcTopK does not hold (queries == corpus,
@@ -433,16 +562,17 @@ object Similarity {
     * than k neighbors — the standard ANN near-neighbor-graph contract, not
     * a defect.
     *
-    * Verify-join shape (r7 judge probe): candidates stay ids-only through
-    * the bucket exchange, then vectors attach via two shuffle joins. Only
-    * v1 rides an exchange (the id2-join shuffles pairs carrying v1; both
-    * vecs sides shuffle n rows each) — pairs*1 vectors through the wire.
-    * The "explode endpoints, join vectors once, re-group per pair"
-    * alternative moves 2*pairs vectors through its groupBy exchange, twice
-    * this plan's bytes; measured at 10x data the score join was already
-    * sub-linear in pair count (0.85s -> 2.13s for 22.6x pairs), so the
-    * candidate COUNT, not the join shape, is the scale axis — which the
-    * adaptive planes/tables/cap levers control.
+    * Verify-join shape, r16 (guide §2.3/§8 — supersedes the r7 ids-only +
+    * two-join-back plan): scoring runs INSIDE the bucket self-join
+    * (lshVectorCollisions), so vectors ride the (t, bucket, sub)
+    * exchanges at n*tables rows and the pair stream carries only
+    * (id1, id2, sim) into the dedup. The old id2-side join-back streamed
+    * pairs x (ids + vector) — with pairs ~ occupancy*tables*n/2 that
+    * exchange was ~3x the banded sides at 100x (7.3 GB vs 2.6 GB) and
+    * 78-93% of the ScaleCheck row at 1000-1400x. Pair dedup moves AFTER
+    * scoring (per-pair sim is deterministic, so max over collision
+    * copies IS the value) — measured 2x end-to-end at 100x, outputs
+    * set-identical.
     */
   def knnJoin(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
       numPlanes: Int = 8, numTables: Int = 8, maxOccupancy: Int = 64): DataFrame = {
@@ -453,20 +583,35 @@ object Similarity {
       col(vecCol).cast("array<double>").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // hash-hinted build side: the candidate stream is structurally
-      // occupancy x tables x corpus — see the Dedup scaladoc contrast
-      val (candidates, releaseBanded) = lshCandidatePairsManaged(
-        vecs, numPlanes, numTables, maxOccupancy)
-      val out = knnVerifyTopK(candidates, vecs, k).localCheckpoint(true)
-      releaseBanded()
-      out
+      val scored = lshVectorCollisions(vecs, numPlanes, numTables, maxOccupancy)
+        .select(col("id1"), col("id2"),
+          round(graft_cosine(col("v1"), col("v2")), 4).as("sim"))
+        .groupBy("id1", "id2").agg(max("sim").as("sim"))
+      symmetricTopK(scored, k).localCheckpoint(true)
     } finally vecs.unpersist()
   }
 
-  /** knnJoin's verify + heap stage over a (id1, id2) candidate frame and
-    * a projected (id, v) vector frame — factored so ScaleCheck can time
-    * the pair-driven term alone (the x_jaccard_join stage-cell
-    * discipline applied to the vector family's steepest row).
+  /** The symmetric heap tail shared by knnJoin and the old-shape verify:
+    * each undirected scored pair (id1, id2, sim) feeds BOTH endpoints'
+    * heaps via one inline explode — r7's self-unionByName evaluated the
+    * whole upstream subtree twice (ReuseExchange dedupes the shuffles,
+    * not the post-join map work), doubling the dominant per-pair cost.
+    * Expects the pair stream already deduplicated on (id1, id2).
+    */
+  private[graft] def symmetricTopK(scored: DataFrame, k: Int): DataFrame = {
+    val sym = scored.select(explode(array(
+      struct(col("id1").as("qid"), col("id2").as("vid"), col("sim")),
+      struct(col("id2").as("qid"), col("id1").as("vid"), col("sim")))).as("e"))
+      .select(col("e.qid").as("qid"), col("e.vid").as("vid"), col("e.sim").as("sim"))
+    topKPerQuery(sym, k)
+  }
+
+  /** The PRE-r16 verify + heap stage over a (id1, id2) candidate frame and
+    * a projected (id, v) vector frame — vectors attached by two hinted
+    * join-backs. DIAGNOSTIC-ONLY since the r16 shape change (production
+    * knnJoin scores inside the bucket join — see lshVectorCollisions);
+    * kept as the old-shape A/B reference for KnnDiag and ScaleCheck's
+    * historical cells.
     */
   private[graft] def knnVerifyTopK(candidates: DataFrame, vecs: DataFrame,
       k: Int): DataFrame = {
@@ -478,25 +623,17 @@ object Similarity {
         .hint("shuffle_hash"), "id2")
       .withColumn("sim", round(graft_cosine(col("v1"), col("v2")), 4))
       .select("id1", "id2", "sim")
-    // Each undirected pair feeds BOTH endpoints' heaps via one inline
-    // explode — r7's self-unionByName evaluated the whole join+cosine
-    // subtree twice (ReuseExchange dedupes the shuffles, not the
-    // post-join map work), doubling the dominant per-pair cost.
-    val sym = scored.select(explode(array(
-      struct(col("id1").as("qid"), col("id2").as("vid"), col("sim")),
-      struct(col("id2").as("qid"), col("id1").as("vid"), col("sim")))).as("e"))
-      .select(col("e.qid").as("qid"), col("e.vid").as("vid"), col("e.sim").as("sim"))
-    topKPerQuery(sym, k)
+    symmetricTopK(scored, k)
   }
 
   /** Bipartite ANN join: top-k RIGHT-side cosine neighbors for EVERY left
     * row when BOTH sides are large — the batch-vs-index regime (today's
     * ingest against yesterday's corpus), where neither lshTopK's
     * broadcast-query contract nor knnJoin's self-join shape applies.
-    * knnJoin's discipline on two frames: ids-only banded exchange per
-    * side, cross-side bucket join (candidates never materialize a
-    * vector), dedup, full-precision verify by join-back, bounded-heap
-    * top-k per left id. maxOccupancy splits skew buckets on the COMBINED
+    * knnJoin's r16 discipline on two frames: banded-with-vector exchange
+    * per side (n_side*tables rows), cross-side bucket join with the
+    * cosine scored inline, pair dedup AFTER scoring, bounded-heap top-k
+    * per left id. maxOccupancy splits skew buckets on the COMBINED
     * occupancy with the same t-seeded sub-hash — a cross pair separated
     * by one table's split still collides in the others.
     */
@@ -506,7 +643,7 @@ object Similarity {
     graft.functions.GraftFunctions.register(left.sparkSession)
     requireIntegralId(left, idCol)
     requireIntegralId(right, idCol)
-    import graft.functions.GraftFunctions.{graft_cosine, graft_hyperplanes}
+    import graft.functions.GraftFunctions.graft_cosine
     val l = left.select(col(idCol).cast("long").as("lid"),
       col(vecCol).cast("array<double>").as("lv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -514,17 +651,17 @@ object Similarity {
       col(vecCol).cast("array<double>").as("rv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val (candidates, releaseBanded) = bipartiteCandidatesManaged(l, r,
-        numPlanes, numTables, maxOccupancy, contentSeededSplit)
-      // hash-hinted build sides: see Dedup.minhashPairs' verify join-back
-      val scored = candidates
-        .join(l.hint("shuffle_hash"), "lid")
-        .join(r.hint("shuffle_hash"), "rid")
-        .withColumn("sim", round(graft_cosine(col("lv"), col("rv")), 4))
-        .select(col("lid").as("qid"), col("rid").as("vid"), col("sim"))
-      val out = topKPerQuery(scored, k).localCheckpoint(true)
-      releaseBanded()
-      out
+      // r16 verify-shape change (see knnJoin / lshVectorCollisions):
+      // score inside the cross-side bucket join — vectors ride the
+      // (t, bucket, sub) exchanges at n_side*tables rows, and the pair
+      // stream carries only (qid, vid, sim) into the dedup; dedup moves
+      // AFTER scoring (per-pair sim deterministic, max == the value).
+      val scored = bipartiteVectorCollisions(l, r, numPlanes, numTables,
+        maxOccupancy, contentSeededSplit)
+        .select(col("lid").as("qid"), col("rid").as("vid"),
+          round(graft_cosine(col("lv"), col("rv")), 4).as("sim"))
+        .groupBy("qid", "vid").agg(max("sim").as("sim"))
+      topKPerQuery(scored, k).localCheckpoint(true)
     } finally { l.unpersist(); r.unpersist() }
   }
 

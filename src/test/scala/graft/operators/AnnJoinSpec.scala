@@ -31,6 +31,49 @@ class AnnJoinSpec extends SparkSpec {
     }
   }
 
+  test("r16 scored-bucket-join shape is output-identical to the old ids-only + join-back shape") {
+    // the r16 restructure moved scoring inside the bucket join and pair
+    // dedup after it; this pins set-equality against the retained
+    // old-shape helpers on a corpus with twins (sim 1.0), near-pairs and
+    // occupancy-cap pressure, for both knnJoin and embeddingNearDup
+    import spark.implicits._
+    val base = ring(60, 8)
+    val twins = base.take(20).map { case (i, v) => (i + 1000L, v) }
+    val vecsDf = (base ++ twins).toDF("id", "v")
+    val planes = 6; val tables = 8; val cap = 8 // cap low enough to fire
+    val proj = vecsDf.select(col("id").cast("long").as("id"),
+      col("v").cast("array<double>").as("v"))
+      .persist()
+    try {
+      // knn: new production operator vs old-shape reference tail
+      val newKnn = Similarity.knnJoin(vecsDf, "id", "v", k = 3,
+        numPlanes = planes, numTables = tables, maxOccupancy = cap)
+      val (oldCand, release) = Similarity.lshCandidatePairsManaged(
+        proj, planes, tables, cap)
+      val oldKnn = Similarity.knnVerifyTopK(oldCand, proj, 3)
+      assert(newKnn.except(oldKnn).count() === 0)
+      assert(oldKnn.except(newKnn).count() === 0)
+      release()
+      // near-dup: new production operator vs old-shape verify
+      val newDup = Dedup.embeddingNearDup(vecsDf, "id", "v",
+        threshold = 0.99, numPlanes = planes, numTables = tables,
+        maxOccupancy = cap, contentSeededSplit = true)
+      val (oldCand2, release2) = Similarity.lshCandidatePairsManaged(
+        proj, planes, tables, cap, contentSeededSplit = true)
+      val oldDup = Dedup.embeddingVerify(oldCand2, proj, 0.99)
+      assert(newDup.except(oldDup).count() === 0)
+      assert(oldDup.except(newDup).count() === 0)
+      release2()
+      // the collision stream's distinct pairs ARE the old candidate set
+      val collDistinct = Similarity.lshVectorCollisionsForDiag(
+        proj, planes, tables, cap).select("id1", "id2").distinct()
+      val cands = Similarity.lshCandidatePairsForDiag(
+        proj, planes, tables, cap)
+      assert(collDistinct.except(cands).count() === 0)
+      assert(cands.except(collDistinct).count() === 0)
+    } finally proj.unpersist()
+  }
+
   test("annJoin: left and right are genuinely asymmetric (no self pairs, right-only ids)") {
     import spark.implicits._
     val right = ring(30, 8).toDF("id", "v")
