@@ -128,7 +128,9 @@ object Skyline {
     // aggregate and the local-front exchange, and the caller's dim
     // expressions are routinely the expensive part (regex / tokenize per
     // row) — without the cut each downstream pass re-evaluated them.
-    // The checkpoint holds (id + d doubles) per row, tiny at any corpus.
+    // The checkpoint holds (8 + 8d) bytes per row — small relative to the
+    // input, but multi-GB at 100x+ corpora, so it is explicitly released
+    // once the front is materialized below (r15 advice).
     val pts0 = df.select(
       (col(idCol).cast("long").as("sk_id") +:
         dims.zipWithIndex.map { case (c, i) => col(c).cast("double").as(s"sk_d$i") }): _*)
@@ -248,6 +250,15 @@ object Skyline {
     val result = cand.join(broadcast(rhs), domCond, "left_anti")
       .select((col("sk_id").as(idCol) +:
         dims.zipWithIndex.map { case (c, i) => col(s"sk_d$i").as(c) }): _*)
+      // materialize the (skyline-sized) front eagerly so the two upstream
+      // checkpoint blocks can be RELEASED here instead of squatting until
+      // ContextCleaner GC (r15 advice: pts0 is (8 + 8d) bytes/row — NOT
+      // tiny at ScaleCheck's 100x+ corpora, where sessions are already
+      // memory-tight). A locally-checkpointed block must never be
+      // unpersisted before its dependents run, hence the eager cut first.
+      .localCheckpoint(true)
+    pts0.unpersist(blocking = false)
+    cand.unpersist(blocking = false)
     lastPrunedCells.set((pruned, occupied.size))
     result
   }

@@ -13,18 +13,25 @@ import org.apache.spark.sql.functions._
   */
 object CorpusQueries {
 
-  /** Restore scan parallelism ONLY when the input is narrower than the
-    * session's core count (r15 optimization): the gate-SF tables are
-    * single-row-group files — one scan task — which serializes any
-    * per-row kernel that follows; ScaleCheck's materialized corpora and
-    * a 100 TB deployment arrive in >= cores splits, where the extra
-    * exchange would be pure overhead, so there the helper is a no-op
-    * (unlike the unconditional PipelineQueries.par, whose cost is
-    * already priced into committed SCALECHECK cells).
+  /** Restore scan parallelism when the input is MORE THAN 2x narrower
+    * than the session's core count (r15 optimization; threshold fixed per
+    * r15 advice — the old min(8, cores) bar left an 8-partition scan 4x
+    * under-parallelized at local[32], and its doc claimed cores): the
+    * gate-SF tables are single-row-group files — one scan task — which
+    * serializes any per-row kernel that follows. The half-cores fraction
+    * is deliberate: a scan within 2x of the core count keeps every core
+    * busy once the kernel stage has a few waves, and skipping the
+    * full-text exchange there costs less than the residual imbalance —
+    * ScaleCheck's materialized corpora and a 100 TB deployment arrive in
+    * >= cores splits, where the helper stays a no-op (unlike the
+    * unconditional PipelineQueries.par, whose cost is already priced
+    * into committed SCALECHECK cells). df.rdd is one extra physical
+    * planning of the scan subtree, paid once per query build — measured
+    * in the per-query floor, not the kernel path.
     */
   private def parIfNarrow(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= math.min(8, target)) df
+    if (df.rdd.getNumPartitions >= math.max(1, target / 2)) df
     else df.repartition(target)
   }
 

@@ -34,6 +34,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() > 0)
   }
 
+  test("two-sentinel outer join emits its final cohort with noDataMicroBatches disabled") {
+    // r15 advice pin: x_stream_join_{outer,full,restart} run with
+    // noDataBatches=false, which is correct ONLY because their
+    // choreography fires a flushing data sentinel after every watermark
+    // advance. This runs the real query end-to-end (its section disables
+    // no-data batches) and checks the OUTER rows — the cohort that is
+    // emitted last, by the batch AFTER state eviction — against the exact
+    // batch LEFT JOIN. If a future edit drops the second sentinel, the
+    // final cohort goes missing and this fails.
+    val out = graft.SparkEntry.queries("x_stream_join_outer")(spark, sf0001)
+      .select("user_id", "n_rows", "n_matched")
+    val ev = Tables(spark, sf0001, "events").where(col("user_id") < 40)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_type"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+    val c = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+    val batch = p.join(c, col("cu") === col("pu") &&
+        col("cts") >= col("pts") - expr("INTERVAL 30 MINUTES") &&
+        col("cts") <= col("pts"), "left")
+      .groupBy(col("pu").as("user_id"))
+      .agg(count(lit(1)).as("n_rows"), count(col("cts")).as("n_matched"))
+    assert(out.exceptAll(batch).isEmpty && batch.exceptAll(out).isEmpty,
+      "streamed LEFT JOIN != batch LEFT JOIN (final cohort missing?)")
+    // the unmatched (outer) population must actually be present — that is
+    // the cohort only the post-eviction trigger can emit
+    assert(out.where(col("n_matched") < col("n_rows")).count() > 0,
+      "no outer rows emitted — the flushing sentinel contract broke")
+  }
+
   test("stream processes files incrementally across micro-batches") {
     val src = java.nio.file.Files.createTempDirectory("graft-incr")
     val stream = EventStreams.readEventStream(spark, src.toString)
