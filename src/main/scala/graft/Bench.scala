@@ -466,6 +466,16 @@ object Bench {
     // suite, and cold-start cost is published separately, not mixed in).
     val (warmupWall, _) = parallelPass()
     println(s"BENCH-WARMUP ${fmt("%.2f", warmupWall)}")
+    // per-stream in-pass batch counts (r16, verdict #3): printed per pass
+    // so a contended stream inflation decomposes into "more triggers" vs
+    // "slower triggers" from the run log — batch counts are pinned by the
+    // fixtures' choreography and must NOT vary with co-scheduling
+    def dumpStreamBatches(pass: String): Unit =
+      graft.plans.StreamStateGuard.drainBatchCounts().foreach {
+        case (tag, n, trigMs) =>
+          println(s"BENCH-STREAM-BATCHES $pass $tag n=$n trig_ms=$trigMs")
+      }
+    dumpStreamBatches("warmup")
     // Between-pass reset: drop leaked table caches, then give the
     // ContextCleaner a GC + a beat to unlink the finished pass's shuffle
     // files and state stores (the ScaleCheck reclaim discipline — a full
@@ -489,6 +499,7 @@ object Bench {
     // time, and interference is one-sided noise).
     val (wall1, pass1) = parallelPass()
     println(s"BENCH-WALL-PASS1 ${fmt("%.2f", wall1)}")
+    dumpStreamBatches("pass1")
     // reset to pass-1's STARTING state before pass 2 (r11 advice): the
     // parallel workers leak table caches into the shared cache manager,
     // so an un-reset second pass measures cached relations and the
@@ -497,6 +508,7 @@ object Bench {
     resetPassState()
     val (wall2, pass2) = parallelPass()
     println(s"BENCH-WALL-PASS2 ${fmt("%.2f", wall2)}")
+    dumpStreamBatches("pass2")
     // Pass-spread attribution (r14 verdict #4): the committed r14 line
     // carried a 33% pass-1→pass-2 inflation of which calibration drift
     // explained only 12%, and nothing on the log could say WHICH queries

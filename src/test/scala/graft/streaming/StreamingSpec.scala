@@ -65,6 +65,34 @@ class StreamingSpec extends SparkSpec {
       "no outer rows emitted — the flushing sentinel contract broke")
   }
 
+  test("StreamStateGuard batch counters tag by fixture dir and drain per pass") {
+    graft.plans.StreamStateGuard.drainBatchCounts() // isolate from earlier tests
+    val dir = java.nio.file.Files.createTempDirectory("graft-bcount")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = EventStreams.hourlyCounts(EventStreams.readEventStream(spark, dir.toString))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("bcount_out").start()
+    try q.processAllAvailable() finally q.stop()
+    // listener bus is async — wait briefly for the progress event to land
+    var counts = Seq.empty[(String, Long, Long)]
+    val deadline = System.currentTimeMillis() + 10000
+    while (counts.isEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(100)
+      counts = graft.plans.StreamStateGuard.drainBatchCounts()
+        .filter(_._1.startsWith("graft-bcount"))
+    }
+    assert(counts.nonEmpty, "no batch counted for the graft-bcount stream")
+    assert(counts.head._2 >= 1, s"batch count ${counts.head}")
+    // drained: a second read is empty (per-pass isolation for the bench)
+    assert(graft.plans.StreamStateGuard.drainBatchCounts()
+      .filterNot(_._1.startsWith("graft-bcount")).isEmpty ||
+      true) // other concurrent tests may enqueue; only OUR tag must be gone
+    assert(graft.plans.StreamStateGuard.drainBatchCounts()
+      .filter(_._1.startsWith("graft-bcount")).isEmpty)
+  }
+
   test("stream processes files incrementally across micro-batches") {
     val src = java.nio.file.Files.createTempDirectory("graft-incr")
     val stream = EventStreams.readEventStream(spark, src.toString)
