@@ -333,13 +333,53 @@ object Similarity {
     math.max(minTables, math.min(32, t))
   }
 
+  /** Partition count for the banded-with-vector bucket join (guide §2.2:
+    * derive partitioning from input size, never from a constant tuned to
+    * one box). The collision join's two inputs each carry n x tables wide
+    * rows; under a session partition count pinned to the CORE count (the
+    * local default) the per-task sort share grows linearly with the
+    * corpus — measured at the 1000x ScaleCheck corpus (2M vectors, 15
+    * tables, 64-dim): ~33 GB across 32 partitions is a ~1 GB/task
+    * external sort against ~0.6 GB/task of execution memory, i.e. a
+    * multi-pass spill on every task (the knn verify cell read 981 s
+    * there), while at <=100x the same join fits and was A/B-fast. Sizing
+    * the exchange at ~128 MB/partition keeps the per-task sort in memory
+    * at ANY corpus; the floor is the session count, so at gate SF (and
+    * any corpus whose banded stream fits the session layout) the plan is
+    * bit-identical to before. Row-size model: 4 key/id longs + the
+    * payload array (8 B/element + header) — an overestimate is harmless
+    * (smaller partitions), an underestimate reintroduces the spill.
+    */
+  private[graft] def collisionJoinPartitions(sessionParts: Int, nRows: Long,
+      numTables: Int, dim: Int,
+      targetPartitionBytes: Long = 128L << 20): Int = {
+    val rowBytes = 48L + 8L * math.max(1, dim)
+    val streamBytes =
+      2L * math.max(0L, nRows) * math.max(1, numTables) * rowBytes
+    val needed = streamBytes / math.max(1L, targetPartitionBytes) + 1
+    math.max(sessionParts, math.min(20000L, needed).toInt)
+  }
+
+  /** The session's shuffle partition count and the (rows, dim) of a
+    * projected vector frame — the inputs collisionJoinPartitions needs.
+    * Two cheap jobs over the caller-persisted frame (count + one-row
+    * head); an empty frame sizes as dim 0 -> session floor.
+    */
+  private def vectorStats(vecs: DataFrame, vecCol: String): (Long, Int) = {
+    val n = vecs.count()
+    val d = vecs.select(size(col(vecCol)).as("d")).head(1)
+    (n, if (d.nonEmpty) d(0).getInt(0) else 0)
+  }
+
   /** Diagnostics-only alias for ScaleCheck's stage cells (keeps
     * lshVectorCollisions package-private to operators for real callers). */
   private[graft] def lshVectorCollisionsForDiag(vecs: DataFrame,
       numPlanes: Int, numTables: Int, maxOccupancy: Int = 0,
-      contentSeededSplit: Boolean = false): DataFrame =
+      contentSeededSplit: Boolean = false,
+      adaptiveParts: Boolean = true,
+      targetPartitionBytes: Long = 128L << 20): DataFrame =
     lshVectorCollisions(vecs, numPlanes, numTables, maxOccupancy,
-      contentSeededSplit)
+      contentSeededSplit, adaptiveParts, targetPartitionBytes)
 
   /** Diagnostics-only alias for KnnDiag (keeps lshCandidatePairs package-
     * private to operators for real callers). */
@@ -467,7 +507,9 @@ object Similarity {
     */
   private[operators] def lshVectorCollisions(vecs: DataFrame, numPlanes: Int,
       numTables: Int, maxOccupancy: Int = 0,
-      contentSeededSplit: Boolean = false): DataFrame = {
+      contentSeededSplit: Boolean = false,
+      adaptiveParts: Boolean = true,
+      targetPartitionBytes: Long = 128L << 20): DataFrame = {
     import graft.functions.GraftFunctions.graft_hyperplanes
     def banded(): DataFrame = vecs.select(col("id"),
       (if (contentSeededSplit) xxhash64(col("v")) else col("id")).as("__ck"),
@@ -494,7 +536,24 @@ object Similarity {
       withSub.select(col("t"), col("bucket"), col("sub"),
         col("id").as(idN), col("v").as(vN))
     }
-    side("id1", "v1").join(side("id2", "v2"), Seq("t", "bucket", "sub"))
+    // Scale-adaptive bucket-join parallelism (see collisionJoinPartitions):
+    // an explicit same-key repartition of BOTH sides satisfies the join's
+    // clustered distribution (no extra exchange vs the implicit one), and
+    // only engages when the derived count exceeds the session's — at gate
+    // SF the plan is unchanged.
+    val sessionParts =
+      vecs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val parts = if (!adaptiveParts) sessionParts else {
+      val (n, dim) = vectorStats(vecs, "v")
+      collisionJoinPartitions(sessionParts, n, numTables, dim,
+        targetPartitionBytes)
+    }
+    def widen(df: DataFrame): DataFrame =
+      if (parts > sessionParts)
+        df.repartition(parts, col("t"), col("bucket"), col("sub"))
+      else df
+    widen(side("id1", "v1"))
+      .join(widen(side("id2", "v2")), Seq("t", "bucket", "sub"))
       .where(col("id1") < col("id2"))
       .select("id1", "id2", "v1", "v2")
   }
@@ -539,8 +598,28 @@ object Similarity {
       withSub.select(col("t"), col("bucket"), col("sub"),
         col("id").as(idOut), col("vv").as(vOut))
     }
-    side(l, "lid", "lv", "lid", "lv")
-      .join(side(r, "rid", "rv", "rid", "rv"), Seq("t", "bucket", "sub"))
+    // Scale-adaptive bucket-join parallelism, combined-side sizing (same
+    // rationale as lshVectorCollisions).
+    val sessionParts =
+      l.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val parts = {
+      val nl = l.count()
+      val nr = r.count()
+      val d = l.select(size(col("lv")).as("d")).head(1)
+      val dim = if (d.nonEmpty) d(0).getInt(0)
+        else { val dr = r.select(size(col("rv")).as("d")).head(1)
+          if (dr.nonEmpty) dr(0).getInt(0) else 0 }
+      // nl + nr wide rows per table across the two exchanges combined —
+      // the same 2 x n x tables volume the self-join model uses
+      collisionJoinPartitions(sessionParts, (nl + nr + 1) / 2,
+        math.max(1, numTables), dim)
+    }
+    def widen(df: DataFrame): DataFrame =
+      if (parts > sessionParts)
+        df.repartition(parts, col("t"), col("bucket"), col("sub"))
+      else df
+    widen(side(l, "lid", "lv", "lid", "lv"))
+      .join(widen(side(r, "rid", "rv", "rid", "rv")), Seq("t", "bucket", "sub"))
       .select("lid", "rid", "lv", "rv")
   }
 

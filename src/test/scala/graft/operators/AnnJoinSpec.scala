@@ -74,6 +74,48 @@ class AnnJoinSpec extends SparkSpec {
     } finally proj.unpersist()
   }
 
+  test("collisionJoinPartitions: session floor, linear growth, cap") {
+    // gate SF: the banded stream fits the session layout -> floor
+    assert(Similarity.collisionJoinPartitions(32, 2020, 8, 64) === 32)
+    // the measured 1000x knn regime (2M vectors, 15 tables, 64-dim):
+    // 2 x 2e6 x 15 x 560 B ~= 33.6 GB -> ~263 partitions at 128 MB
+    val at1000x = Similarity.collisionJoinPartitions(32, 2000000L, 15, 64)
+    assert(at1000x > 200 && at1000x < 300, s"got $at1000x")
+    // scales linearly with the corpus, capped at 20000
+    assert(Similarity.collisionJoinPartitions(32, 2000000000L, 15, 64) === 20000)
+    // degenerate inputs stay at the floor
+    assert(Similarity.collisionJoinPartitions(32, 0L, 15, 64) === 32)
+    assert(Similarity.collisionJoinPartitions(200, 2020, 8, 0) === 200)
+  }
+
+  test("adaptive collision parallelism engaged: outputs identical under a 1-partition session") {
+    // force the derived count past the session's so the explicit
+    // same-key repartition engages, and pin output equality vs the
+    // non-adaptive path (partitioning must never change results)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try {
+      import spark.implicits._
+      val vecsDf = ring(50, 8).toDF("id", "v")
+      val proj = vecsDf.select(col("id").cast("long").as("id"),
+        col("v").cast("array<double>").as("v")).persist()
+      try {
+        // 1 KiB target forces the derived count far past the 1-partition
+        // session, so the explicit repartition is actually in the plan
+        val adaptive = Similarity.lshVectorCollisionsForDiag(
+          proj, 6, 8, 8, targetPartitionBytes = 1024L)
+        assert(adaptive.rdd.getNumPartitions > 1,
+          "adaptive repartition did not engage")
+        val adaptiveSet = adaptive.select("id1", "id2").distinct()
+        val fixed = Similarity.lshVectorCollisionsForDiag(
+          proj, 6, 8, 8, adaptiveParts = false)
+          .select("id1", "id2").distinct()
+        assert(adaptiveSet.except(fixed).count() === 0)
+        assert(fixed.except(adaptiveSet).count() === 0)
+      } finally proj.unpersist()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("annJoin: left and right are genuinely asymmetric (no self pairs, right-only ids)") {
     import spark.implicits._
     val right = ring(30, 8).toDF("id", "v")
