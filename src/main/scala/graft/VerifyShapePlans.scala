@@ -76,6 +76,20 @@ object VerifyShapePlans {
         .select("id1", "id2", "cosine")
         .dropDuplicates("id1", "id2"))
 
+    // r16 Change 7: the adaptive collision-join repartition — absent at
+    // gate SF (derived count <= session partitions, so the after-plans
+    // above are unchanged), present when the banded stream outgrows the
+    // session layout. Dump the ENGAGED plan via a small target so the
+    // artifact shows the explicit same-key repartition replacing the
+    // implicit join exchange (one hashpartitioning(t,bucket,sub,N) per
+    // side, no extra Exchange).
+    dump("x_knn_join_verify_after_engaged",
+      Similarity.lshVectorCollisionsForDiag(vecs, planes, tables, 64,
+        targetPartitionBytes = 1024L)
+        .select(col("id1"), col("id2"),
+          round(graft_cosine(col("v1"), col("v2")), 4).as("sim"))
+        .groupBy("id1", "id2").agg(max("sim").as("sim")))
+
     vecs.unpersist()
     spark.stop()
     println(s"PLANS written to $outDir")
